@@ -1,0 +1,90 @@
+"""SparkSession factory with oracle-parity and scale-aware defaults.
+
+Encodes SURVEY.md section 4.2's "physical-execution decisions to encode in
+config, not code":
+
+* ``spark.sql.session.timeZone=UTC`` — DuckDB timestamps are UTC-naive;
+  pinning the session TZ makes timestamp values hash-comparable.
+* AQE on (runtime shuffle coalescing + skew-join splitting) — at 100 TB
+  the static partition count is always wrong somewhere; AQE re-plans at
+  each exchange from observed sizes.
+* ``spark.sql.shuffle.partitions`` sized to local cores for tests; on a
+  real cluster this is overridden (AQE coalescing makes the initial
+  number a ceiling, not a target).
+* Arrow enabled so Pandas-UDF operators (near-dup, multimodal) use
+  vectorized batch transfer instead of per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "git_log_to_sqlite_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the session used by tests, bench, and the driver.
+
+    ``cpus`` controls local-mode threads; ``shuffle_partitions`` defaults
+    to the same number — at local scale each shuffle partition should map
+    to one core, while at cluster scale AQE coalesces from a higher
+    initial count.
+    """
+    cpus = str(cpus or _DEFAULT_CPUS)
+    shuffle = str(shuffle_partitions or cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
+    """Load the driver's parquet tables as DataFrames keyed by name.
+
+    Plain ``spark.read.parquet`` — Catalyst pushes filters/projections
+    into the scan, so no eager caching here; callers that reuse a table
+    across many queries (bench) may ``.cache()`` selectively.
+    """
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the driver tables as temp views for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
