@@ -1,0 +1,84 @@
+"""Query registry + the canonicalization rules that make results
+hash-comparable between Spark and DuckDB.
+
+Canonicalization rules (applied inside every query, both engines):
+
+* **Money sums are exact.** Sums over double columns are computed as
+  ``SUM(CAST(x AS DECIMAL(18,4)))`` then cast back to DOUBLE — decimal
+  addition is associative, so partial aggregation order (Spark's
+  map-side combine, DuckDB's parallel groups) cannot change the result.
+  A plain double sum over 60k rows can drift in the last bits depending
+  on reduction order.
+* **Averages are a deterministic division**: exact decimal sum cast to
+  double, divided by the count — same IEEE operands on both sides.
+* **Ratios/statistics are rounded** (6 dp) — they are float-unstable by
+  nature but land far from rounding boundaries at these magnitudes.
+* **Every computed column is aliased identically** in the Spark plan
+  and the oracle SQL (the driver sorts columns by name before hashing).
+* **Integer widths match**: DuckDB's ``year()`` is BIGINT and ``SUM``
+  of integers is HUGEINT; the oracle SQL casts them to the width Spark
+  produces (INT / BIGINT).
+* **Top-k always breaks ties** with a unique key so LIMIT is stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: SparkQuery
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a Spark query (and its oracle SQL) to the corpus."""
+
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+        return fn
+
+    return wrap
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver table. Plain parquet read — filters/projections
+    in the calling query push down into this scan.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; it is read as raw nanos (legacy conf) and converted
+    with integer division (a double division would lose precision on
+    1e18-scale nanos). DuckDB truncates the same nanos to micros, so
+    both engines see identical timestamps.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(path)

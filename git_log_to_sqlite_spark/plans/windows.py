@@ -1,0 +1,289 @@
+"""Window functions: ranking, analytic, frames, time buckets,
+sessionization.
+
+Every window has a deterministic total order (ties broken by a unique
+key) so row_number/lag/frames are oracle-reproducible.  At scale the
+partition key matters more than the function: windows partitioned by a
+high-cardinality key (custkey, user_id) parallelize per key group; an
+unpartitioned window is a single-task bottleneck and appears here only
+where the input is provably tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register, table
+from .relational import _DSUM, dsum
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    doc="Top-3 orders per customer — the canonical top-k-per-group: "
+    "one shuffle on the partition key, per-group sort, early filter.",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_ranking_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="rank / dense_rank / ntile / percent_rank over one shared "
+    "window definition.",
+)
+def win_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_totalprice)  OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(o_orderdate AS DATE) - CAST(LAG(o_orderdate) OVER w AS DATE)
+             AS days_since_prev
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead analytics + inter-order gap in days.",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("days_since_prev"),
+    )
+
+
+@register(
+    "win_running_frames",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS moving_avg4
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="ROWS frames: running total + 4-row moving average, decimal-"
+    "exact inside the frame.",
+)
+def win_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-3, 0)
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(w_run).cast("double").alias("running_total"),
+        (F.sum(dec).over(w_mov).cast("double") / F.count("*").over(w_mov)).alias(
+            "moving_avg4"
+        ),
+    )
+
+
+@register(
+    "win_first_last_nth",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last/nth over an explicit full frame (the default frame "
+    "makes LAST_VALUE the current row — a classic trap; both engines "
+    "get the explicit frame).",
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    ).distinct()
+
+
+@register(
+    "win_range_between",
+    oracle="""
+    SELECT o_custkey, o_orderkey, day_no,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                          RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+             AS orders_last_90d
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS day_no
+          FROM orders WHERE o_custkey < 100) t
+    """,
+    doc="RANGE frame over a numeric day offset: orders in the trailing "
+    "90 days per customer (value-based, not row-based).",
+)
+def win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    day_no = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-90, 0)
+    return o.select(
+        "o_custkey", "o_orderkey", day_no.alias("day_no")
+    ).withColumn("orders_last_90d", F.count("*").over(w))
+
+
+@register(
+    "win_time_bucket",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_DSUM('o_totalprice')} AS month_value
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Time-bucketed rollup via date_trunc (SURVEY 2.2 prefers "
+    "date_trunc over window() for oracle parity).",
+)
+def win_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.col("o_orderpriority"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("month_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization: lag-gap flag + running sum = session id "
+    "(the composition the streaming session_window operator mirrors; "
+    "batch-equivalence is tested in tests/test_streaming.py).",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_run).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+    )
+
+
+@register(
+    "events_window_tumbling",
+    oracle=f"""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+             AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {_DSUM('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregate in batch form — the exact "
+    "shape the streaming query in streaming/replay.py runs; Spark uses "
+    "the native window() operator, the oracle floors epoch seconds.",
+)
+def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
