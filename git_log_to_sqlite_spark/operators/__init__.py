@@ -1,0 +1,39 @@
+"""Reusable operator library — the engine's public API surface.
+
+``plans/`` instantiates these operators on the driver's test tables for
+the oracle gate; this package is what a user calls on their own
+DataFrames. Everything is built from DataFrame primitives (SURVEY.md
+section 2.2); Python enters only via Arrow-batched Pandas UDFs and only
+where built-ins genuinely can't express the semantics (multimodal
+decode, merge_asof fallback).
+"""
+
+from .asof import asof_join
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from .similarity import brute_force_topk, bucketed_ann_topk, cosine, lsh_bucket
+from .text import add_text_stats, fingerprint, lang_id, token_counts
+
+__all__ = [
+    "asof_join",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "shingles",
+    "simhash",
+    "brute_force_topk",
+    "bucketed_ann_topk",
+    "cosine",
+    "lsh_bucket",
+    "add_text_stats",
+    "fingerprint",
+    "lang_id",
+    "token_counts",
+]

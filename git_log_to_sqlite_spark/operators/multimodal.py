@@ -1,0 +1,115 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched Pandas UDFs over
+``mapInPandas``.
+
+The Spark-side plumbing (schema, partitioning, UDF signature, batch
+shape) is real and tested; the actual decoders (PIL/librosa/ffmpeg)
+are NOT in this container, so the decode step is a deterministic fake
+behind ``_decode_image_stub`` — swap it for a real decoder where the
+libs exist. The plumbing is the part that matters at 100 TB: binary
+payloads ride the same partitions as their metadata, batches stream
+through Arrow with bounded memory (maxRecordsPerBatch), and the
+output schema is declared, never inferred.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# binary payload + typed metadata — the multimodal column convention
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("byte_len", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def as_media(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFrame:
+    """Wrap an existing binary (or string) column as a media table with
+    typed metadata."""
+    payload = F.col(payload_col)
+    if dict(df.dtypes)[payload_col] == "string":
+        payload = F.encode(payload, "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.lit(mime).alias("mime_type"),
+        F.length(payload).cast("int").alias("byte_len"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decoder (real decoders aren't in this
+    container). Derives (width, height, mean_luma) from the payload
+    bytes so tests are stable. Replace with PIL:
+        img = PIL.Image.open(io.BytesIO(payload)); ...
+    """
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decoder available")
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    mean_luma = (sum(payload[:32]) % 256) / 255.0
+    return width, height, mean_luma
+
+
+def extract_image_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Decode / feature-extract over ``mapInPandas``: batches stream
+    through Arrow, one output row per media row, bounded memory
+    regardless of payload size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_image_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": pdf["byte_len"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_luma": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_nth_byte: int = 256) -> DataFrame:
+    """Frame-sampling shape: 1 media row -> N frame rows (here: one
+    'frame' per every_nth_byte slice — stands in for video frame
+    extraction; the explode-shaped output schema is the real part)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, offsets = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = max(1, len(payload or b"") // every_nth_byte)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    frame_nos.append(i)
+                    offsets.append(i * every_nth_byte)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "byte_offset": offsets}
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, frame_no int, byte_offset int"
+    )

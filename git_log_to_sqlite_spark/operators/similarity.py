@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (``array<float|double>``).
+
+* ``brute_force_topk`` — exact baseline: broadcast the query side, fold
+  the dot product JVM-side (``aggregate(zip_with(...))``), rank per
+  query. Right when |queries| x |corpus| comparisons fit the cluster.
+* ``bucketed_ann_topk`` — the scale path: an IVF-style coarse quantizer
+  assigns each vector to a cell; candidates come from an equi-join on
+  the cell id, cutting each query's scan to corpus/|cells| (recall
+  traded for the probe count; tests assert recall vs brute force).
+
+No Python in the hot path: a 64-dim cosine is ~130 JVM arithmetic ops
+inside codegen; a Pandas UDF would move the whole corpus through Arrow
+for the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns (JVM-side fold)."""
+    a, b = _as_double(a), _as_double(b)
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector: (query_id, neighbor_id,
+    cos_sim). The query side is broadcast — keep it small; the corpus
+    streams through one pass. ``round_to`` rounds the similarity BEFORE
+    ranking (deterministic cross-engine tie behavior)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def lsh_bucket(
+    vec_col: Column, dims: int, num_planes: int = 4, seed: str = "lsh"
+) -> Column:
+    """Sign-LSH coarse quantizer: bucket id from the sign pattern of
+    ``num_planes`` deterministic random-hyperplane projections.
+
+    Hyperplanes are derived from md5 of (seed, plane, dim) — no RNG
+    state, so bucket assignment is reproducible across runs, engines,
+    and cluster layouts. Vectors at cosine angle theta collide per
+    plane with probability 1 - theta/pi (the SimHash bound), so tight
+    clusters stay together. Use as the ``bucket_col`` input of
+    ``bucketed_ann_topk`` when no fitted quantizer exists.
+    """
+    import hashlib
+
+    def weight(p: int, d: int) -> float:
+        h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+        return (int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0
+
+    v = _as_double(vec_col)
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(weight(p, d)) for d in range(dims)])
+        proj = _dot(v, plane)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def bucketed_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    k: int = 5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates restricted to the
+    query's coarse cell (``bucket_col``). With balanced cells this is
+    a 1/|cells| scan per query; recall depends on quantizer quality."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(bucket_col).alias("_qb"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("_cb"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis operators: language ID, quality stats, token counts,
+document fingerprinting. All pure Column expressions — the whole
+battery runs inside whole-stage codegen in one scan pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "value"),
+    "es": ("el", "la", "de", "y", "valor"),
+    "de": ("der", "die", "das", "und", "wert"),
+}
+
+
+def _marker_count(tokens: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "predicted_lang") -> DataFrame:
+    """Marker-stopword language ID with a deterministic argmax order.
+    The n-gram-heuristic class of detector: cheap, seedless, and good
+    enough for corpus routing; swap the marker table per deployment."""
+    toks = F.split(F.col(text_col), " ")
+    counts = {lang: _marker_count(toks, m) for lang, m in LANG_MARKERS.items()}
+    pred = F.when(
+        (counts["en"] == 0) & (counts["es"] == 0) & (counts["de"] == 0), "und"
+    )
+    pred = pred.when(
+        (counts["en"] >= counts["es"]) & (counts["en"] >= counts["de"]), "en"
+    ).when(counts["es"] >= counts["de"], "es").otherwise("de")
+    return df.withColumn(out_col, pred)
+
+
+def add_text_stats(
+    df: DataFrame, text_col: str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> DataFrame:
+    """Quality-scoring battery: token counts, char/token ratio,
+    punctuation density, stopword ratio, and a pass/fail length gate —
+    the standard pre-training filters as one projection."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop = _marker_count(toks, stopwords)
+    punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.,;:!?]"), 0))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("chars_per_token", F.round(n_chars.cast("double") / n_tokens, 6))
+        .withColumn("punct_ratio", F.round(punct.cast("double") / n_chars, 6))
+        .withColumn("stopword_ratio", F.round(stop.cast("double") / n_tokens, 6))
+        .withColumn(
+            "passes_length_gate",
+            (n_chars.between(100, 20000) & (n_tokens >= 20)).cast("int"),
+        )
+    )
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex segments (letter / digit /
+    punctuation runs) + type-token ratio."""
+    toks = F.split(F.col(text_col), " ")
+    bpe = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+    )
+    uniq = F.size(F.array_distinct(toks))
+    return (
+        df.withColumn("ws_tokens", F.size(toks))
+        .withColumn("bpe_ish_tokens", F.size(bpe))
+        .withColumn("unique_tokens", uniq)
+        .withColumn("unique_ratio", F.round(uniq.cast("double") / F.size(toks), 6))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Bag-of-words fingerprint: md5 of the sorted distinct lowercased
+    token set — catches token-permutation duplicates exact dedup
+    misses (a rolling-hash/winnowing variant slots in here for
+    order-sensitive fingerprints)."""
+    fp = F.md5(
+        F.array_join(
+            F.sort_array(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))), " "
+        )
+    )
+    return df.withColumn(out_col, fp)

@@ -1,0 +1,178 @@
+"""Operator-library tests: dedup properties, ANN recall, as-of
+semantics, multimodal plumbing. Complements the oracle suite (which
+checks SQL-expressible value parity) with semantic properties the
+oracle can't state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from git_log_to_sqlite_spark.operators import (
+    asof_join,
+    brute_force_topk,
+    bucketed_ann_topk,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from git_log_to_sqlite_spark.operators.multimodal import (
+    as_media,
+    extract_image_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (6, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_survivor_and_counts(docs):
+    out = exact_dedup(docs, ["text"], "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 1 in by_id and 2 not in by_id  # min-id survivor
+    assert by_id[1]["n_copies"] == 2
+    assert len(out) == 5
+
+
+def test_exact_dedup_idempotent(docs):
+    once = exact_dedup(docs, ["text"], "doc_id")
+    twice = exact_dedup(once.select("doc_id", "text"), ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in twice.collect()) == sorted(
+        r["doc_id"] for r in once.collect()
+    )
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0  # identical docs
+    assert (1, 3) in pairs  # one-word change
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_exact_dup_has_full_agreement(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])  # near-dup closer
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """Planted clusters (the driver's embeddings table is near-random —
+    top-10 cosine ~0.3, labels carry no similarity signal — so recall
+    must be tested on data where neighbors exist by construction)."""
+    import hashlib
+    import math
+
+    def unit(seed: str, dims: int = 16) -> list[float]:
+        vals = []
+        for d in range(dims):
+            h = hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+            vals.append((int(h[:8], 16) / 0xFFFFFFFF) * 2 - 1)
+        norm = math.sqrt(sum(v * v for v in vals))
+        return [v / norm for v in vals]
+
+    rows, vid = [], 0
+    for c in range(4):
+        center = unit(f"center{c}")
+        for i in range(25):
+            jitter = unit(f"jit{c}:{i}")
+            vec = [cv + 0.15 * jv for cv, jv in zip(center, jitter)]
+            rows.append((vid, vec, c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster int"
+    )
+
+
+def test_ann_recall_on_clustered_data(clustered_vectors):
+    e = clustered_vectors
+    q = e.filter(F.col("vec_id") < 12)
+    exact = brute_force_topk(q, e, "vec_id", "embedding", k=5)
+    approx = bucketed_ann_topk(q, e, "vec_id", "embedding", "cluster", k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall > 0.9, f"bucketed ANN recall too low on tight clusters: {recall:.2f}"
+
+
+def test_lsh_bucket_keeps_clusters_together(clustered_vectors):
+    from git_log_to_sqlite_spark.operators import lsh_bucket
+
+    e = clustered_vectors.withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), dims=16, num_planes=3)
+    )
+    rows = e.select("vec_id", "cluster", "bucket").collect()
+    from collections import Counter
+
+    # determinism: re-computing assigns identical buckets
+    again = {r["vec_id"]: r["bucket"] for r in e.select("vec_id", "bucket").collect()}
+    assert all(again[r["vec_id"]] == r["bucket"] for r in rows)
+
+    # a cluster whose center sits near a hyperplane legitimately splits
+    # (single-probe LSH), so assert the AVERAGE majority share across
+    # clusters beats random bucketing (1/8 per bucket) by a wide margin
+    shares = []
+    for c in range(4):
+        buckets = Counter(r["bucket"] for r in rows if r["cluster"] == c)
+        shares.append(buckets.most_common(1)[0][1] / sum(buckets.values()))
+    assert sum(shares) / len(shares) > 0.55, shares
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 250, 11), (2, 50, 12)], "k long, ts long, qid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0, 1), (1, 200, 2.0, 2), (1, 100, 9.0, 3), (2, 60, 3.0, 4)],
+        "k long, ts long, v double, tie long",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tie_col="tie",
+    )
+    got = {r["qid"]: r["v_asof"] for r in out.collect()}
+    assert got[10] == 9.0  # ts=100 tie -> highest tie id wins
+    assert got[11] == 2.0  # latest prior event
+    assert got[12] is None  # no event at/before ts=50
+
+
+def test_multimodal_plumbing(docs):
+    media = as_media(docs, "doc_id", "text", mime="text/plain")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert 0.0 <= r["mean_luma"] <= 1.0
+    # deterministic stub: same payload -> same features
+    f = {r["media_id"]: (r["width"], r["height"], r["mean_luma"]) for r in feats}
+    assert f[1] == f[2]
+    frames = sample_frames(media, every_nth_byte=8).collect()
+    assert {r["media_id"] for r in frames} == {1, 2, 3, 4, 5, 6}
+    n1 = len([r for r in frames if r["media_id"] == 1])
+    assert n1 == len("the quick brown fox jumps over the lazy dog") // 8
