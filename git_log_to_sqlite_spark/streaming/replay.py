@@ -1,0 +1,167 @@
+"""Events replay source + streaming transformation builders.
+
+The reference is strictly batch (SURVEY.md section 1.4); streaming is
+engine surface we add for incremental ingestion. The file source
+replays parquet in file order (``maxFilesPerTrigger=1`` gives one
+micro-batch per file), which makes watermark progression deterministic
+in tests.
+
+At scale: the same builders run unchanged against a Kafka source; the
+watermark bounds state (old windows are evicted once the event-time
+watermark passes), so state size tracks the window span x key
+cardinality, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Physical schema of the events parquet: ts is TIMESTAMP(NANOS), which
+# Spark reads as raw LongType nanos under the legacy conf.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """nanos (long) -> TimestampType event time (integer division —
+    a double division would lose precision on 1e18-scale nanos)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+# Schema of re-materialized event parquet (normal TIMESTAMP ts).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    raw_nanos: bool = False,
+) -> DataFrame:
+    """Replay parquet file(s) as a stream, one micro-batch per file.
+
+    ``raw_nanos=True`` reads the driver's original events.parquet
+    (physical TIMESTAMP(NANOS) -> long under the legacy conf, then
+    converted); the default expects normal TIMESTAMP files (e.g. the
+    test replay fixtures). File-source schemas are declared, never
+    inferred — a schema mismatch reads garbage silently.
+    """
+    if raw_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = EVENTS_RAW_SCHEMA
+    else:
+        schema = EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    # The file-stream source requires a DIRECTORY basePath; a single
+    # file becomes parent dir + glob filter.
+    if path.endswith(".parquet") and not any(ch in path for ch in "*?["):
+        parent, _, fname = path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        path = parent
+    return with_event_time(reader.parquet(path))
+
+
+# --- transformation builders (batch AND stream) ------------------------
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window: count + value sum per (window,
+    event_type). The watermark bounds streaming state; in batch it is
+    a no-op (batch frames have complete data by definition)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_value_sum(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding window: each event lands in window/slide overlapping
+    windows (here 2); state cost scales with the overlap factor."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based): the streaming-native form of the
+    batch lag-gap sessionization in plans/windows.events_sessionize."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful stream dedup on event_id: duplicates arriving within
+    the watermark horizon are dropped; state for ids older than the
+    watermark is evicted (bounded memory — plain dropDuplicates on a
+    stream keeps ALL ids forever)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming frame to a memory sink synchronously; returns
+    the query (stopped) after all available input is processed."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

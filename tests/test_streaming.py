@@ -1,0 +1,146 @@
+"""Streaming batch-equivalence suite (SURVEY.md section 5.2.3): replay
+the events table as a file stream, run the SAME transformation builder
+on both the stream and the batch frame, assert equal results. Plus
+watermark late-drop and stateful-dedup semantics on crafted streams."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from git_log_to_sqlite_spark.plans.registry import table
+from git_log_to_sqlite_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_value_sum,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, oracle_sf_dir, tmp_path_factory):
+    """Split events into 3 files by event-time order so the replay
+    advances the watermark deterministically batch by batch."""
+    out = tmp_path_factory.mktemp("events_replay")
+    ev = table(spark, oracle_sf_dir, "events").orderBy("ts")
+    n = ev.count()
+    rows = ev.collect()
+    for i in range(3):
+        chunk = rows[i * n // 3 : (i + 1) * n // 3]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(out / f"part{i}"))
+    return str(out / "part*")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "builder", [tumbling_counts, sliding_value_sum, session_agg],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_stream_equals_batch(spark, oracle_sf_dir, replay_dir, builder):
+    batch = builder(table(spark, oracle_sf_dir, "events"))
+    stream = builder(read_events_stream(spark, replay_dir))
+    name = f"out_{builder.__name__}"
+    run_to_memory(stream, name, output_mode="complete")
+    got = _rows(spark.sql(f"SELECT * FROM {name}"))
+    want = _rows(batch)
+    assert got == want, f"{builder.__name__}: stream != batch ({len(got)} vs {len(want)})"
+
+
+def test_stateful_dedup_within_watermark(spark, tmp_path):
+    ts = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    f1 = [(1, ts(0), 1, "a", 1.0, "{}"), (2, ts(5), 1, "a", 1.0, "{}")]
+    f2 = [(1, ts(6), 1, "a", 1.0, "{}"), (3, ts(10), 1, "a", 1.0, "{}")]  # dup id=1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(tmp_path / "f1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(tmp_path / "f*")
+    )
+    deduped = dedup_within_watermark(stream, watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(tmp_path / "f2"))
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert ids == [1, 2, 3], f"duplicate id=1 must be dropped once: {ids}"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving behind the watermark is dropped from an
+    append-mode windowed aggregate."""
+    ts = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: events up to 06:00 -> watermark advances to 05:00
+    f1 = [(1, ts(0, 30), 1, "a", 1.0, "{}"), (2, ts(6, 0), 1, "a", 1.0, "{}")]
+    # batch 2: late event at 00:45 (behind watermark) + on-time at 06:30
+    f2 = [(3, ts(0, 45), 1, "a", 1.0, "{}"), (4, ts(6, 30), 1, "a", 1.0, "{}")]
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(tmp_path / "f1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(tmp_path / "f*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    q.processAllAvailable()
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(tmp_path / "f2"))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["window_start"]: r["n"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the 00:00 window closed when the watermark passed 01:00, so the
+    # late event (00:45, arriving in batch 2) must NOT be counted
+    assert got.get(ts(0)) == 1, f"late event leaked into closed window: {got}"
+
+
+def test_apply_in_pandas_with_state_smoke(spark, tmp_path):
+    """Arbitrary stateful op: running per-user event count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ts = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [(i, ts(i), i % 2, "a", 1.0, "{}") for i in range(10)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp_path / "f1"))
+
+    def count_fn(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "f*"))
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = counted.writeStream.outputMode("update").format("memory").queryName("state_out").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user_id"]: r["n_events"] for r in spark.sql("SELECT * FROM state_out").collect()}
+    assert got == {0: 5, 1: 5}
