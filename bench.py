@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the ``noop`` sink (real
+execution, no driver-side collect bottleneck). Numbers are recorded in
+BASELINE.md; the first recorded value per row is the frozen baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from git_log_to_sqlite_spark import plans
+from git_log_to_sqlite_spark.session import get_spark
+
+# Headline set: one representative per operator family, weighted toward
+# the shuffle-heavy shapes that dominate at scale.
+HEADLINE = [
+    "agg_pricing_summary",      # filtered scan + multi-agg
+    "agg_rollup",               # grouping sets over dim joins
+    "join_revenue_per_customer",  # fact-fact join + agg
+    "join_region_revenue",      # snowflake broadcast chain
+    "join_anti",                # anti join
+    "win_topk_per_group",       # window top-k
+    "events_sessionize",        # lag-gap sessionization
+    "events_window_tumbling",   # time-window agg
+    "fn_explode",               # generate + re-agg fan-out
+    "dedup_exact",              # hash-group dedup
+    "dedup_minhash_lsh",        # shingle -> minhash -> band join
+    "dedup_ngram_jaccard",      # inverted-index pair join
+    "sim_cosine_topk",          # broadcast brute-force ANN baseline
+    "text_quality",             # scalar battery over documents
+    "asof_event_value",         # union-window as-of
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", cpus=cpus)
+    # Warm the JVM + parquet footers so q1 doesn't pay one-time costs.
+    plans.REGISTRY["agg_global"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = plans.REGISTRY[name].fn
+        runs = []
+        for _ in range(2):  # min-of-2: first run pays codegen/compile
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        print(f"  {name}: {timings[name]:.3f}s (runs: {[f'{r:.2f}' for r in runs]})",
+              file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,18 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the input has at least default-parallelism partitions
+    before a compute-heavy explode: a single-file scan arrives as ONE
+    partition and would serialize the shingle/hash work on one core.
+    The repartition shuffles only the raw rows (cheap relative to the
+    explode it unlocks); inputs that are already wide pass through."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, content_cols: list[str], id_col: str, keep: str = "min"
 ) -> DataFrame:
@@ -58,22 +70,25 @@ def exact_dedup(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """Long-format MinHash signatures: (id, j, minh) for j in
-    [0, num_hashes). Signature size is num_hashes x 8 bytes regardless
-    of document length."""
+    """Wide-format MinHash signatures: (id, mh_0 .. mh_{k-1}).
+
+    All K minhashes are computed as K min-aggregates in ONE groupBy
+    pass over the exploded shingles — no K-fold row explosion and no
+    per-(id, j) shuffle (the naive long-format plan shuffles K x
+    |shingles| rows; this shuffles |shingles| rows once and reduces
+    map-side). Signature size is K x 8 bytes regardless of document
+    length.
+    """
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("shingle"),
     )
-    return (
-        sh.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-        .withColumn(
-            "h", md5_long(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle")))
-        )
-        .groupBy("_id", "j")
-        .agg(F.min("h").alias("minh"))
-        .withColumnRenamed("_id", id_col)
-    )
+    mins = [
+        F.min(md5_long(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*mins).withColumnRenamed("_id", id_col)
 
 
 def minhash_lsh_pairs(
@@ -90,22 +105,40 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard). Candidates come from an
     equi-join on (band, band_key) — two docs collide iff one band of
     their signatures matches exactly, so the join output is the
-    candidate set itself, never n^2.
+    candidate set itself, never n^2. Working from wide signatures,
+    band keys are a projection (no extra aggregate) and the agreement
+    estimate is a column comparison on a single joined row per pair
+    (no K-row re-join).
     """
-    mh = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    bands = (
-        mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "minh"))),
-                    lambda s: s["minh"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
+    from pyspark import StorageLevel
+
+    # The signature table is referenced 4x downstream (both band-join
+    # branches + both agreement joins); without persisting, Spark
+    # recomputes the shingle explode + K-way min aggregate per branch.
+    # Signatures are K x 8 bytes/doc — tiny relative to the corpus.
+    mh = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    n_bands = num_hashes // rows_per_band
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = mh.select(
+        F.col(id_col), F.explode(band_entries).alias("e")
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key"))
+
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -119,16 +152,24 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    ma, mb = mh.alias("ma"), mh.alias("mb")
-    agree = F.sum(F.when(F.col("ma.minh") == F.col("mb.minh"), 1).otherwise(0))
+    ma = mh.select(
+        F.col(id_col).alias("_ida"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)]
+    )
+    mb = mh.select(
+        F.col(id_col).alias("_idb"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
     return (
-        cand.join(ma, F.col("id_a") == F.col(f"ma.{id_col}"))
-        .join(
-            mb,
-            (F.col("id_b") == F.col(f"mb.{id_col}")) & (F.col("ma.j") == F.col("mb.j")),
+        cand.join(ma, F.col("id_a") == F.col("_ida"))
+        .join(mb, F.col("id_b") == F.col("_idb"))
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / num_hashes).alias("est_jaccard"),
         )
-        .groupBy("id_a", "id_b")
-        .agg((agree.cast("double") / num_hashes).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_agree)
     )
 
@@ -140,23 +181,47 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs >= threshold via an inverted-index
-    equi-join on the shingle. Hot shingles are the skew risk — AQE
-    skew-join splits them; pass a pre-filtered df to cap document
-    frequency when the corpus needs it."""
+    """Exact n-gram Jaccard pairs >= threshold via an inverted index.
+
+    Plan shape: ONE groupBy(shingle) builds the posting list (sorted
+    doc ids per shingle), then each posting list explodes into its
+    (i < j) id pairs and a second groupBy counts common shingles per
+    pair. This replaces the naive shingle self-join (two shuffle
+    branches + a join, recomputing the explode on both sides) with two
+    shuffles total — same output, about half the shuffle volume.
+
+    Hot (stop-)shingles make posting lists of length d contribute
+    d(d-1)/2 pairs — the skew knob at scale is capping document
+    frequency (drop shingles with huge d); pass a pre-filtered df when
+    the corpus needs it.
+    """
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("shingle"),
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a._id") < F.col("b._id")),
+    # per-doc shingle count is a pure projection (shingles() dedups),
+    # NOT an aggregate over the exploded table — zero extra shuffles
+    sizes = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("n_sh"),
+    )
+    postings = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("_id")).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    # all (i < j) pairs within one posting list, as a flat struct array
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    pairs = (
+        postings.select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -176,7 +241,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     hashes). Near-dup = small Hamming distance between signatures;
     signatures are 8 bytes/doc, so the pair stage can band on bit
     slices or broadcast."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     ).distinct()

@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions (.explain checks): these encode the
+scale-design decisions so a refactor that silently degrades the plan
+(loses a pushdown, drops a broadcast, full-sorts a top-k) fails CI."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from git_log_to_sqlite_spark import plans
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf(oracle_sf_dir):
+    return oracle_sf_dir
+
+
+def test_filter_pushdown_into_scan(spark, sf):
+    plan = plan_of(plans.REGISTRY["agg_pricing_summary"].fn(spark, sf))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf):
+    """A query touching 5 of 11 lineitem columns must not scan the rest."""
+    plan = plan_of(plans.REGISTRY["agg_pricing_summary"].fn(spark, sf))
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for needed in ("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"):
+        assert needed in scan_schema
+    for pruned in ("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate>"):
+        assert pruned not in scan_schema
+
+
+def test_dim_joins_broadcast(spark, sf):
+    """Snowflake dim chain: every dim join must be a broadcast, never a
+    shuffle of the fact table."""
+    plan = plan_of(plans.REGISTRY["join_region_revenue"].fn(spark, sf))
+    # formatted explain lists each node twice (tree + details); count tree rows
+    assert plan.count("BroadcastHashJoin Inner") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf):
+    plan = plan_of(plans.REGISTRY["sort_topk_orders"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf):
+    """Hash aggregate must run partial (map-side) + final — shuffle
+    carries |groups| rows per partition, not the input."""
+    plan = plan_of(plans.REGISTRY["agg_pricing_summary"].fn(spark, sf))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_scan_and_agg(spark, sf):
+    # AQE's AdaptiveSparkPlan hides codegen subtrees until execution —
+    # inspect the statically-planned version
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = plans.REGISTRY["agg_pricing_summary"].fn(spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    out = buf.getvalue()
+    assert "WholeStageCodegen subtrees" in out
+    assert "Found 0 WholeStageCodegen" not in out
+
+
+def test_semi_anti_join_planned(spark, sf):
+    semi = plan_of(plans.REGISTRY["join_semi"].fn(spark, sf))
+    anti = plan_of(plans.REGISTRY["join_anti"].fn(spark, sf))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, sf):
+    """The as-of operator must stay a union + window — one exchange on
+    the key — and never degrade to a broadcast-nested-loop range join."""
+    plan = plan_of(plans.REGISTRY["asof_event_value"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_minhash_no_cartesian(spark, sf):
+    plan = plan_of(plans.REGISTRY["dedup_minhash_lsh"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
