@@ -16,5 +16,6 @@ from . import windows  # noqa: E402,F401
 from . import scalar  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import udfs  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "spark_queries", "oracle_map"]

@@ -102,6 +102,41 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id < 512 AND vec_id NOT IN (
+      SELECT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 512 AND b.vec_id < 512
+        AND {_SQL_COS} >= 0.95)
+    ORDER BY vec_id
+    """,
+    doc="Embedding-cosine near-dup dedup: drop every vector that has a "
+    "smaller-id neighbor with cosine >= 0.95 (the min-id survivor rule "
+    "— deterministic, no transitive chaining). Exact within the slice; "
+    "at 100 TB the pair stage is fed by LSH/IVF candidates "
+    "(sim_ann_bucketed's cell join) instead of an all-pairs join, and "
+    "the survivor anti-join is unchanged.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 512)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("av"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("bv"))
+    dup_ids = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(sim.cosine(F.col("av"), F.col("bv")) >= 0.95)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.join(dup_ids, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "sim_centroid_per_label",
     oracle="""
     WITH dims AS (
