@@ -653,6 +653,69 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    doc="INTERSECT ALL (multiset semantics: each key appears "
+    "min(count_left, count_right) times — duplicates preserved, unlike "
+    "setop_intersect's distinct form).",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS k FROM customer
+    """,
+    doc="EXCEPT ALL (multiset difference: count_left - count_right "
+    "occurrences survive — here, customers keep n_orders-1 rows).",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.exceptAll(c)
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+             AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (a strict subset of cube's lattice) "
+    "with grouping_id disambiguating real NULL keys from rolled-up "
+    "rows. Spark plans one Expand + one aggregate — the input is read "
+    "once, not once per set.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
     "dedup_dropduplicates_subset",
     oracle="""
     SELECT o_custkey, o_orderkey AS first_orderkey, o_totalprice AS first_totalprice

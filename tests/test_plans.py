@@ -8,6 +8,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from git_log_to_sqlite_spark import plans
 
@@ -96,3 +97,54 @@ def test_minhash_no_cartesian(spark, sf):
     plan = plan_of(plans.REGISTRY["dedup_minhash_lsh"].fn(spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partition_pruning_on_partitioned_parquet(spark, sf, tmp_path):
+    """The 100 TB layout: fact tables partitioned by a coarse time/key
+    column. A filter on the partition column must prune at the FILE
+    level (PartitionFilters), never scan-then-filter."""
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    path = str(tmp_path / "orders_by_month")
+    (
+        table(spark, sf, "orders")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("order_month")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("order_month") == "1995-01")
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan
+    assert "order_month" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_bucketed_join_no_shuffle(spark, sf, tmp_path):
+    """Co-located large-large join: two tables bucketed on the join key
+    sort-merge-join with ZERO exchanges — the shuffle happened once at
+    write time and is amortized over every later join."""
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    # warehouse.dir is a static conf; managed test tables land in the
+    # session default and are dropped (files included) in the finally.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for t, key in [("orders", "o_custkey"), ("customer", "c_custkey")]:
+            (
+                table(spark, sf, t)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(f"b_{t}")
+            )
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not re-shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
