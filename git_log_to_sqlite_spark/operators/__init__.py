@@ -18,6 +18,7 @@ from .dedup import (
     simhash,
 )
 from .similarity import brute_force_topk, bucketed_ann_topk, cosine, lsh_bucket
+from .skew import salted_aggregate, salted_join
 from .text import add_text_stats, fingerprint, lang_id, token_counts
 
 __all__ = [
@@ -32,6 +33,8 @@ __all__ = [
     "bucketed_ann_topk",
     "cosine",
     "lsh_bucket",
+    "salted_aggregate",
+    "salted_join",
     "add_text_stats",
     "fingerprint",
     "lang_id",

@@ -741,3 +741,34 @@ def dedup_dropduplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("first_totalprice"),
         )
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {_DSUM('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Salted two-phase aggregation (operators.skew.salted_aggregate)"
+    ": 3 hot keys spread over 16 sub-keys in phase 1, merged in phase "
+    "2. The oracle is the PLAIN group-by — salting must be invisible "
+    "in the result (exact decimal sums make the re-merge associative).",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(18,4)").alias("qty_dec"),
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={"n": ("count", "l_orderkey"), "sum_qty_dec": ("sum", "qty_dec")},
+        salt_from="l_orderkey",
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag", "n", F.col("sum_qty_dec").cast("double").alias("sum_qty")
+    )

@@ -176,3 +176,55 @@ def test_multimodal_plumbing(docs):
     assert {r["media_id"] for r in frames} == {1, 2, 3, 4, 5, 6}
     n1 = len([r for r in frames if r["media_id"] == 1])
     assert n1 == len("the quick brown fox jumps over the lazy dog") // 8
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Salting must be invisible in the result: same groups, same
+    counts/sums/extrema as the unsalted plan."""
+    from git_log_to_sqlite_spark.operators import salted_aggregate
+
+    rows = [(i, "hot" if i % 10 else f"cold{i}", i % 7) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+    got = {
+        r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in salted_aggregate(
+            df, keys=["k"],
+            aggs={"n": ("count", "id"), "total": ("sum", "v"),
+                  "vmin": ("min", "v"), "vmax": ("max", "v")},
+            salt_from="id", buckets=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["total"], r["vmin"], r["vmax"])
+        for r in df.groupBy("k").agg(
+            F.count("id").alias("n"), F.sum("v").alias("total"),
+            F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_salted_aggregate_rejects_non_mergeable(spark):
+    from git_log_to_sqlite_spark.operators import salted_aggregate
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, k string, v double")
+    with pytest.raises(ValueError, match="not mergeable"):
+        salted_aggregate(df, ["k"], {"a": ("avg", "v")}, salt_from="id")
+
+
+def test_salted_join_matches_plain(spark):
+    """The salted equi-join returns exactly the plain join's rows."""
+    from git_log_to_sqlite_spark.operators import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 5 else i % 3) for i in range(1, 201)], "fid long, k long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(3)], "k long, label string")
+    got = sorted(
+        (r["fid"], r["k"], r["label"])
+        for r in salted_join(fact, dim, on="k", fact_unique="fid", buckets=4).collect()
+    )
+    want = sorted(
+        (r["fid"], r["k"], r["label"]) for r in fact.join(dim, "k").collect()
+    )
+    assert got == want

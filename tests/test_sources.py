@@ -70,3 +70,82 @@ def test_csv_pushdown_still_prunes_columns(spark, oracle_sf_dir, tmp_path):
     df = spark.read.schema(CUSTOMER_SCHEMA).option("header", True).csv(path)
     plan = df.select("c_custkey", "c_acctbal")._jdf.queryExecution().executedPlan().toString()
     assert "c_mktsegment" not in plan
+
+
+# --- gitlog Python Data Source ----------------------------------------
+
+
+def test_gitlog_datasource_matches_jvm_parser(spark, tmp_path):
+    """format('gitlog') must produce the same commits as the JVM-side
+    parse_git_log on the same input (modulo the derived commit_ts
+    column, which only the JVM parser adds)."""
+    import subprocess
+
+    from git_log_to_sqlite_spark.etl import parse_git_log
+    from git_log_to_sqlite_spark.sources import register_gitlog_source
+
+    logdir = tmp_path / "gitlogs"
+    logdir.mkdir()
+    log = subprocess.run(
+        [
+            "git", "-C", "/root/repo", "log", "--no-merges",
+            "--pretty=format:%x01%H%x02%P%x02%an%x02%ae%x02%at%x02%s",
+            "--numstat", "-M", "-C",
+        ],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    (logdir / "repo.log").write_text(log)
+
+    register_gitlog_source(spark)
+    via_ds = spark.read.format("gitlog").load(str(logdir))
+    via_jvm = parse_git_log(spark, str(logdir)).drop("commit_ts")
+
+    cols = sorted(via_ds.columns)
+    assert cols == sorted(via_jvm.columns)
+    a = sorted(tuple(r) for r in via_ds.select(*cols).collect())
+    b = sorted(tuple(r) for r in via_jvm.select(*cols).collect())
+    assert a == b
+    assert len(a) > 0
+
+
+def test_gitlog_datasource_one_partition_per_file(spark, tmp_path):
+    from git_log_to_sqlite_spark.sources import register_gitlog_source
+
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    block = (
+        "\x01" + "a" * 40 + "\x02\x02Ann\x02a@x.test\x021700000000\x02msg\n"
+        "1\t2\tfile.py\n"
+    )
+    for name in ("r1.log", "r2.log", "r3.log"):
+        (logdir / name).write_text(block)
+    register_gitlog_source(spark)
+    df = spark.read.format("gitlog").load(str(logdir))
+    assert df.rdd.getNumPartitions() == 3
+    repos = sorted(r["repository"] for r in df.select("repository").collect())
+    assert repos == ["r1", "r2", "r3"]
+
+
+def test_gitlog_parse_blocks_sentinels():
+    """Pure-parser unit checks: zero-OID root, author sentinels,
+    binary numstat, rename new-path, merge exclusion."""
+    from git_log_to_sqlite_spark.sources.gitlog_source import ZERO_OID, parse_blocks
+
+    text = (
+        # root commit, blank author fields, binary file, rename
+        "\x01" + "b" * 40 + "\x02\x02\x02\x021700000001\x02\n"
+        "-\t-\tassets/logo.png\n"
+        "3\t1\tsrc/{old.py => new.py}\n"
+        # merge commit -> excluded
+        "\x01" + "c" * 40 + "\x02" + "d" * 40 + " " + "e" * 40 +
+        "\x02M\x02m@x\x021700000002\x02merge\n"
+    )
+    rows = list(parse_blocks(text, "r"))
+    assert len(rows) == 1
+    (h, parent, name, email, msg, epoch, ins, dels, repo, files) = rows[0]
+    assert parent == ZERO_OID
+    assert name == "(no author name)"
+    assert email == "(no author email)"
+    assert msg == "(no commit summary)"
+    assert (ins, dels) == (3, 1)
+    assert files == ["assets/logo.png", "src/new.py"]
