@@ -294,25 +294,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY c_custkey, c_name
     """,
-    doc="Fact-to-fact equi-join (orders x lineitem): sort-merge / "
-    "shuffled-hash under AQE; customer side is small enough to "
-    "broadcast. Filter on o_orderdate pushes into the orders scan.",
+    doc="Fact-to-fact equi-join (orders x lineitem), pre-aggregated: "
+    "lineitem rolls up to per-order revenue BEFORE the join, so (a) "
+    "the join input shrinks |lineitem| -> |orders|, (b) the join "
+    "reuses the aggregation's hash partitioning on the order key "
+    "(only the orders side shuffles), and (c) COUNT(DISTINCT "
+    "o_orderkey) degenerates to COUNT(*) — no Expand. Same rows as "
+    "the naive join-then-aggregate form (inner join keeps exactly "
+    "the orders that have lineitems; decimal sums re-merge exactly).",
 )
 def join_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
-    li = table(spark, sf_dir, "lineitem")
+    per_order = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(10,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(10,2)")
+            ).alias("order_rev")
+        )
+    )
     return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        o.join(per_order, o["o_orderkey"] == per_order["l_orderkey"])
         .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum_mul(
-                F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")
-            ).alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum("order_rev").cast("double").alias("revenue"),
         )
     )
 
