@@ -17,5 +17,6 @@ from . import scalar  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
+from . import subqueries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "spark_queries", "oracle_map"]

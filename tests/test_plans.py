@@ -99,6 +99,18 @@ def test_minhash_no_cartesian(spark, sf):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_subqueries_decorrelate_to_joins(spark, sf):
+    """Correlated subqueries must plan as joins — a per-row subquery
+    execution shape (no join node) would be O(n) round trips."""
+    exists = plan_of(plans.REGISTRY["sql_correlated_exists"].fn(spark, sf))
+    assert "LeftSemi" in exists
+    nexists = plan_of(plans.REGISTRY["sql_not_exists"].fn(spark, sf))
+    assert "LeftAnti" in nexists
+    scalar_agg = plan_of(plans.REGISTRY["sql_correlated_scalar_agg"].fn(spark, sf))
+    assert "Join LeftOuter" in scalar_agg or "LeftOuter" in scalar_agg
+    assert "HashAggregate" in scalar_agg
+
+
 def test_partition_pruning_on_partitioned_parquet(spark, sf, tmp_path):
     """The 100 TB layout: fact tables partitioned by a coarse time/key
     column. A filter on the partition column must prune at the FILE
