@@ -92,6 +92,45 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 1024) -> Dat
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: truncate/cycle the payload to
+    width*height bytes (stands in for PIL's ``img.resize((w, h))`` +
+    re-encode — same in/out types, so swapping in the real thing
+    changes no plumbing)."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decoder available")
+    target = width * height
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize over ``mapInPandas``: payload in, transformed payload +
+    new dimensions out. The payload column round-trips binary through
+    Arrow (no base64 detours); metadata columns are recomputed, never
+    copied stale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_resize_stub(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "mime_type": pdf["mime_type"],
+                    "byte_len": [len(r) for r in resized],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_id long, payload binary, mime_type string,"
+        " byte_len int, width int, height int",
+    )
+
+
 def sample_frames(media: DataFrame, every_nth_byte: int = 256) -> DataFrame:
     """Frame-sampling shape: 1 media row -> N frame rows (here: one
     'frame' per every_nth_byte slice — stands in for video frame

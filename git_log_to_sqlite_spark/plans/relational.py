@@ -278,6 +278,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # approx sketch: bound-tested in pytest, not hash-compared
+    doc="approx_percentile (t-digest class sketch) next to the exact "
+    "value — the scale path for quantiles at 100 TB: the sketch "
+    "merges map-side, the exact form needs a full sort per group.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_median"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Joins
 # ----------------------------------------------------------------------

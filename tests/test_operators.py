@@ -178,6 +178,22 @@ def test_multimodal_plumbing(docs):
     assert n1 == len("the quick brown fox jumps over the lazy dog") // 8
 
 
+def test_multimodal_resize_roundtrips_binary(docs):
+    from git_log_to_sqlite_spark.operators.multimodal import resize_images
+
+    media = as_media(docs, "doc_id", "text", mime="text/plain")
+    out = resize_images(media, width=8, height=4)
+    assert dict(out.dtypes)["payload"] == "binary"
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["payload"]) == 8 * 4 == r["byte_len"]
+    # deterministic stub: identical payloads resize identically
+    by_id = {r["media_id"]: bytes(r["payload"]) for r in rows}
+    assert by_id[1] == by_id[2]
+
+
 def test_salted_aggregate_matches_plain(spark):
     """Salting must be invisible in the result: same groups, same
     counts/sums/extrema as the unsalted plan."""

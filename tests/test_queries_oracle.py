@@ -41,3 +41,12 @@ def test_approx_count_distinct_bound(spark, oracle_sf_dir):
     for row in df.collect():
         exact, approx = row["exact_parts"], row["approx_parts"]
         assert abs(approx - exact) / exact < 0.1, row
+
+
+def test_approx_percentile_bound(spark, oracle_sf_dir):
+    """Sketch quantile must land within 2% relative of the exact
+    median at this data scale."""
+    df = plans.REGISTRY["agg_approx_percentile"].fn(spark, oracle_sf_dir)
+    for row in df.collect():
+        exact, approx = row["exact_median"], row["approx_median"]
+        assert abs(approx - exact) / exact < 0.02, row
