@@ -8,6 +8,7 @@ section 5.2.3) apply the SAME builder to both and assert equal results.
 
 from .replay import (
     dedup_within_watermark,
+    typed_event_join,
     read_events_stream,
     run_to_memory,
     session_agg,
@@ -21,5 +22,6 @@ __all__ = [
     "sliding_value_sum",
     "session_agg",
     "dedup_within_watermark",
+    "typed_event_join",
     "run_to_memory",
 ]

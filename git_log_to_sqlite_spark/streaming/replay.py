@@ -153,6 +153,45 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.dropDuplicates(["event_id"])
 
 
+def typed_event_join(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: type-B events following a type-A event
+    by the same user within ``within``.
+
+    On streams, BOTH sides carry watermarks and the join condition
+    includes the time bound — that pair is what lets Spark evict join
+    state (a stream-stream join without a time bound buffers both
+    streams forever). On batch frames the same builder is a plain
+    range-condition join, which the equivalence test exploits.
+    """
+    a = events_a.filter(F.col("event_type") == type_a).select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_event"),
+    )
+    b = events_b.filter(F.col("event_type") == type_b).select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_event"),
+        F.col("value").alias("b_value"),
+    )
+    if events_a.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+        b = b.withWatermark("b_ts", watermark)
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("a_user", "a_event", "b_event", "a_ts", "b_ts", "b_value")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming frame to a memory sink synchronously; returns
     the query (stopped) after all available input is processed."""

@@ -144,3 +144,28 @@ def test_apply_in_pandas_with_state_smoke(spark, tmp_path):
     q.stop()
     got = {r["user_id"]: r["n_events"] for r in spark.sql("SELECT * FROM state_out").collect()}
     assert got == {0: 5, 1: 5}
+
+
+def test_stream_stream_join_equals_batch(spark, oracle_sf_dir, replay_dir):
+    """Stream-stream time-bounded join must produce the batch join's
+    rows once all input is processed (watermarks only bound state,
+    never drop on-time pairs here: replay is in event-time order)."""
+    from git_log_to_sqlite_spark.streaming import typed_event_join
+
+    batch_ev = table(spark, oracle_sf_dir, "events")
+    want = _rows(typed_event_join(batch_ev, batch_ev))
+
+    sa = read_events_stream(spark, replay_dir)
+    sb = read_events_stream(spark, replay_dir)
+    joined = typed_event_join(sa, sb)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.sql("SELECT * FROM ssj_out"))
+    assert got == want, f"stream-stream join != batch ({len(got)} vs {len(want)})"
+    assert len(want) > 0, "fixture produced no join pairs — test is vacuous"
