@@ -435,6 +435,50 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+                                    AND o_totalprice > 400000
+    """,
+    doc="Right outer join: every customer survives, order columns NULL "
+    "where the (filtered) probe side has no match. The non-key "
+    "predicate belongs in the JOIN condition, not WHERE — in WHERE it "
+    "would silently turn the join inner.",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(
+        c,
+        (o["o_custkey"] == c["c_custkey"]) & (o["o_totalprice"] > 400000),
+        "right",
+    ).select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "join_merge_hint",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Explicit sort-merge-join hint: overrides the planner's "
+    "broadcast choice (the knob for when a 'small' side is too big to "
+    "broadcast in practice — e.g. executor memory pressure — but "
+    "statistics say otherwise). Same rows as the unhinted plan.",
+)
+def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").hint("merge")
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer

@@ -195,6 +195,47 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", F.col("e.pos").alias("pos"), F.col("e.word").alias("word"))
 
 
+# --- native Python UDTF (Spark >= 3.5) ---------------------------------
+
+
+@register(
+    "udf_native_udtf",
+    oracle="""
+    SELECT p_partkey,
+           CAST(pos - 1 AS INT) AS pos,
+           word
+    FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word,
+                 generate_subscripts(string_split(p_name, ' '), 1) AS pos
+          FROM part WHERE p_partkey < 150)
+    WHERE word <> ''
+    """,
+    doc="Native Python UDTF (class with eval yielding rows) invoked "
+    "via LATERAL — the first-class 1->N extension point; compare "
+    "udf_table_function for the pre-3.5 array+explode idiom.",
+)
+def udf_native_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class WordSplitter:
+        def eval(self, s: str):
+            if s:
+                for i, w in enumerate(s.split(" ")):
+                    if w:
+                        yield (i, w)
+
+    spark.udtf.register("_word_splitter", WordSplitter)
+    table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150).createOrReplaceTempView(
+        "_udtf_part"
+    )
+    return spark.sql(
+        """
+        SELECT p_partkey, s.pos, s.word
+        FROM _udtf_part, LATERAL _word_splitter(p_name) s
+        """
+    )
+
+
 # --- mapInPandas: batch-iterator transform (schema-changing) -----------
 
 
