@@ -15,7 +15,7 @@ repository.rs:154-156).  Parsing is pure Spark SQL expressions —
 testable against fixture text with no git binary in the loop.
 """
 
-from .gitlog import parse_git_log
+from .gitlog import parse_git_log, parse_raw_logs, read_gitlog_stream
 from .pipeline import EtlResult, run_pipeline
 
-__all__ = ["parse_git_log", "run_pipeline", "EtlResult"]
+__all__ = ["parse_git_log", "parse_raw_logs", "read_gitlog_stream", "run_pipeline", "EtlResult"]

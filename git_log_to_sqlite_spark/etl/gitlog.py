@@ -86,6 +86,32 @@ def parse_git_log(
     raw = spark.read.text(path, wholetext=True).withColumn(
         "_file", F.input_file_name()
     )
+    return parse_raw_logs(raw, repository_from_filename)
+
+
+def read_gitlog_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Incremental commit ingestion (SURVEY.md section 1.4 / section 7
+    stretch): the file-stream source picks up newly landed per-repo log
+    files and the SAME JVM-side parse produces commit rows — the batch
+    pipeline's transformations apply unchanged downstream. The unit of
+    incrementality is the log file (re-dumping a repo re-emits its
+    commits; pair with dropDuplicates on commit_hash or an idempotent
+    MERGE sink for exactly-once tables)."""
+    raw = (
+        spark.readStream.option("wholetext", "true")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+        .withColumn("_file", F.input_file_name())
+    )
+    return parse_raw_logs(raw, repository_from_filename=True)
+
+
+def parse_raw_logs(raw: DataFrame, repository_from_filename: bool = True) -> DataFrame:
+    """Shared batch/stream parse: (value, _file) rows -> commit rows.
+    All transformations are stateless Column expressions, so the same
+    plan serves ``spark.read`` and ``spark.readStream`` inputs."""
     repository = (
         F.regexp_extract(F.col("_file"), r"([^/]+?)(\.(log|txt))?$", 1)
         if repository_from_filename

@@ -169,3 +169,39 @@ def test_stream_stream_join_equals_batch(spark, oracle_sf_dir, replay_dir):
     got = _rows(spark.sql("SELECT * FROM ssj_out"))
     assert got == want, f"stream-stream join != batch ({len(got)} vs {len(want)})"
     assert len(want) > 0, "fixture produced no join pairs — test is vacuous"
+
+
+def test_incremental_gitlog_ingestion(spark, tmp_path):
+    """New log files landing in the watched directory must appear as
+    commit rows in the next micro-batch — same parse as batch ETL."""
+    from git_log_to_sqlite_spark.etl import read_gitlog_stream
+
+    logdir = tmp_path / "stream_logs"
+    logdir.mkdir()
+
+    def block(repo, i):
+        h = f"{repo:08x}{i:08x}" + "0" * 24
+        return (
+            f"\x01{h}\x02\x02Dev\x02d@x.test\x02{1700000000 + i}\x02c{i}\n"
+            f"1\t0\tsrc/f{i}.py\n"
+        )
+
+    (logdir / "r1.log").write_text(block(1, 0) + block(1, 1))
+    stream = read_gitlog_stream(spark, str(logdir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gitlog_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.sql("SELECT COUNT(*) c FROM gitlog_stream").collect()[0]["c"]
+    assert n1 == 2
+    (logdir / "r2.log").write_text(block(2, 0) + block(2, 1) + block(2, 2))
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT repository, COUNT(*) n FROM gitlog_stream GROUP BY repository"
+    ).collect()
+    counts = {r["repository"]: r["n"] for r in rows}
+    assert counts == {"r1": 2, "r2": 3}
