@@ -357,3 +357,68 @@ def asof_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "o_orderkey", "o_custkey", "cutoff_ts", F.col("value_asof").alias("asof_value")
     )
+
+
+# ----------------------------------------------------------------------
+# Corpus hygiene: PII masking + per-document keywords
+# ----------------------------------------------------------------------
+
+@register(
+    "text_pii_mask",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS masked
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="PII redaction (emails, phone-number shapes, IPv4) as pure "
+    "regexp_replace chains — codegen'd, one scan pass, no Python; the "
+    "standard pre-training hygiene filter.",
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    masked = F.regexp_replace(
+        F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    masked = F.regexp_replace(masked, r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>")
+    masked = F.regexp_replace(masked, r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>")
+    return d.select("doc_id", masked.alias("masked"))
+
+
+@register(
+    "text_topk_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 200
+    ), counts AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tf WHERE term <> '' GROUP BY doc_id, term
+    ), ranked AS (
+      SELECT doc_id, term, tf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, term) AS rn
+      FROM counts)
+    SELECT doc_id, term, tf FROM ranked WHERE rn <= 3
+    """,
+    doc="Per-document top-3 terms by frequency (the TF stage of "
+    "TF-IDF): explode -> count -> ranked window with a deterministic "
+    "tie-break. The document is the window partition, so the rank "
+    "never shuffles more than one doc's terms to a reducer.",
+)
+def text_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf")
+    )
