@@ -61,6 +61,9 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        # operators that persist intermediates (minhash signatures) must
+        # not bleed executor memory into later queries' numbers
+        spark.catalog.clearCache()
         print(f"  {name}: {timings[name]:.3f}s (runs: {[f'{r:.2f}' for r in runs]})",
               file=sys.stderr)
 
