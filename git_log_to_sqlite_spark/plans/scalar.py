@@ -338,3 +338,36 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k_bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+    SELECT p_partkey,
+           list_transform(string_split(p_name, ' '), t -> upper(t)) AS upper_toks,
+           CAST(len(list_filter(string_split(p_name, ' '), t -> length(t) > 3)) AS INT)
+             AS n_long_toks,
+           CAST(list_sum(list_transform(string_split(p_name, ' '), t -> length(t)))
+                AS BIGINT) AS total_len,
+           CASE WHEN len(list_filter(string_split(p_name, ' '),
+                                     t -> t LIKE 'a%')) > 0
+                THEN 1 ELSE 0 END AS any_a
+    FROM part WHERE p_partkey < 400
+    """,
+    doc="Higher-order array lambdas (transform / filter / aggregate / "
+    "exists) — per-element logic stays a Column expression inside "
+    "codegen, the idiom that keeps array-heavy pipelines off the "
+    "Python path entirely.",
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.transform(toks, lambda t: F.upper(t)).alias("upper_toks"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 3)).alias("n_long_toks"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_len"),
+        F.exists(toks, lambda t: t.like("a%")).cast("int").alias("any_a"),
+    )
