@@ -17,7 +17,13 @@ from .dedup import (
     shingles,
     simhash,
 )
-from .similarity import brute_force_topk, bucketed_ann_topk, cosine, lsh_bucket
+from .similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+    cosine,
+    lsh_bucket,
+    multiprobe_ann_topk,
+)
 from .skew import salted_aggregate, salted_join
 from .text import add_text_stats, fingerprint, lang_id, token_counts
 
@@ -33,6 +39,7 @@ __all__ = [
     "bucketed_ann_topk",
     "cosine",
     "lsh_bucket",
+    "multiprobe_ann_topk",
     "salted_aggregate",
     "salted_join",
     "add_text_stats",

@@ -98,6 +98,56 @@ def lsh_bucket(
     return bucket
 
 
+def multiprobe_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    num_planes: int = 4,
+    k: int = 5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query searches its own cell PLUS
+    every Hamming-1 neighbor cell (flip one hyperplane sign).
+
+    A vector near a hyperplane lands arbitrarily on either side — the
+    recall failure mode of single-cell probing. Probing the
+    ``num_planes`` adjacent cells recovers those borderline neighbors
+    for (1 + num_planes)/2^num_planes of the corpus scanned per query,
+    versus 1/2^num_planes single-probe — the classic recall/cost knob.
+    Corpus vectors keep ONE cell id (storage unchanged); only the
+    query side fans out, so the probe count never re-shuffles the
+    corpus.
+    """
+    bucket = lsh_bucket(F.col(vec_col), dims, num_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        bucket.alias("_cb"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+    )
+    probes = F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes).alias("_qb"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    )
+    sim = cosine(F.col("_qv"), F.col("_cv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def bucketed_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -244,3 +244,28 @@ def test_salted_join_matches_plain(spark):
         (r["fid"], r["k"], r["label"]) for r in fact.join(dim, "k").collect()
     )
     assert got == want
+
+
+def test_multiprobe_beats_single_probe_recall(clustered_vectors):
+    """Multi-probe LSH must recover at least the single-probe recall
+    (it searches a strict superset of cells) and clear an absolute
+    floor on planted clusters."""
+    from git_log_to_sqlite_spark.operators import lsh_bucket, multiprobe_ann_topk
+
+    e = clustered_vectors.withColumn(
+        "lsh", lsh_bucket(F.col("embedding"), dims=16, num_planes=3)
+    )
+    q = e.filter(F.col("vec_id") < 12)
+    exact = brute_force_topk(q, e, "vec_id", "embedding", k=5)
+    single = bucketed_ann_topk(q, e, "vec_id", "embedding", "lsh", k=5)
+    multi = multiprobe_ann_topk(
+        q, clustered_vectors, "vec_id", "embedding", dims=16, num_planes=3, k=5
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    sg = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
+    mp = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()}
+    r_single = len(ex & sg) / len(ex)
+    r_multi = len(ex & mp) / len(ex)
+    assert r_multi >= r_single, (r_multi, r_single)
+    # measured: single-probe 0.45, multi-probe 0.95 on this fixture
+    assert r_multi > 0.85, f"multiprobe recall too low: {r_multi:.2f}"
