@@ -167,3 +167,60 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("dim_val"), 6).alias("centroid_dim"))
         .select("label", "dim_index", "centroid_dim")
     )
+
+
+def _lsh_plane_sql(dims: int, num_planes: int, seed: str = "lsh") -> str:
+    """DuckDB expression for operators.similarity.lsh_bucket: the
+    hyperplane weights are md5-derived in Python (identical constants
+    both engines), so the bucket id is oracle-checkable."""
+    import hashlib
+
+    def weight(p: int, d: int) -> float:
+        h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+        return (int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0
+
+    planes = []
+    for p in range(num_planes):
+        terms = " + ".join(
+            f"({weight(p, d)!r} * embedding[{d + 1}]::DOUBLE)" for d in range(dims)
+        )
+        planes.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(planes)
+
+
+@register(
+    "sim_ann_multiprobe",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {{bucket}} AS cell FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4), xor(cell, 8)]) AS probe
+      FROM b WHERE vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.qv::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+               AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+               ROUND(list_dot_product(p.qv::DOUBLE[], c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) , 4)
+               DESC, c.vec_id) AS rn
+      FROM probes p JOIN b c ON p.probe = c.cell AND p.query_id <> c.vec_id
+    ) t WHERE rn <= 5
+    """.replace("{bucket}", _lsh_plane_sql(64, 4)),
+    doc="Multi-probe sign-LSH ANN (operators.similarity."
+    "multiprobe_ann_topk): query probes its cell + 4 Hamming-1 cells. "
+    "Hyperplane weights are md5-derived constants, so even the LSH "
+    "cell assignment is oracle-checked (DuckDB computes identical "
+    "buckets from the same literals).",
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return sim.multiprobe_ann_topk(
+        queries=e.filter(F.col("vec_id") < 8), corpus=e, id_col="vec_id",
+        vec_col="embedding", dims=64, num_planes=4, k=5, round_to=4,
+    )
