@@ -843,3 +843,31 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag", "n", F.col("sum_qty_dec").cast("double").alias("sum_qty")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS BIGINT)
+             AS status_F,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS BIGINT)
+             AS status_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot (long -> wide): groupBy().pivot() with EXPLICIT pivot "
+    "values — at scale the values list must be supplied, or Spark "
+    "first runs a blocking distinct scan to discover it.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        )
+    )
