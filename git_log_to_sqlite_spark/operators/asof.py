@@ -1,12 +1,13 @@
-"""General event-time as-of join (nearest prior right-side row per
-left row, within a key).
+"""General event-time as-of join (nearest prior/following right-side
+row per left row, within a key).
 
 Implementation: the union + last(ignorenulls) window trick —
   1. tag left rows (queries) and right rows (points), union them;
   2. one window per key ordered by (ts, is_query, tie): a running
      ``last(value, ignorenulls=True)`` carries the latest point value
-     forward;
-  3. keep query rows.
+     forward (descending order for direction="forward");
+  3. keep query rows; a tolerance bound nulls out matches farther than
+     the allowed time distance.
 
 Cost: ONE shuffle on the key + one ordered pass — no range-join
 explosion, no per-row subquery; scales to billions of points. This is
@@ -31,14 +32,22 @@ def asof_join(
     value_cols: list[str],
     tie_col: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right-side
-    ``value_cols`` with ``right_ts <= left_ts`` and the same ``key``.
+    """For each left row, attach the nearest right-side ``value_cols``
+    with the same ``key`` — the most recent with ``right_ts <=
+    left_ts`` (direction="backward", default) or the earliest with
+    ``right_ts >= left_ts`` (direction="forward").
 
     ``tie_col`` breaks ordering ties among right rows at equal
-    timestamps (latest wins); required for deterministic output when
-    duplicate timestamps exist.
+    timestamps (highest wins); required for deterministic output when
+    duplicate timestamps exist. ``tolerance_seconds`` nulls out a match
+    farther than the bound from the query timestamp (pd.merge_asof's
+    ``tolerance``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left.columns
     tie = F.col(tie_col) if tie_col else F.lit(0)
 
@@ -48,6 +57,7 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_q"),
         F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_v___mts"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
     )
     p = right.select(
@@ -56,19 +66,38 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_q"),
         tie.cast("long").alias("_tie"),
+        F.col(right_ts).alias("_v___mts"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
+    if direction == "backward":
+        # points sort before queries at equal ts (point at ts qualifies);
+        # among equal-ts points the highest tie is seen last -> wins
+        order = [F.col("_ts").asc(), F.col("_is_q").asc(), F.col("_tie").asc()]
+    else:
+        # walk time backwards: last-seen point = smallest ts >= query ts
+        order = [F.col("_ts").desc(), F.col("_is_q").asc(), F.col("_tie").asc()]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_is_q", "_tie")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = ["__mts"] + value_cols
     filled = q.unionByName(p).select(
         *left_cols,
         "_is_q",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.col("_ts").alias("_qts"),
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried],
     )
-    return filled.filter(F.col("_is_q") == 1).drop("_is_q")
+    out_vals = []
+    for c in value_cols:
+        v = F.col(f"_f_{c}")
+        if tolerance_seconds is not None:
+            dist = F.abs(
+                F.col("_qts").cast("double") - F.col("_f___mts").cast("double")
+            )
+            v = F.when(dist <= tolerance_seconds, v)
+        out_vals.append(v.alias(f"{c}{suffix}"))
+    return (
+        filled.filter(F.col("_is_q") == 1)
+        .select(*left_cols, *out_vals)
+    )

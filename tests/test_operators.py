@@ -269,3 +269,28 @@ def test_multiprobe_beats_single_probe_recall(clustered_vectors):
     assert r_multi >= r_single, (r_multi, r_single)
     # measured: single-probe 0.45, multi-probe 0.95 on this fixture
     assert r_multi > 0.85, f"multiprobe recall too low: {r_multi:.2f}"
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 250, 11), (2, 500, 12)], "k long, ts long, qid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 120, 1.0, 1), (1, 260, 2.0, 2), (2, 900, 3.0, 3)],
+        "k long, ts long, v double, tie long",
+    )
+    fwd = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tie_col="tie", direction="forward",
+    )
+    got = {r["qid"]: r["v_asof"] for r in fwd.collect()}
+    assert got == {10: 1.0, 11: 2.0, 12: 3.0}  # nearest following event
+
+    tol = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tie_col="tie", direction="forward",
+        tolerance_seconds=50,
+    )
+    got_tol = {r["qid"]: r["v_asof"] for r in tol.collect()}
+    # qid=12's match is 400s away -> nulled by the 50s tolerance
+    assert got_tol == {10: 1.0, 11: 2.0, 12: None}
