@@ -422,3 +422,54 @@ def text_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf")
     )
+
+
+@register(
+    "text_pack_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+      FROM toks)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR((cum_tokens - 1) / 4096) AS INT) AS shard_id
+    FROM packed
+    """,
+    doc="Token-budget shard packing (the training-data sequence-packing "
+    "shape): running token sum over a deterministic document order, "
+    "shard = floor(cum/budget). The global running sum is the scale "
+    "caveat — one ordered pass; at 100 TB pack per partition-local "
+    "order (repo/date bucket) instead of one global window.",
+)
+def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / 4096).cast("int").alias("shard_id"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # sampling: property-tested (fractions/determinism), not hash-matched
+    doc="Deterministic stratified sampling by language (sampleBy with "
+    "a fixed seed): the data-mixing primitive for training corpora — "
+    "per-stratum Bernoulli sampling in one scan, no shuffle. Engine-"
+    "specific RNG means no cross-engine hash; pytest asserts per-"
+    "stratum fractions and seed-stability instead.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.sampleBy("lang", fractions={"en": 0.5, "es": 0.2, "de": 0.1}, seed=42).select(
+        "doc_id", "lang"
+    )

@@ -50,3 +50,31 @@ def test_approx_percentile_bound(spark, oracle_sf_dir):
     for row in df.collect():
         exact, approx = row["exact_median"], row["approx_median"]
         assert abs(approx - exact) / exact < 0.02, row
+
+
+def test_stratified_sample_fractions_and_determinism(spark, oracle_sf_dir):
+    """Sampling is property-tested: per-stratum rates near the target
+    fractions, and the seed makes the row set exactly reproducible."""
+    fn = plans.REGISTRY["sample_stratified"].fn
+    base = plans.REGISTRY["text_langid"].fn  # any docs query gives totals
+    from git_log_to_sqlite_spark.plans.registry import table as t
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in t(spark, oracle_sf_dir, "documents").groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    s1 = fn(spark, oracle_sf_dir)
+    got = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    want = {"en": 0.5, "es": 0.2, "de": 0.1}
+    for lang, frac in want.items():
+        if totals.get(lang, 0) >= 50:  # enough mass for a bound
+            rate = got.get(lang, 0) / totals[lang]
+            assert abs(rate - frac) < 0.15, (lang, rate, frac)
+    assert set(got) <= set(want)  # unlisted strata never sampled
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in fn(spark, oracle_sf_dir).collect())
+    assert ids1 == ids2, "same seed must reproduce the same sample"
