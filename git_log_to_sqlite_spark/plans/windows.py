@@ -50,13 +50,14 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            RANK()       OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
            NTILE(4)     OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
     FROM orders WHERE o_orderkey < 2000
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice DESC, o_orderkey)
     """,
-    doc="rank / dense_rank / ntile / percent_rank over one shared "
-    "window definition.",
+    doc="rank / dense_rank / ntile / percent_rank / cume_dist over "
+    "one shared window definition.",
 )
 def win_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
@@ -70,6 +71,7 @@ def win_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
 
