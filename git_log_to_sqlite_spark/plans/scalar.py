@@ -196,7 +196,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_cast",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(o_orderdate AS DATE) AS order_date,
@@ -207,14 +207,17 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cast matrix across the section 1.2 types. double->BIGINT "
     "truncates toward zero in both engines; decimal->string renders "
-    "the same scale.",
+    "the same scale. price_dec round-trips through DECIMAL(18,2) but is "
+    "emitted as DOUBLE: engines agree on the value, but raw DECIMAL "
+    "output renders differently in downstream hashers (price_str keeps "
+    "the decimal string-render coverage).",
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     return o.select(
         "o_orderkey",
-        dec.alias("price_dec"),
+        dec.cast("double").alias("price_dec"),
         dec.cast("string").alias("price_str"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").alias("order_date"),

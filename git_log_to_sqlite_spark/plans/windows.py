@@ -266,8 +266,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_window_tumbling",
     oracle=f"""
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
-             AS window_start,
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+                AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n,
            {_DSUM('value')} AS total_value
