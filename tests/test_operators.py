@@ -64,6 +64,24 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any(4 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_ngram_jaccard_max_df_drops_hot_shingle_pairs(spark):
+    # 6 docs share exactly one hot trigram; 2 docs are true near-dups
+    # through rare shingles only.
+    rows = [(i, f"common common common u{i}a u{i}b u{i}c") for i in range(1, 7)]
+    rows += [(7, "x y z w q r"), (8, "x y z w q r")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1)
+    assert len(uncapped.collect()) == 15 + 1  # C(6,2) hot pairs + (7,8)
+
+    capped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1, max_df=5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(7, 8): 1.0}  # hot-shingle pairs gone, rare-shingle pair kept
+    metrics = capped.max_df_observation.get
+    assert metrics["shingles_dropped"] == 1
+    assert metrics["pairs_avoided"] == 15
+
+
 def test_minhash_exact_dup_has_full_agreement(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
