@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..config import Config
 from ..functions.core import normalize_remote_url
+from ..operators.ordered import ordered_row_number
 
 
 @dataclass
@@ -96,19 +97,18 @@ def build_changed_files(commits: DataFrame) -> DataFrame:
     (commit_hash asc, array position) replacing AUTOINCREMENT.
 
     ``posexplode`` keeps the array position so the id assignment is a
-    total order; the window is global, which is fine because ids are an
-    oracle-parity feature — at scale prefer the array column itself or
-    a (commit_hash, pos) composite key and skip the global sort.
+    total order; ids come from operators.ordered.ordered_row_number
+    (range-partition + partition-local row_number + broadcast offsets),
+    so the assignment parallelizes instead of sorting every row on one
+    reducer. At scale the (commit_hash, pos) composite key itself is
+    the better foreign key; the surrogate id is an oracle-parity
+    feature.
     """
     exploded = commits.select(
         "commit_hash", F.posexplode_outer("changed_files").alias("pos", "file_path")
     ).filter(F.col("file_path").isNotNull())
-    w = Window.orderBy("commit_hash", "pos")
-    return exploded.select(
-        F.row_number().over(w).cast("long").alias("id"),
-        "commit_hash",
-        "file_path",
-    )
+    numbered = ordered_row_number(exploded, ["commit_hash", "pos"], out_col="id")
+    return numbered.select("id", "commit_hash", "file_path")
 
 
 def build_skipped(scanned_dirs: DataFrame, repositories: DataFrame) -> DataFrame:

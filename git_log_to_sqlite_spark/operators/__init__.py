@@ -9,6 +9,7 @@ decode, merge_asof fallback).
 """
 
 from .asof import asof_join
+from .ordered import ordered_row_number, ordered_running_sum
 from .dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -29,6 +30,8 @@ from .text import add_text_stats, fingerprint, lang_id, token_counts
 
 __all__ = [
     "asof_join",
+    "ordered_row_number",
+    "ordered_running_sum",
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators import asof as asof_ops
 from ..operators import dedup as dd
 from ..operators import text as tx
+from ..operators.ordered import ordered_running_sum
 from .registry import register, table
 
 _SQL_MD5_LONG = "('0x' || substr(md5({x}), 1, {n}))::BIGINT"
@@ -452,20 +453,21 @@ def text_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Token-budget shard packing (the training-data sequence-packing "
     "shape): running token sum over a deterministic document order, "
-    "shard = floor(cum/budget). The global running sum is the scale "
-    "caveat — one ordered pass; at 100 TB pack per partition-local "
-    "order (repo/date bucket) instead of one global window.",
+    "shard = floor(cum/budget). Uses operators.ordered."
+    "ordered_running_sum — a two-phase parallel prefix sum (range-"
+    "partition, partition-local window, broadcast offsets) — so no "
+    "data-sized single-reducer global window appears in the plan.",
 )
 def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return toks.select(
+    packed = ordered_running_sum(toks, ["doc_id"], "n_tokens", out_col="cum_tokens")
+    return packed.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - 1) / 4096).cast("int").alias("shard_id"),
+        F.floor((F.col("cum_tokens") - 1) / 4096).cast("int").alias("shard_id"),
     )
 
 

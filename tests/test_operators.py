@@ -16,9 +16,13 @@ from git_log_to_sqlite_spark.operators import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ordered_row_number,
+    ordered_running_sum,
     simhash,
 )
 from git_log_to_sqlite_spark.operators.multimodal import (
+    HAS_PIL,
+    _decode_image_stub,
     as_media,
     extract_image_features,
     sample_frames,
@@ -180,9 +184,11 @@ def test_asof_join_basic(spark):
 
 
 def test_multimodal_plumbing(docs):
+    # the stub decoder is pinned explicitly: payloads here are text, and
+    # the test must behave identically whether or not PIL is installed
     media = as_media(docs, "doc_id", "text", mime="text/plain")
     assert dict(media.dtypes)["payload"] == "binary"
-    feats = extract_image_features(media).collect()
+    feats = extract_image_features(media, decoder=_decode_image_stub).collect()
     assert len(feats) == 6
     for r in feats:
         assert r["width"] >= 16 and r["height"] >= 16
@@ -312,3 +318,57 @@ def test_asof_join_forward_and_tolerance(spark):
     got_tol = {r["qid"]: r["v_asof"] for r in tol.collect()}
     # qid=12's match is 400s away -> nulled by the 50s tolerance
     assert got_tol == {10: 1.0, 11: 2.0, 12: None}
+
+
+def test_ordered_running_sum_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    # shuffled insert order + enough rows to span several range partitions
+    rows = [((i * 7919) % 1000, (i % 13) + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(11)
+    got = ordered_running_sum(df, ["k"], "v", out_col="cum", num_partitions=8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.select("k", "v", F.sum("v").over(w).alias("cum"))
+    assert sorted(map(tuple, got.select("k", "v", "cum").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the data-sized windows must all carry a partition spec; only the
+    # per-partition-totals window (bounded by #partitions) is global
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "repartitionbyrange" in plan.lower() or "rangepartitioning" in plan.lower()
+
+
+def test_ordered_row_number_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    rows = [(f"h{(i * 31) % 200:03d}", i % 5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "h string, pos int").repartition(9)
+    got = ordered_row_number(df, ["h", "pos"], out_col="id", num_partitions=8)
+    w = Window.orderBy("h", "pos")
+    want = df.select("h", "pos", F.row_number().over(w).cast("long").alias("id"))
+    assert sorted(map(tuple, got.select("h", "pos", "id").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this environment")
+def test_multimodal_real_pil_decode(spark):
+    """Real-decoder path: only runs where Pillow exists. Builds a tiny
+    PNG in-process and checks the decoded dimensions round-trip."""
+    import io
+
+    from PIL import Image
+
+    from git_log_to_sqlite_spark.operators.multimodal import resize_images
+
+    buf = io.BytesIO()
+    Image.new("L", (20, 10), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    media = as_media(df, "doc_id", "payload", mime="image/png")
+    feats = extract_image_features(media).collect()
+    assert (feats[0]["width"], feats[0]["height"]) == (20, 10)
+    assert abs(feats[0]["mean_luma"] - 128 / 255) < 0.01
+    resized = resize_images(media, width=8, height=8).collect()
+    with Image.open(io.BytesIO(resized[0]["payload"])) as out:
+        assert out.size == (8, 8)
