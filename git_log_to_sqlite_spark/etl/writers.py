@@ -10,6 +10,7 @@ through ``toLocalIterator`` so the driver never holds the full table.
 
 from __future__ import annotations
 
+import importlib.util
 import sqlite3
 from typing import Iterable
 
@@ -52,6 +53,38 @@ def write_parquet(df: DataFrame, path: str, partition_by: Iterable[str] = ()) ->
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    partition_by: Iterable[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Delta Lake sink — same layout semantics as :func:`write_parquet`
+    plus ACID commits and time travel.
+
+    Gated on the optional ``delta-spark`` package (not baked into this
+    container): the session must also be built with
+    ``DeltaSparkSessionExtension`` + ``DeltaCatalog`` (see
+    ``delta.configure_spark_with_delta_pip`` in the delta-spark docs).
+    Raises ``ModuleNotFoundError`` with setup guidance when absent;
+    parquet remains the default scale sink.
+    """
+    if importlib.util.find_spec("delta") is None:
+        raise ModuleNotFoundError(
+            "delta-spark is not installed; install it and configure the "
+            "SparkSession with spark.sql.extensions="
+            "io.delta.sql.DeltaSparkSessionExtension and "
+            "spark.sql.catalog.spark_catalog="
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog to enable "
+            "the Delta sink (write_parquet is the default scale sink)"
+        )
+    writer = df.write.format("delta").mode(mode)
+    partition_by = list(partition_by)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
 
 
 def write_sqlite(

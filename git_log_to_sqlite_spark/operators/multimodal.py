@@ -3,23 +3,29 @@ with typed metadata, processed by Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
-shape) is real and tested; the actual decoders (PIL/librosa/ffmpeg)
-are NOT in this container, so the decode step is a deterministic fake
-behind ``_decode_image_stub`` — swap it for a real decoder where the
-libs exist. The plumbing is the part that matters at 100 TB: binary
-payloads ride the same partitions as their metadata, batches stream
-through Arrow with bounded memory (maxRecordsPerBatch), and the
-output schema is declared, never inferred.
+shape) is real and tested. The decode step dispatches on availability:
+where Pillow is importable the real decoder runs; otherwise a
+deterministic fake (``_decode_image_stub``) keeps the operator and its
+tests runnable (this container has no PIL). The plumbing is the part
+that matters at 100 TB: binary payloads ride the same partitions as
+their metadata, batches stream through Arrow with bounded memory
+(maxRecordsPerBatch), and the output schema is declared, never
+inferred. Executors must resolve the same optional deps as the driver
+(same image, or ship wheels via ``--py-files``) — the dispatch runs at
+import time on each worker.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import importlib.util
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 # binary payload + typed metadata — the multimodal column convention
 MEDIA_SCHEMA = T.StructType(
@@ -57,11 +63,9 @@ def as_media(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFra
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic fake decoder (real decoders aren't in this
-    container). Derives (width, height, mean_luma) from the payload
-    bytes so tests are stable. Replace with PIL:
-        img = PIL.Image.open(io.BytesIO(payload)); ...
-    """
+    """Deterministic fake decoder. Derives (width, height, mean_luma)
+    from the payload bytes so tests are stable in PIL-less
+    environments."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: no decoder available")
     n = len(payload)
@@ -71,14 +75,44 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
-def extract_image_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def _decode_image_pil(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder: Pillow. mean_luma via the grayscale histogram —
+    O(256) per image after the decode, no full-pixel numpy round-trip."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decoder available")
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        gray = img.convert("L")
+        hist = gray.histogram()
+        total = sum(hist)
+        mean = sum(i * c for i, c in enumerate(hist)) / (total * 255.0)
+        return img.width, img.height, float(mean)
+
+
+#: default decoder — real when Pillow is importable, stub otherwise
+decode_image: Callable[[bytes], tuple[int, int, float]] = (
+    _decode_image_pil if HAS_PIL else _decode_image_stub
+)
+
+
+def extract_image_features(
+    media: DataFrame,
+    batch_size_hint: int = 1024,
+    decoder: Callable[[bytes], tuple[int, int, float]] | None = None,
+) -> DataFrame:
     """Decode / feature-extract over ``mapInPandas``: batches stream
     through Arrow, one output row per media row, bounded memory
-    regardless of payload size."""
+    regardless of payload size. ``decoder`` defaults to Pillow when
+    importable, else the deterministic stub; pass one explicitly to pin
+    behavior (tests pin the stub so they run identically either way)."""
+    decoder = decoder or decode_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_image_stub(p) for p in pdf["payload"]]
+            feats = [decoder(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -94,9 +128,8 @@ def extract_image_features(media: DataFrame, batch_size_hint: int = 1024) -> Dat
 
 def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
     """Deterministic fake resize: truncate/cycle the payload to
-    width*height bytes (stands in for PIL's ``img.resize((w, h))`` +
-    re-encode — same in/out types, so swapping in the real thing
-    changes no plumbing)."""
+    width*height bytes — same in/out types as the real resize, so
+    swapping implementations changes no plumbing."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: no decoder available")
     target = width * height
@@ -104,15 +137,42 @@ def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
     return (payload * reps)[:target]
 
 
-def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+def _resize_pil(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize: Pillow decode -> resize -> PNG re-encode."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decoder available")
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
+
+
+#: default resizer — real when Pillow is importable, stub otherwise
+resize_payload: Callable[[bytes, int, int], bytes] = (
+    _resize_pil if HAS_PIL else _resize_stub
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
     """Resize over ``mapInPandas``: payload in, transformed payload +
     new dimensions out. The payload column round-trips binary through
     Arrow (no base64 detours); metadata columns are recomputed, never
-    copied stale."""
+    copied stale. ``resizer`` defaults like ``extract_image_features``'s
+    decoder."""
+    resizer = resizer or resize_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [_resize_stub(p, width, height) for p in pdf["payload"]]
+            resized = [resizer(p, width, height) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -316,7 +316,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(only the orders side shuffles), and (c) COUNT(DISTINCT "
     "o_orderkey) degenerates to COUNT(*) — no Expand. Same rows as "
     "the naive join-then-aggregate form (inner join keeps exactly "
-    "the orders that have lineitems; decimal sums re-merge exactly).",
+    "the orders that have lineitems; decimal sums re-merge exactly). "
+    "customer carries NO broadcast hint: it grows with the fact "
+    "tables, so the choice is left to AQE, which broadcasts at small "
+    "SF and shuffles when customer outgrows the threshold.",
 )
 def join_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
@@ -335,7 +338,7 @@ def join_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(per_order, o["o_orderkey"] == per_order["l_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
@@ -356,13 +359,15 @@ def join_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders   ON c_custkey = o_custkey
     GROUP BY r_name, n_name
     """,
-    doc="TPC-H Q5 shape: snowflake dim chain onto the fact table; all "
-    "three dims broadcast so the fact never shuffles for the join.",
+    doc="TPC-H Q5 shape: snowflake dim chain onto the fact table. "
+    "region/nation are BOUNDED dims (fixed cardinality at any SF) so "
+    "they carry explicit broadcast hints; customer grows with the "
+    "facts, so its join strategy is left to AQE.",
 )
 def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.broadcast(table(spark, sf_dir, "region"))
     n = F.broadcast(table(spark, sf_dir, "nation"))
-    c = F.broadcast(table(spark, sf_dir, "customer"))
+    c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])

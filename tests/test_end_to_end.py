@@ -97,3 +97,21 @@ def test_changed_files_analytics_roundtrip(spark, warehouse):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_write_delta_gated_on_optional_dep(spark, tmp_path):
+    """write_delta works where delta-spark exists and fails with setup
+    guidance (not an opaque ClassNotFound) where it doesn't."""
+    import importlib.util
+
+    import pytest
+
+    from git_log_to_sqlite_spark.etl.writers import write_delta
+
+    df = spark.range(3)
+    if importlib.util.find_spec("delta") is None:
+        with pytest.raises(ModuleNotFoundError, match="delta-spark"):
+            write_delta(df, str(tmp_path / "t"))
+    else:
+        write_delta(df, str(tmp_path / "t"))
+        assert spark.read.format("delta").load(str(tmp_path / "t")).count() == 3

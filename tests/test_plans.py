@@ -42,7 +42,11 @@ def test_column_pruning(spark, sf):
 
 def test_dim_joins_broadcast(spark, sf):
     """Snowflake dim chain: every dim join must be a broadcast, never a
-    shuffle of the fact table."""
+    shuffle of the fact table. region/nation are hinted (bounded dims);
+    customer carries NO hint — the optimizer must still pick broadcast
+    from its size statistics at this SF, proving the un-hinted path
+    works (and leaving AQE free to shuffle when customer outgrows the
+    threshold at real scale)."""
     plan = plan_of(plans.REGISTRY["join_region_revenue"].fn(spark, sf))
     # formatted explain lists each node twice (tree + details); count tree rows
     assert plan.count("BroadcastHashJoin Inner") == 3

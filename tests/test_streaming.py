@@ -114,6 +114,64 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got.get(ts(0)) == 1, f"late event leaked into closed window: {got}"
 
 
+def test_output_mode_semantics_append_update_complete(spark, tmp_path):
+    """The three sink modes on ONE windowed aggregate, two micro-batches:
+
+    - complete: the sink holds the FULL final result table (every
+      window, final counts) after the last trigger;
+    - update: only changed groups are emitted per trigger, so a window
+      touched in both batches appears twice with increasing counts;
+    - append: only watermark-finalized windows are emitted — the still
+      open window never appears.
+    """
+    ts = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: window 00:00 x1, window 06:00 x1
+    f1 = [(1, ts(0, 30), 1, "a", 1.0, "{}"), (2, ts(6, 0), 1, "a", 1.0, "{}")]
+    # batch 2: window 06:00 again (count -> 2) + window 07:00
+    f2 = [(3, ts(6, 30), 1, "a", 1.0, "{}"), (4, ts(7, 0), 1, "a", 1.0, "{}")]
+
+    def agg_of(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+
+    results = {}
+    for mode in ("append", "update", "complete"):
+        d = tmp_path / mode
+        d.mkdir()
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(d / "f1"))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(d / "f*"))
+        q = (
+            agg_of(stream)
+            .writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(f"mode_{mode}")
+            .start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(d / "f2"))
+        q.processAllAvailable()
+        q.stop()
+        results[mode] = [
+            (r["window_start"], r["n"])
+            for r in spark.sql(f"SELECT * FROM mode_{mode}").collect()
+        ]
+
+    # complete: full final table, final counts, no duplicates
+    assert sorted(results["complete"]) == [(ts(0), 1), (ts(6), 2), (ts(7), 1)]
+    # update: window 06:00 emitted in BOTH triggers (1 then 2)
+    six = sorted(n for w, n in results["update"] if w == ts(6))
+    assert six == [1, 2], results["update"]
+    # append: only the watermark-closed 00:00 window; 06:00/07:00 still open
+    assert sorted(results["append"]) == [(ts(0), 1)]
+
+
 def test_apply_in_pandas_with_state_smoke(spark, tmp_path):
     """Arbitrary stateful op: running per-user event count."""
     import pandas as pd
