@@ -56,7 +56,10 @@ def main() -> None:
     for name in HEADLINE:
         fn = plans.REGISTRY[name].fn
         runs = []
-        for _ in range(2):  # min-of-2: first run pays codegen/compile
+        # min-of-3: run 1 pays codegen/compile; runs 2-3 absorb this
+        # box's +/-2x contention swings on the shuffle-heavy queries
+        # (measured: identical code, 1.6s-8.0s across back-to-back runs)
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
