@@ -9,6 +9,8 @@ decode, merge_asof fallback).
 """
 
 from .asof import asof_join
+from .clustering import assign_clusters, kmeans
+from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
 from .dedup import (
     exact_dedup,
@@ -26,10 +28,14 @@ from .similarity import (
     multiprobe_ann_topk,
 )
 from .skew import salted_aggregate, salted_join
-from .text import add_text_stats, fingerprint, lang_id, token_counts
+from .text import add_text_stats, fingerprint, lang_id, tfidf_topk, token_counts
 
 __all__ = [
     "asof_join",
+    "assign_clusters",
+    "assign_dedup_groups",
+    "kmeans",
+    "connected_components",
     "ordered_row_number",
     "ordered_running_sum",
     "exact_dedup",
@@ -48,5 +54,6 @@ __all__ = [
     "add_text_stats",
     "fingerprint",
     "lang_id",
+    "tfidf_topk",
     "token_counts",
 ]

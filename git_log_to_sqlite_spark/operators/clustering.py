@@ -1,0 +1,97 @@
+"""Embedding clustering: Lloyd's k-means over an ``array<double>``
+column with deterministic initialization — the curation primitive
+behind corpus bucketing, IVF index building (the coarse quantizer for
+``operators.similarity``'s bucketed ANN), and diversity sampling.
+
+Execution model per iteration:
+
+* **assignment** is a pure column expression — squared distance to each
+  of the k centroids unrolled as ``aggregate(zip_with(...))`` over the
+  vector, argmin via ``array_min`` over ``(dist, cluster)`` structs
+  (struct comparison breaks distance ties toward the lower cluster id,
+  so results are deterministic) — whole-stage codegen, no Python;
+* **update** shuffles ``(cluster, dim)`` partial sums — one
+  ``posexplode`` + groupBy per iteration, k*dims result rows.
+
+Centroids are MODEL STATE, not data: k*dims doubles collected to the
+driver per iteration and rebroadcast as literals — bounded regardless
+of corpus size (the standard structure for distributed k-means; only
+the per-row assignment and the partial sums are distributed work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff2 = F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Adds a ``cluster`` column: index of the nearest centroid
+    (squared euclidean; ties break to the lower index)."""
+    choices = F.array(
+        *[
+            F.struct(
+                _sq_dist(vec_col, c).alias("d"), F.lit(j).alias("c")
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("cluster", F.array_min(choices)["c"])
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means. Returns ``(assigned, centroids)`` where
+    ``assigned`` is the input plus a ``cluster`` column and
+    ``centroids`` the final k centers.
+
+    Deterministic: initial centroids are the vectors of the k lowest
+    ids (reproducible across runs and partitionings, unlike random
+    init; callers wanting k-means++ quality can pass a pre-sampled df).
+    Stops early when no centroid moves more than ``tol`` (squared).
+    Empty clusters keep their previous centroid.
+    """
+    init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    centroids = [list(r[vec_col]) for r in init_rows]
+    if len(centroids) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(centroids)}")
+    dims = len(centroids[0])
+
+    for _ in range(max_iter):
+        assigned = assign_clusters(df, vec_col, centroids)
+        new_rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cluster -> keep
+        by_cluster: dict[int, list[tuple[int, float]]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], []).append((r["dim"], r["mean"]))
+        for cl, pairs in by_cluster.items():
+            vec = [0.0] * dims
+            for dim, mean in pairs:
+                vec[dim] = mean
+            new_centroids[cl] = vec
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift <= tol:
+            break
+
+    return assign_clusters(df, vec_col, centroids), centroids

@@ -4,7 +4,7 @@ battery runs inside whole-stage codegen in one scan pass."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -85,3 +85,44 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
         )
     )
     return df.withColumn(out_col, fp)
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (``idf = ln((N+1)/(df+1)) + 1``) with a deterministic term
+    tie-break.
+
+    Plan shape: explode -> per-(doc, term) count [shuffle 1] ->
+    per-term document frequency [shuffle 2, |vocab| rows out] -> join
+    back on term (AQE picks broadcast while the vocabulary fits, plain
+    equi-join when it doesn't) -> per-doc ranking window [shuffle 3,
+    partitioned by document so no global sort]. The corpus size N rides
+    in as a crossJoined 1-row aggregate — no driver-side count() in the
+    plan.
+    """
+    terms = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tf_idf", F.col("tf") * idf)
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tf_idf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            "tf",
+            F.round("tf_idf", 6).alias("tf_idf"),
+        )
+    )

@@ -54,6 +54,7 @@ _prioritize(
         "fn_higher_order",
         # LLM-pipeline ops
         "dedup_exact",
+        "dedup_group_assign",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -65,6 +66,7 @@ _prioritize(
         "asof_event_value",
         "text_pii_mask",
         "text_topk_terms",
+        "text_tfidf_topk",
         "text_pack_shards",
         "sample_stratified",
         # similarity / ANN
@@ -74,6 +76,7 @@ _prioritize(
         "dedup_embedding_cosine",
         "sim_centroid_per_label",
         "sim_ann_multiprobe",
+        "sim_kmeans_groups",
         # UDF surface
         "udf_scalar_python",
         "udf_pandas_vectorized",

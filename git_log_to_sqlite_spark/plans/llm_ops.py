@@ -101,6 +101,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_group_assign",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    dfreq AS (SELECT shingle, COUNT(*) AS d FROM sh GROUP BY shingle),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN dfreq ON dfreq.shingle = a.shingle
+                AND dfreq.d <= {_JACCARD_MAX_DF}
+      GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+            UNION SELECT doc_b, doc_a FROM jac),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON r.node = s.src),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           CAST(d.doc_id = COALESCE(c.component, d.doc_id) AS INT) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    doc="Near-dup GROUP assignment — the stage pair-based dedup "
+    "pipelines actually need: capped n-gram Jaccard pairs become "
+    "transitive-closure clusters via operators.graph."
+    "connected_components (alternating large-star/small-star, "
+    "O(log^2 n) join rounds), every document gets the cluster-min "
+    "group_id, and exactly one survivor per group is flagged. The "
+    "oracle recomputes the closure with a recursive CTE. NOTE: the "
+    "operator runs its convergence loop eagerly when the query "
+    "function is called (driver-side loop control, executor-side "
+    "data).",
+)
+def dedup_group_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import assign_dedup_groups
+
+    d = table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.2, max_df=_JACCARD_MAX_DF
+    )
+    out = assign_dedup_groups(d, pairs, "doc_id")
+    return out.select(
+        "doc_id",
+        "group_id",
+        F.col("is_survivor").cast("int").alias("is_survivor"),
+    )
+
+
 _MINHASH_K = 8  # hash functions; bands of 2 -> 4 LSH bands
 
 @register(
@@ -433,6 +488,41 @@ def text_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf")
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id < 200)
+      WHERE term <> '' GROUP BY doc_id, term
+    ), docfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 200
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln((n.n_docs + 1.0) / (docfreq.df + 1.0)) + 1) AS tf_idf
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tf, tf_idf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf_idf DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, tf, ROUND(tf_idf, 6) AS tf_idf
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Per-document top-3 terms by smoothed TF-IDF (operators.text."
+    "tfidf_topk): the corpus-statistic upgrade of text_topk_terms — "
+    "document frequency is a global aggregate joined back per term, N "
+    "rides in as a crossJoined 1-row aggregate (no driver count in the "
+    "plan), and the ranking window is partitioned by document.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tx.tfidf_topk(d, "doc_id", "text", k=3)
 
 
 @register(

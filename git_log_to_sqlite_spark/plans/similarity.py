@@ -224,3 +224,28 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=e.filter(F.col("vec_id") < 8), corpus=e, id_col="vec_id",
         vec_col="embedding", dims=64, num_planes=4, k=5, round_to=4,
     )
+
+
+@register(
+    "sim_kmeans_groups",
+    oracle=None,  # iterative refinement: no single-statement SQL twin;
+    # the driver records a rows/schema check and pytest asserts planted-
+    # cluster purity + run-to-run determinism on the operator itself
+    doc="Lloyd's k-means over the embedding column (operators."
+    "clustering.kmeans): deterministic lowest-id init, codegen "
+    "assignment expression, per-iteration (cluster, dim) partial-sum "
+    "shuffle; centroids are driver-held model state (k*dims doubles). "
+    "Output is the per-cluster membership census.",
+)
+def sim_kmeans_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    assigned, _ = kmeans(e, "vec_id", "embedding", k=4, max_iter=8)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster")
+    )

@@ -1,0 +1,107 @@
+"""Connected-components tests: algebraic properties plus randomized
+equivalence against a driver-side union-find ground truth (the operator
+must match exact transitive closure on any graph shape)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from git_log_to_sqlite_spark.operators.graph import (
+    assign_dedup_groups,
+    connected_components,
+)
+
+
+def _ground_truth(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node in component
+    comp: dict[int, list[int]] = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in comp.values() for x in members}
+
+
+def _cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_one_component(spark):
+    """A long path is the adversarial case for naive label propagation
+    (diameter rounds); star-contraction must still converge fast."""
+    edges = [(i, i + 1) for i in range(60)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 61
+
+
+def test_two_components_and_duplicate_reversed_edges(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (10, 11), (11, 10), (3, 1)]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 40
+        n_edges = rng.choice([10, 25, 60])
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want_all = _ground_truth(n, edges)
+        # the operator only sees nodes present in edges
+        seen = {x for e in edges for x in e}
+        want = {x: want_all[x] for x in seen}
+        # remap labels: ground truth mins over all nodes == mins over
+        # seen nodes here because labels are node ids from edges only
+        got = _cc(spark, edges)
+        assert got == want, f"trial {trial}: {sorted(got.items())[:10]}"
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
+def test_assign_dedup_groups_singletons_and_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # clusters {1,2,3} (via chain 1-2, 2-3) and {5,6}; 4 and 7 singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = assign_dedup_groups(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: (r["group_id"], r["is_survivor"]) for r in out.collect()}
+    assert rows == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+        7: (7, True),
+    }
+    # exactly one survivor per group
+    surv = out.groupBy("group_id").agg(
+        F.sum(F.col("is_survivor").cast("int")).alias("n")
+    )
+    assert all(r["n"] == 1 for r in surv.collect())

@@ -372,3 +372,36 @@ def test_multimodal_real_pil_decode(spark):
     resized = resize_images(media, width=8, height=8).collect()
     with Image.open(io.BytesIO(resized[0]["payload"])) as out:
         assert out.size == (8, 8)
+
+
+def test_kmeans_recovers_planted_clusters(clustered_vectors):
+    from git_log_to_sqlite_spark.operators import kmeans
+
+    # interleave ids so the deterministic lowest-k init picks one seed
+    # per planted cluster (callers control init quality by ordering)
+    e = clustered_vectors.withColumn(
+        "kid", (F.col("vec_id") % 25) * 4 + F.col("cluster")
+    )
+    assigned, centroids = kmeans(e, "kid", "embedding", k=4, max_iter=10)
+    assert len(centroids) == 4 and len(centroids[0]) == 16
+    rows = assigned.select("cluster", F.col("kid")).collect()
+    from collections import Counter
+
+    purity_num = 0
+    for km_cluster in range(4):
+        truth = Counter(r["kid"] % 4 for r in rows if r["cluster"] == km_cluster)
+        if truth:
+            purity_num += truth.most_common(1)[0][1]
+    purity = purity_num / len(rows)
+    assert purity > 0.9, f"kmeans purity too low on tight clusters: {purity:.2f}"
+
+
+def test_kmeans_deterministic_across_runs(clustered_vectors):
+    from git_log_to_sqlite_spark.operators import kmeans
+
+    a, ca = kmeans(clustered_vectors, "vec_id", "embedding", k=3, max_iter=4)
+    b, cb = kmeans(clustered_vectors, "vec_id", "embedding", k=3, max_iter=4)
+    assert ca == cb
+    ra = sorted((r["vec_id"], r["cluster"]) for r in a.collect())
+    rb = sorted((r["vec_id"], r["cluster"]) for r in b.collect())
+    assert ra == rb
