@@ -12,6 +12,7 @@ from .asof import asof_join
 from .clustering import assign_clusters, kmeans
 from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
+from .sampling import weighted_reservoir
 from .dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -38,6 +39,7 @@ __all__ = [
     "connected_components",
     "ordered_row_number",
     "ordered_running_sum",
+    "weighted_reservoir",
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",

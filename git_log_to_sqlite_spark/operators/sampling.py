@@ -1,0 +1,64 @@
+"""Deterministic weighted sampling — the data-mixing primitive for
+training corpora when strata need size-k samples biased by a quality /
+length / domain weight.
+
+Algorithm: Efraimidis–Spirakis weighted reservoir (A-ES, "Weighted
+random sampling with a reservoir", IPL 2006) in its exponential-key
+form: each row gets key = -ln(u) / w with u uniform in (0, 1]; the k
+SMALLEST keys are a weighted-without-replacement sample. Here u is
+derived from md5 of the row id instead of an RNG, which buys:
+
+* **reproducibility** across runs, partitionings, and cluster sizes
+  (no seed-per-partition drift — the sample is a pure function of the
+  data);
+* **cross-engine verifiability**: DuckDB computes the identical keys
+  from the same md5 literals, so even the sampler is hash-oracle-
+  checkable (seeded ``sampleBy`` can only ever be property-tested).
+
+Plan shape: one projection (md5 + ln per row, codegen) and one per-
+stratum ranking window — partitioned by stratum, so no global sort;
+for unstratified top-k the window degenerates to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a signed BIGINT exactly like the minhash
+# keys in operators.dedup; u in (0, 1] via (h + 1) / 2^60.
+_TWO_60 = float(1 << 60)
+
+
+def priority_key(id_col: F.Column, weight_col: F.Column) -> F.Column:
+    """-ln(u)/w with u md5-derived from the id — smaller is better."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(1.0)) / F.lit(_TWO_60)
+    return -F.log(u) / weight_col
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    key_out: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sample of k rows (per stratum when
+    ``strata_col`` is given). Rows with non-positive weight are
+    excluded (they'd get infinite keys). Ties are impossible in
+    practice (60-bit uniforms), but the id breaks them determinically
+    anyway."""
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        key_out, priority_key(F.col(id_col), F.col(weight_col))
+    )
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy(F.col(key_out).asc(), F.col(id_col).asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

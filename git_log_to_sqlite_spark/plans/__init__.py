@@ -69,6 +69,7 @@ _prioritize(
         "text_tfidf_topk",
         "text_pack_shards",
         "sample_stratified",
+        "sample_weighted_reservoir",
         # similarity / ANN
         "sim_cosine_topk",
         "sim_ann_bucketed",
@@ -91,6 +92,9 @@ _prioritize(
         "sql_scalar_subquery",
         "sql_correlated_scalar_agg",
         "sql_in_subquery",
+        # event analytics added in round 2
+        "events_funnel_depth",
+        "events_cohort_retention",
         # repaired oracles from round 1
         "events_window_tumbling",
         "fn_cast",

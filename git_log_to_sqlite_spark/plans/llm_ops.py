@@ -562,6 +562,37 @@ def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                 / 1152921504606846976.0) / n_chars AS priority
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, lang, priority,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY priority, doc_id) AS rn
+      FROM keyed)
+    SELECT doc_id, lang, ROUND(priority, 6) AS priority
+    FROM ranked WHERE rn <= 20
+    """,
+    doc="Deterministic weighted reservoir sample, 20 docs per language "
+    "weighted by n_chars (operators.sampling.weighted_reservoir): "
+    "Efraimidis-Spirakis exponential keys -ln(u)/w with md5-derived "
+    "uniforms instead of an RNG — the sample is a pure function of the "
+    "data, so unlike seeded sampleBy (sample_stratified) it is exactly "
+    "hash-oracle-checked. Per-stratum ranking window; no global sort.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_reservoir
+
+    d = table(spark, sf_dir, "documents")
+    out = weighted_reservoir(d, "doc_id", "n_chars", k=20, strata_col="lang")
+    return out.select("doc_id", "lang", F.round("priority", 6).alias("priority"))
+
+
+@register(
     "sample_stratified",
     oracle=None,  # sampling: property-tested (fractions/determinism), not hash-matched
     doc="Deterministic stratified sampling by language (sampleBy with "

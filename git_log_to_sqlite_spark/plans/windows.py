@@ -289,3 +289,106 @@ def events_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "events_funnel_depth",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth
+    FROM u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """,
+    doc="Ordered funnel (view -> click -> purchase, strictly "
+    "increasing timestamps): per-user funnel depth. Spark computes all "
+    "three stage times as STACKED windows over the same user partition "
+    "— the conditional mins nest (stage n filters on stage n-1's "
+    "window value), so the whole funnel is ONE exchange + sort reused "
+    "by three Window nodes, versus the oracle's three join-aggregate "
+    "rounds. The classic sequential-pattern query without a "
+    "match_recognize engine.",
+)
+def events_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    e = e.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e = e.withColumn("t3", t3)
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return e.select("user_id", depth.alias("funnel_depth")).distinct()
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_ev AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+             CAST(floor((epoch(e.ts) - epoch(f.first_ts)) / 604800.0) AS INT)
+               AS week_offset
+      FROM events e JOIN first_ev f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen ISO week, "
+    "counted per whole-week offset of later activity. Week offsets "
+    "come from fractional epoch-second arithmetic (cast timestamp to "
+    "double) so both engines floor identical IEEE values — "
+    "unix_timestamp() truncation would disagree with DuckDB's "
+    "fractional epoch() at week boundaries. Two shuffles: first-seen "
+    "agg joins back on the user key, then the cohort rollup.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first_ev = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    activity = (
+        e.join(first_ev, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_ts").alias("cohort_week"),
+            F.floor(
+                (F.col("ts").cast("double") - F.col("first_ts").cast("double"))
+                / 604800.0
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )

@@ -405,3 +405,28 @@ def test_kmeans_deterministic_across_runs(clustered_vectors):
     ra = sorted((r["vec_id"], r["cluster"]) for r in a.collect())
     rb = sorted((r["vec_id"], r["cluster"]) for r in b.collect())
     assert ra == rb
+
+
+def test_weighted_reservoir_biases_toward_heavy_weights(spark):
+    from git_log_to_sqlite_spark.operators import weighted_reservoir
+
+    rows = [(i, 10.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "item_id long, w double")
+    got = weighted_reservoir(df, "item_id", "w", k=30)
+    ids = [r["item_id"] for r in got.collect()]
+    assert len(ids) == 30
+    heavy = sum(1 for i in ids if i < 100)
+    # E[heavy] ≈ 27 of 30 at a 10:1 weight ratio; the sample is
+    # deterministic (md5 keys), so this is a fixed, stable assertion
+    assert heavy > 20, f"weighting not biasing selection: {heavy}/30 heavy"
+
+
+def test_weighted_reservoir_deterministic_and_weight_gated(spark):
+    from git_log_to_sqlite_spark.operators import weighted_reservoir
+
+    rows = [(i, float(i % 5)) for i in range(50)]  # weight 0 -> excluded
+    df = spark.createDataFrame(rows, "item_id long, w double")
+    a = sorted(r["item_id"] for r in weighted_reservoir(df, "item_id", "w", k=10).collect())
+    b = sorted(r["item_id"] for r in weighted_reservoir(df, "item_id", "w", k=10).collect())
+    assert a == b
+    assert all(i % 5 != 0 for i in a)  # zero-weight rows never sampled

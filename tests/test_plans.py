@@ -164,3 +164,34 @@ def test_bucketed_join_no_shuffle(spark, sf, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_pack_shards_no_single_reducer_window(spark, sf):
+    """The running token sum must be the two-phase range-partitioned
+    form — a Window with an empty partition spec would funnel the
+    corpus through one reducer."""
+    plan = plan_of(plans.REGISTRY["text_pack_shards"].fn(spark, sf))
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_tfidf_window_is_per_document(spark, sf):
+    plan = plan_of(plans.REGISTRY["text_tfidf_topk"].fn(spark, sf))
+    # the ranking window partitions by the document id; no global sort
+    # of the scored term table
+    assert "Window" in plan
+    spec = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
+    assert spec and "_id" in spec[0]
+
+
+def test_funnel_single_exchange_stacked_windows(spark, sf):
+    """The 3-stage funnel must reuse ONE user_id exchange across all
+    three Window nodes (stacked same-spec windows), and the final
+    distinct must reuse that partitioning too (its keys are a superset
+    of user_id) — a join-per-stage rewrite would shuffle 4x."""
+    import re
+
+    plan = plan_of(plans.REGISTRY["events_funnel_depth"].fn(spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\bWindow\b", tree)) == 3
+    assert len(re.findall(r"Exchange", tree)) == 1
+    assert len(re.findall(r"\bSort\b", tree)) == 1
