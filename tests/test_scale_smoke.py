@@ -78,3 +78,60 @@ def test_join_agg_pipeline_at_replicated_scale(spark, oracle_sf_dir, big_lineite
         table(spark, oracle_sf_dir, "lineitem").select("l_orderkey").distinct().count()
     )
     assert joined.count() == base_orders
+
+
+def test_exact_dedup_scales_multiplicatively(spark, oracle_sf_dir):
+    """Replicating every document 4x must multiply every survivor's
+    n_copies by exactly 4 and keep the SAME survivors (min id lives in
+    replica 0) — group counts are exact, so any partial-agg or
+    survivor-ordering drift at higher cardinality is a value error."""
+    from git_log_to_sqlite_spark.operators import exact_dedup
+
+    d = table(spark, oracle_sf_dir, "documents").select("doc_id", "text")
+    copies = [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        for i in range(4)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    base = {
+        r["doc_id"]: r["n_copies"]
+        for r in exact_dedup(d, ["text"], "doc_id").collect()
+    }
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in exact_dedup(big, ["text"], "doc_id").collect()
+    }
+    assert set(got) == set(base)  # same min-id survivors
+    assert all(got[k] == 4 * base[k] for k in base)
+
+
+def test_connected_components_converges_on_wide_graph(spark):
+    """5k-node graph mixing 100-node chains (depth stress) with random
+    cross links — star contraction must converge inside the round
+    budget and label every chain by its minimum node."""
+    import random
+
+    from git_log_to_sqlite_spark.operators import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    for chain in range(50):  # 50 chains x 100 nodes
+        base = chain * 100
+        edges += [(base + i, base + i + 1) for i in range(99)]
+    # extra intra-chain shortcuts (do not merge chains)
+    for chain in range(50):
+        base = chain * 100
+        edges += [
+            (base + rng.randrange(100), base + rng.randrange(100))
+            for _ in range(20)
+        ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    comp = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert len(comp) == 5000
+    assert all(comp[n] == (n // 100) * 100 for n in comp)
