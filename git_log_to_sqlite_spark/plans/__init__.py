@@ -95,6 +95,7 @@ _prioritize(
         # event analytics added in round 2
         "events_funnel_depth",
         "events_cohort_retention",
+        "events_window_sliding",
         # repaired oracles from round 1
         "events_window_tumbling",
         "fn_cast",

@@ -392,3 +392,30 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "events_window_sliding",
+    oracle=f"""
+    SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 3600) AS BIGINT) - j) * 3600)
+                AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n,
+           {_DSUM('value')} AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j) offs
+    GROUP BY 1
+    """,
+    doc="Sliding 2-hour window, 1-hour slide, in batch form (the "
+    "overlap twin of events_window_tumbling; the streaming equivalent "
+    "is sliding_value_sum in streaming/replay.py). Spark's window() "
+    "fans each event into its two covering windows; the oracle "
+    "replicates the fan-out with an explicit 0/1 hour-offset unnest. "
+    "to_timestamp is CAST to naive TIMESTAMP (DuckDB returns "
+    "TIMESTAMPTZ otherwise — the round-1 tumbling bug).",
+)
+def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )

@@ -195,3 +195,19 @@ def test_funnel_single_exchange_stacked_windows(spark, sf):
     assert len(re.findall(r"\bWindow\b", tree)) == 3
     assert len(re.findall(r"Exchange", tree)) == 1
     assert len(re.findall(r"\bSort\b", tree)) == 1
+
+
+def test_jaccard_no_cartesian(spark, sf):
+    """The inverted-index pair join must never degrade to a cartesian /
+    nested-loop shape (the naive all-pairs formulation)."""
+    plan = plan_of(plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_reservoir_no_global_sort(spark, sf):
+    """Per-stratum sampling must rank inside lang partitions — a global
+    sort of the keyed corpus would bottleneck one reducer."""
+    plan = plan_of(plans.REGISTRY["sample_weighted_reservoir"].fn(spark, sf))
+    spec = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
+    assert spec and "lang" in spec[0]
