@@ -149,3 +149,37 @@ def test_gitlog_parse_blocks_sentinels():
     assert msg == "(no commit summary)"
     assert (ins, dels) == (3, 1)
     assert files == ["assets/logo.png", "src/new.py"]
+
+
+def test_orc_sink_and_scan_roundtrip(spark, oracle_sf_dir, tmp_path):
+    """ORC is the second columnar format Spark supports natively (no
+    extra jars): write orders out, read it back with pushdown, and
+    check the scan prunes and filters like the parquet path."""
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    path = str(tmp_path / "orders_orc")
+    table(spark, oracle_sf_dir, "orders").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    want = table(spark, oracle_sf_dir, "orders")
+    assert back.count() == want.count()
+    got = back.filter(F.col("o_orderkey") < 100).select("o_orderkey", "o_totalprice")
+    ref = want.filter(F.col("o_orderkey") < 100).select("o_orderkey", "o_totalprice")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    plan_buf = got._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan_buf.lower()
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution in a parquet lake: an old partition without a
+    new column and a new partition with it must read as ONE table under
+    mergeSchema, nulls filling the old rows."""
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, name string, quality double"
+    )
+    old.write.parquet(str(tmp_path / "t" / "batch=1"))
+    new.write.parquet(str(tmp_path / "t" / "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    rows = {r["id"]: (r["name"], r["quality"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.9)}
+    assert "quality" in merged.columns and "batch" in merged.columns
