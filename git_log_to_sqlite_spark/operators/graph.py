@@ -97,18 +97,36 @@ def connected_components(
     the caller (see :func:`assign_dedup_groups`): an edge list cannot
     mention them.
     """
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        """(count, sum of 64-bit edge hashes) in ONE job — the cheap
+        per-round fixpoint probe. Two successive DISTINCT edge sets
+        with equal size and equal hash-sum are treated as equal; the
+        final exact exceptAll confirmation below removes the residual
+        2^-64-class collision risk from the correctness guarantee."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI arithmetic
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
     cur = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
-    converged = cur.isEmpty()
+    cur_sig = _signature(cur)
+    converged = cur_sig[0] == 0
     for _ in range(max_rounds):
         if converged:
             break
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # fixpoint test: both are distinct sets, so equal counts plus an
-        # empty difference means set equality
-        converged = nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty()
-        cur = nxt
+        nxt_sig = _signature(nxt)
+        if nxt_sig == cur_sig and nxt.exceptAll(cur).isEmpty():
+            converged = True
+        cur, cur_sig = nxt, nxt_sig
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
