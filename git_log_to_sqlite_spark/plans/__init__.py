@@ -55,6 +55,7 @@ _prioritize(
         # LLM-pipeline ops
         "dedup_exact",
         "dedup_group_assign",
+        "dedup_minhash_groups",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",

@@ -202,6 +202,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_groups",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    mh AS (
+      SELECT doc_id, j,
+             MIN({_SQL_MD5_LONG.format(x="j::VARCHAR || ':' || shingle", n=15)}) AS minh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS j) perms
+      GROUP BY doc_id, j),
+    bands AS (
+      SELECT doc_id, j // 2 AS band,
+             string_agg(minh::VARCHAR, ',' ORDER BY j) AS band_key
+      FROM mh GROUP BY doc_id, j // 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    near AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN mh ma ON ma.doc_id = doc_a
+      JOIN mh mb ON mb.doc_id = doc_b AND ma.j = mb.j
+      GROUP BY doc_a, doc_b
+      HAVING SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END)
+             >= {_MINHASH_K} * 0.25),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM near
+            UNION SELECT doc_b, doc_a FROM near),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON r.node = s.src),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           CAST(d.doc_id = COALESCE(c.component, d.doc_id) AS INT) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    doc="THE standard fuzzy-dedup pipeline at corpus scale: MinHash-LSH "
+    "candidate pairs (banded equi-join, never n^2, signature cost "
+    "independent of document length) -> connected-component clusters "
+    "-> cluster-min survivor per group. dedup_group_assign is the "
+    "exact-Jaccard twin; this one's pair stage is the one that still "
+    "runs when documents stop fitting in a shingle self-join. Every "
+    "stage is md5-deterministic, so the full pipeline — including the "
+    "sketch — is hash-oracle-checked via a recursive CTE.",
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import assign_dedup_groups
+
+    d = table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=_MINHASH_K, rows_per_band=2, min_agree=0.25
+    )
+    out = assign_dedup_groups(d, pairs, "doc_id")
+    return out.select(
+        "doc_id",
+        "group_id",
+        F.col("is_survivor").cast("int").alias("is_survivor"),
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (
