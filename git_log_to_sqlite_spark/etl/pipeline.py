@@ -58,6 +58,11 @@ def build_repositories(repos_meta: DataFrame) -> DataFrame:
     ids via row_number over name asc — reproducible, unlike
     AUTOINCREMENT (analyzer.rs:152). URL normalization per
     repository.rs:187-193.
+
+    The global window here is deliberate: repositories is a bounded
+    dimension (one row per scanned repo — thousands at most), not a
+    fact table; data-sized id assignment uses
+    operators.ordered.ordered_row_number (see build_changed_files).
     """
     w = Window.orderBy("name")
     return (
