@@ -20,87 +20,100 @@ from . import udfs  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 
 
-def _prioritize(first: list[str]) -> None:
-    """Reorder the registry so ``first`` (then everything else, in
-    original registration order) enumerates first.
+def _prioritize(first: list[str], last: list[str] = ()) -> None:
+    """Reorder the registry: ``first``, then everything else in original
+    registration order, then ``last``.
 
     The external correctness gate verifies a prefix of the registry in
     enumeration order, so queries that have not yet earned a verified
     row — plus any query whose oracle changed this round — are rotated
-    to the front.  Rotation plan: round 1 gated the relational/window/
-    scalar prefix; round 2 front-loads the LLM-pipeline, similarity,
-    UDF, subquery, and array/map-function queries that round 1 never
-    reached, plus the two queries whose oracles were corrected.
+    to the front.  ``last`` holds the deliberately oracle-less queries
+    (approx sketches, seeded sampling, iterative k-means — each bound/
+    property-tested in pytest instead) so the gate prefix never contains
+    a row the gate cannot hash-verify.  Rotation history: round 1 gated
+    the relational/window/scalar prefix; round 2 the LLM-pipeline /
+    similarity / UDF / subquery block; round 3 rotates the round-1 block
+    back to the front (plus the repaired ``fn_higher_order``) so every
+    query keeps a driver-green row within the trailing two rounds.
     """
-    missing = [n for n in first if n not in REGISTRY]
+    missing = [n for n in [*first, *last] if n not in REGISTRY]
     if missing:
         raise ValueError(f"unknown names in priority list: {missing}")
     ordered = {n: REGISTRY[n] for n in first}
     for n, spec in list(REGISTRY.items()):
-        if n not in ordered:
+        if n not in ordered and n not in last:
             ordered[n] = spec
+    for n in last:
+        ordered[n] = REGISTRY[n]
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
 
-# Round-2 rotation: the 36 queries never reached by round 1's gate,
-# then the two repaired oracles (events_window_tumbling, fn_cast).
+# Round-3 rotation: fn_higher_order (repaired serialization this round),
+# the new round-3 queries, then the 42 oracle-bearing queries whose last
+# driver-green row is from round 1.
 _prioritize(
-    [
-        # scalar fns past round-1's cutoff
-        "fn_array",
-        "fn_explode",
-        "fn_map",
+    first=[
         "fn_higher_order",
-        # LLM-pipeline ops
-        "dedup_exact",
-        "dedup_group_assign",
-        "dedup_minhash_groups",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "text_langid",
-        "text_quality",
-        "text_tokens",
-        "text_fingerprint",
-        "mm_binary_meta",
-        "asof_event_value",
-        "text_pii_mask",
-        "text_topk_terms",
-        "text_tfidf_topk",
-        "text_pack_shards",
+        # --- round-3 additions (must be in the gate prefix) ---
+        # (registered in their modules; appended here as they are built)
+        # --- round-1-gated tail: joins ---
+        "join_revenue_per_customer",
+        "join_region_revenue",
+        "join_left_outer",
+        "join_right_outer",
+        "join_full_outer",
+        "join_merge_hint",
+        "join_semi",
+        "join_anti",
+        "join_cross",
+        "join_self_nation_pairs",
+        "join_range_bands",
+        "join_asof_last_event",
+        # --- aggregation ---
+        "agg_percentiles",
+        "agg_rollup",
+        "agg_cube",
+        "agg_grouping_sets",
+        "agg_pivot",
+        "agg_collect_sorted",
+        "agg_salted_skew",
+        "dedup_dropduplicates_subset",
+        # --- sort / limit / set ops ---
+        "sort_topk_orders",
+        "sort_multikey_nulls",
+        "setop_union",
+        "setop_intersect",
+        "setop_except",
+        "setop_intersect_all",
+        "setop_except_all",
+        # --- windows / events ---
+        "win_ranking_suite",
+        "win_lag_lead",
+        "win_first_last_nth",
+        "win_running_frames",
+        "win_range_between",
+        "win_topk_per_group",
+        "win_time_bucket",
+        "events_sessionize",
+        # --- scalar fns ---
+        "fn_strings",
+        "fn_regex",
+        "fn_dates",
+        "fn_math",
+        "fn_conditional",
+        "fn_json",
+        "fn_from_json_struct",
+    ],
+    last=[
+        # Oracle-less by design; pytest-verified (bounds / properties /
+        # determinism).  Kept out of the gate prefix so every gated row
+        # is hash-checkable.
+        "agg_approx_distinct",
+        "agg_approx_percentile",
         "sample_stratified",
-        "sample_weighted_reservoir",
-        # similarity / ANN
-        "sim_cosine_topk",
-        "sim_ann_bucketed",
-        "sim_pairs_threshold",
-        "dedup_embedding_cosine",
-        "sim_centroid_per_label",
-        "sim_ann_multiprobe",
         "sim_kmeans_groups",
-        # UDF surface
-        "udf_scalar_python",
-        "udf_pandas_vectorized",
-        "udf_grouped_map",
-        "udf_grouped_agg",
-        "udf_table_function",
-        "udf_native_udtf",
-        "udf_map_in_pandas",
-        # subqueries
-        "sql_correlated_exists",
-        "sql_not_exists",
-        "sql_scalar_subquery",
-        "sql_correlated_scalar_agg",
-        "sql_in_subquery",
-        # event analytics added in round 2
-        "events_funnel_depth",
-        "events_cohort_retention",
-        "events_window_sliding",
-        # repaired oracles from round 1
-        "events_window_tumbling",
-        "fn_cast",
-    ]
+    ],
 )
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "spark_queries", "oracle_map"]

@@ -347,7 +347,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_higher_order",
     oracle="""
     SELECT p_partkey,
-           list_transform(string_split(p_name, ' '), t -> upper(t)) AS upper_toks,
+           array_to_string(list_transform(string_split(p_name, ' '), t -> upper(t)), ',')
+             AS upper_toks,
            CAST(len(list_filter(string_split(p_name, ' '), t -> length(t) > 3)) AS INT)
              AS n_long_toks,
            CAST(list_sum(list_transform(string_split(p_name, ' '), t -> length(t)))
@@ -367,7 +368,9 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        F.transform(toks, lambda t: F.upper(t)).alias("upper_toks"),
+        # array_join-serialized: the gate's pandas canonicalizer cannot
+        # sort raw array columns (unhashable list), same idiom as fn_array.
+        F.array_join(F.transform(toks, lambda t: F.upper(t)), ",").alias("upper_toks"),
         F.size(F.filter(toks, lambda t: F.length(t) > 3)).alias("n_long_toks"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)

@@ -99,6 +99,89 @@ def test_changed_files_analytics_roundtrip(spark, warehouse):
     assert got == want and len(got) > 0
 
 
+def _git(cwd, *args):
+    import subprocess
+
+    subprocess.run(
+        (
+            "git",
+            "-c",
+            "user.name=Fixture Author",
+            "-c",
+            "user.email=fixture@example.com",
+            *args,
+        ),
+        cwd=cwd,
+        check=True,
+        capture_output=True,
+    )
+
+
+def test_cli_end_to_end_subprocess(tmp_path):
+    """The CLI drop-in journey (analyzer.rs:32-62 argument parity): real
+    git repositories under a root → ``python -m git_log_to_sqlite_spark``
+    → reference-layout SQLite + main.rs-style report, with the ignore
+    list and non-repo skip reporting exercised."""
+    import sqlite3
+    import subprocess
+    import sys
+
+    root = tmp_path / "root"
+    for repo, files in (("alpha", ("a.txt", "b.txt")), ("beta", ("x.txt",)), ("ig", ("z",))):
+        d = root / repo
+        d.mkdir(parents=True)
+        _git(d, "init", "-q")
+        for i, name in enumerate(files):
+            (d / name).write_text(f"content {i}\n")
+            _git(d, "add", name)
+            _git(d, "commit", "-q", "-m", f"add {name}")
+    (root / "not_a_repo").mkdir()  # → skipped report
+
+    (tmp_path / "config.toml").write_text('ignored_repositories = ["ig"]\n')
+    db = tmp_path / "out.db"
+    proc = subprocess.run(
+        (
+            sys.executable,
+            "-m",
+            "git_log_to_sqlite_spark",
+            str(root),
+            "--recursive",
+            "--max-depth",
+            "1",
+            "--database",
+            str(db),
+            "--config",
+            str(tmp_path / "config.toml"),
+            "--num-threads",
+            "4",
+            "--clear",
+        ),
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "# Done in" in out
+    assert "# 2 repositories in the table" in out and "alpha, beta" in out
+    assert "# 1 ignored repositories" in out and "ig" in out
+    assert "not stored for some reason" in out and "not_a_repo" in out
+
+    con = sqlite3.connect(db)
+    repos = dict(con.execute("SELECT name, id FROM repositories").fetchall())
+    assert set(repos) == {"alpha", "beta"}
+    logs = con.execute(
+        "SELECT repository_id, COUNT(*) FROM logs GROUP BY repository_id"
+    ).fetchall()
+    assert dict(logs) == {repos["alpha"]: 2, repos["beta"]: 1}
+    n_files = con.execute("SELECT COUNT(*) FROM changed_files").fetchone()[0]
+    assert n_files == 3  # one file per fixture commit
+    author = con.execute("SELECT DISTINCT author_name FROM logs").fetchall()
+    assert author == [("Fixture Author",)]
+    con.close()
+
+
 def test_write_delta_gated_on_optional_dep(spark, tmp_path):
     """write_delta works where delta-spark exists and fails with setup
     guidance (not an opaque ClassNotFound) where it doesn't."""
