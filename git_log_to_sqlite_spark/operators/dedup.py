@@ -11,8 +11,13 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Observation
 
 
 def md5_long(col: Column, hex_chars: int = 15) -> Column:
@@ -174,6 +179,36 @@ def minhash_lsh_pairs(
     )
 
 
+def _quantile_cap(postings: DataFrame, q: float) -> DataFrame:
+    """1-row ``(_max_df)`` DataFrame: the smallest posting-list length
+    d* such that at least fraction ``q`` of (length >= 2) posting lists
+    have length <= d* — a discrete quantile of the shingle
+    document-frequency distribution, computed INSIDE the plan (no
+    driver collect, no corpus constant).
+
+    The windows here are global but run over the df *histogram* (one
+    row per distinct posting-list length — bounded by the longest
+    posting list, thousands of rows at worst at corpus scale), not over
+    data; same bounded-dimension exemption as build_repositories.
+    """
+    hist = postings.groupBy(F.size("ids").cast("long").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    cum_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot_w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.select(
+            "d",
+            F.sum("n_sh").over(cum_w).alias("cum"),
+            F.sum("n_sh").over(tot_w).alias("tot"),
+        )
+        .filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("tot")))
+        .agg(F.min("d").alias("_max_df"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -181,6 +216,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     shingle_n: int = 3,
     max_df: int | None = None,
+    max_df_quantile: float | None = None,
+    observation: "Observation | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs >= threshold via an inverted index.
 
@@ -191,22 +228,32 @@ def ngram_jaccard_pairs(
     branches + a join, recomputing the explode on both sides) with two
     shuffles total — same output, about half the shuffle volume.
 
-    ``max_df`` is the skew valve: a hot (stop-)shingle whose posting
+    The df cap is the skew valve: a hot (stop-)shingle whose posting
     list has d documents contributes d(d-1)/2 pairs — quadratic in the
     hottest key, the thing that falls over first at corpus scale.
-    Posting lists longer than ``max_df`` are dropped BEFORE the pair
+    Posting lists longer than the cap are dropped BEFORE the pair
     explode (free — the list is already grouped), which makes the
     reported jaccard a lower bound: hot shingles no longer count toward
     the intersection, while union sizes stay full-corpus. In practice
-    near-dup pairs are carried by their rare shingles — on the bench
-    corpus a cap at the ~p92 document frequency leaves the >=0.2 output
-    byte-identical while cutting 13% of the pair explode. Tune to the
-    df quantile (p90-p95), not an absolute, when corpus size changes.
+    near-dup pairs are carried by their rare shingles — at a ~p92 cap
+    the >=0.2 pair SET is unchanged at both test SFs while the pair
+    explode shrinks measurably.
 
-    When ``max_df`` is set, the returned DataFrame carries a
-    ``max_df_observation`` attribute (:class:`pyspark.sql.Observation`)
-    reporting ``shingles_dropped`` and ``pairs_avoided``, measured
-    during the normal action at zero extra cost.
+    Two spellings, mutually exclusive:
+
+    * ``max_df_quantile`` (preferred): the cap is the q-quantile of the
+      posting-list-length distribution, derived inside the plan by
+      :func:`_quantile_cap` and broadcast back — it scales with the
+      corpus instead of baking in an absolute.
+    * ``max_df``: an explicit absolute cap, for callers that pre-tuned
+      one.
+
+    Pass an :class:`~pyspark.sql.Observation` as ``observation`` to
+    receive ``shingles_dropped`` / ``pairs_avoided`` telemetry, measured
+    during the normal action at zero extra cost.  ``Observation.get``
+    reflects the FIRST action only on this DataFrame (and blocks until
+    one runs) — re-running or further transforming the result does not
+    update it.
     """
     df = _spread(df)
     # 64-bit-hash the shingle immediately: the groupBy/shuffle key is
@@ -228,19 +275,33 @@ def ngram_jaccard_pairs(
     postings = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list("_id")).alias("ids")
     ).filter(F.size("ids") >= 2)
-    obs = None
-    if max_df is not None:
-        from pyspark.sql import Observation
-
-        obs = Observation("ngram_jaccard_max_df")
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("max_df and max_df_quantile are mutually exclusive")
+    cap = None
+    if max_df_quantile is not None:
+        # 1-row broadcast: every posting row sees the derived cap (a
+        # BuildRight nested-loop join whose build side is ONE row — the
+        # broadcast-scalar plan, not a data x data nested loop). The
+        # histogram branch reuses the groupBy(shingle) exchange.
+        postings = postings.crossJoin(
+            F.broadcast(_quantile_cap(postings, max_df_quantile))
+        )
+        cap = F.col("_max_df")
+    elif max_df is not None:
+        cap = F.lit(max_df)
+    if cap is not None:
         d = F.size("ids").cast("long")
-        postings = postings.observe(
-            obs,
-            F.sum((d > max_df).cast("long")).alias("shingles_dropped"),
-            F.sum(F.when(d > max_df, d * (d - 1) / 2).otherwise(0))
-            .cast("long")
-            .alias("pairs_avoided"),
-        ).filter(F.size("ids") <= max_df)
+        if observation is not None:
+            postings = postings.observe(
+                observation,
+                F.sum((d > cap).cast("long")).alias("shingles_dropped"),
+                F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0))
+                .cast("long")
+                .alias("pairs_avoided"),
+            )
+        postings = postings.filter(d <= cap)
+        if max_df_quantile is not None:
+            postings = postings.drop("_max_df")
     # all (i < j) pairs within one posting list, as a flat struct array
     pair_array = F.flatten(
         F.transform(
@@ -266,7 +327,6 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("id_a", "id_b", jac.alias("jaccard"))
     )
-    out.max_df_observation = obs
     return out
 
 

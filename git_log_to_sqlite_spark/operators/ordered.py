@@ -43,10 +43,20 @@ def _ranged_with_pid(df: DataFrame, order_cols: list[str], num_partitions: int |
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    # spark_partition_id() is stable here because the partition a row
-    # lands in is a pure function of its key vs. the sampled range
-    # bounds; persist() in callers is unnecessary for correctness.
-    return ranged.withColumn(_PID, F.spark_partition_id())
+    # The ranged+pid result feeds TWO plan branches (per-pid totals and
+    # the partition-local window), and correctness requires both to see
+    # the SAME pid assignment. RangePartitioner samples its bounds per
+    # exchange execution, so relying on Catalyst's reuseExchange to
+    # plan the exchange once is fragile (a refactor that breaks
+    # canonical-plan equality, or disabling reuse, would let the two
+    # branches draw different bounds). localCheckpoint materializes the
+    # partitions on first use and both branches read the SAME frozen
+    # blocks; eager=False defers that to the query's own action, so no
+    # extra job runs. (Trade-off: truncated lineage means a lost block
+    # fails the job instead of recomputing — acceptable for a
+    # deterministic two-stage op; a retry recomputes both branches from
+    # the new blocks consistently.)
+    return ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=False)
 
 
 def _attach_offsets(ranged: DataFrame, partial: F.Column, local_fn,

@@ -15,9 +15,15 @@ derived from md5 of the row id instead of an RNG, which buys:
   from the same md5 literals, so even the sampler is hash-oracle-
   checkable (seeded ``sampleBy`` can only ever be property-tested).
 
-Plan shape: one projection (md5 + ln per row, codegen) and one per-
-stratum ranking window — partitioned by stratum, so no global sort;
-for unstratified top-k the window degenerates to TakeOrderedAndProject.
+Plan shape: one projection (md5 + ln per row, codegen), then
+
+* stratified: a per-stratum ranking window — partitioned by the
+  stratum column, so no global sort;
+* unstratified: ``orderBy(key).limit(k)`` — genuinely
+  TakeOrderedAndProject (per-partition top-k heaps + one k-row merge),
+  NOT an empty-partition window (a ``row_number`` over
+  ``Window.partitionBy()`` would funnel the final ranking through one
+  reducer even with the WindowGroupLimit map-side prune).
 """
 
 from __future__ import annotations
@@ -55,8 +61,12 @@ def weighted_reservoir(
     keyed = df.filter(F.col(weight_col) > 0).withColumn(
         key_out, priority_key(F.col(id_col), F.col(weight_col))
     )
-    part = [strata_col] if strata_col else []
-    w = Window.partitionBy(*part).orderBy(F.col(key_out).asc(), F.col(id_col).asc())
+    order = [F.col(key_out).asc(), F.col(id_col).asc()]
+    if strata_col is None:
+        # global top-k: sort+limit plans as TakeOrderedAndProject —
+        # only k rows ever reach a single task
+        return keyed.orderBy(*order).limit(k)
+    w = Window.partitionBy(strata_col).orderBy(*order)
     return (
         keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

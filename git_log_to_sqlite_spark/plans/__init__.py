@@ -18,6 +18,7 @@ from . import llm_ops  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
+from . import stream_queries  # noqa: E402,F401
 
 
 def _prioritize(first: list[str], last: list[str] = ()) -> None:
@@ -56,7 +57,8 @@ _prioritize(
     first=[
         "fn_higher_order",
         # --- round-3 additions (must be in the gate prefix) ---
-        # (registered in their modules; appended here as they are built)
+        "stream_tumbling_replay",
+        "stream_join_replay",
         # --- round-1-gated tail: joins ---
         "join_revenue_per_customer",
         "join_region_revenue",

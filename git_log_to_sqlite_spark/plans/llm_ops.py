@@ -60,7 +60,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_MAX_DF = 15  # ~p92 shingle document frequency on the bench corpus
+# The hot-shingle cap is the p92 of the posting-list-length (document
+# frequency) distribution, derived from the data inside the plan — no
+# corpus-tuned absolute. At this quantile the >=0.2 pair SET is
+# verified identical to uncapped at both test SFs
+# (test_jaccard_quantile_cap_preserves_pairs).
+_JACCARD_DF_Q = 0.92
+
+# DuckDB twin of operators.dedup._quantile_cap: smallest d* with
+# cum-count(d <= d*) >= ceil(q * total) over posting lists of length
+# >= 2. Expects a CTE named dfreq(shingle, d) in scope.
+_SQL_DF_CAP = f"""
+      SELECT MIN(d) AS max_df FROM (
+        SELECT d, SUM(n_sh) OVER (ORDER BY d) AS cum,
+               SUM(n_sh) OVER () AS tot
+        FROM (SELECT d, COUNT(*) AS n_sh FROM dfreq WHERE d >= 2 GROUP BY d) h) c
+      WHERE cum >= CEIL({_JACCARD_DF_Q} * tot)"""
 
 
 @register(
@@ -68,12 +83,13 @@ _JACCARD_MAX_DF = 15  # ~p92 shingle document frequency on the bench corpus
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
     dfreq AS (SELECT shingle, COUNT(*) AS d FROM sh GROUP BY shingle),
+    caps AS ({_SQL_DF_CAP}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       JOIN dfreq ON dfreq.shingle = a.shingle
-                AND dfreq.d <= {_JACCARD_MAX_DF}
+      JOIN caps ON dfreq.d <= caps.max_df
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            ROUND(CAST(n_common AS DOUBLE)
@@ -85,15 +101,16 @@ _JACCARD_MAX_DF = 15  # ~p92 shingle document frequency on the bench corpus
     """,
     doc="Exact n-gram Jaccard near-dup (operators.dedup."
     "ngram_jaccard_pairs): inverted-index equi-join on the shingle — "
-    "shuffle tracks similarity mass, not n^2. max_df caps hot posting "
-    "lists (the d(d-1)/2 skew amplifier) before the pair explode; at "
-    "this cap the >=0.2 output is verified byte-identical to uncapped "
-    "at both test SFs, and the oracle applies the same cap.",
+    "shuffle tracks similarity mass, not n^2. The p92 df-quantile cap "
+    "(derived in-plan from the data, no corpus constant) drops hot "
+    "posting lists (the d(d-1)/2 skew amplifier) before the pair "
+    "explode; at this quantile the >=0.2 pair set is verified identical "
+    "to uncapped at both test SFs, and the oracle derives the same cap.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
-        d, "doc_id", "text", threshold=0.2, max_df=_JACCARD_MAX_DF
+        d, "doc_id", "text", threshold=0.2, max_df_quantile=_JACCARD_DF_Q
     ).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -106,12 +123,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
     dfreq AS (SELECT shingle, COUNT(*) AS d FROM sh GROUP BY shingle),
+    caps AS ({_SQL_DF_CAP}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       JOIN dfreq ON dfreq.shingle = a.shingle
-                AND dfreq.d <= {_JACCARD_MAX_DF}
+      JOIN caps ON dfreq.d <= caps.max_df
       GROUP BY a.doc_id, b.doc_id),
     jac AS (
       SELECT doc_a, doc_b FROM pairs
@@ -146,7 +164,7 @@ def dedup_group_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(
-        d, "doc_id", "text", threshold=0.2, max_df=_JACCARD_MAX_DF
+        d, "doc_id", "text", threshold=0.2, max_df_quantile=_JACCARD_DF_Q
     )
     out = assign_dedup_groups(d, pairs, "doc_id")
     return out.select(

@@ -1,0 +1,110 @@
+"""Driver-gated Structured Streaming queries.
+
+These entries run the REAL streaming engine end-to-end at the
+correctness gate — not a batch twin: the events parquet is replayed
+through ``spark.readStream``, flows through a watermarked stateful
+operator (streaming aggregation / stream-stream join), lands in a
+memory sink, and the materialized sink table is returned as the batch
+result the driver hashes against the DuckDB oracle.
+
+Determinism: the replay consumes every file in ONE micro-batch
+(``maxFilesPerTrigger`` far above the file count). The event-time
+watermark only advances AFTER a micro-batch completes, so no row can
+be late relative to batch 0's watermark and the streaming result is
+bit-equal to the batch semantics — which is exactly what makes an
+exact oracle possible. Multi-batch replays (where the watermark DOES
+drop late rows, state is evicted, and output modes differ) are
+covered by the batch-equivalence suite in tests/test_streaming.py —
+semantics the gate's hash comparison cannot express.
+
+At scale the same builders (streaming/replay.py) run against a Kafka
+source; state is bounded by the watermark horizon x key cardinality,
+not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register, table
+
+_SINK_SEQ = [0]
+
+
+def _unique_sink(name: str) -> str:
+    """Memory-sink query names are session-global; make each call's
+    sink distinct so repeated gate/bench invocations never race a
+    prior (stopped) query's registration."""
+    _SINK_SEQ[0] += 1
+    return f"{name}_{_SINK_SEQ[0]}"
+
+
+@register(
+    "stream_tumbling_replay",
+    oracle="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+                AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming end-to-end at the gate: events replayed "
+    "via readStream -> withWatermark -> tumbling stateful aggregation "
+    "(streaming/replay.py tumbling_counts) -> memory sink (complete "
+    "mode), sink table returned. Single-micro-batch replay makes the "
+    "stream result exactly the batch tumbling aggregate, so the "
+    "events_window_tumbling oracle applies verbatim.",
+)
+def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.replay import read_events_stream, run_to_memory, tumbling_counts
+
+    # table() first: it owns the nanosAsLong session conf the raw
+    # events parquet needs; the stream declares the same raw schema.
+    table(spark, sf_dir, "events")
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000,
+        raw_nanos=True,
+    )
+    sink = _unique_sink("stream_tumbling_replay")
+    run_to_memory(tumbling_counts(stream), sink, output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
+    "stream_join_replay",
+    oracle="""
+    SELECT a.user_id AS a_user,
+           a.event_id AS a_event,
+           b.event_id AS b_event,
+           CAST(a.ts AS TIMESTAMP) AS a_ts,
+           CAST(b.ts AS TIMESTAMP) AS b_ts,
+           b.value AS b_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+    doc="Stream-stream time-bounded inner join at the gate "
+    "(streaming/replay.py typed_event_join): both sides replayed via "
+    "readStream with watermarks, joined on user + 1h event-time bound "
+    "-> append-mode memory sink. Inner-join matches are emitted in the "
+    "micro-batch that computes them, so the single-batch replay emits "
+    "exactly the batch range-join result.",
+)
+def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.replay import read_events_stream, run_to_memory, typed_event_join
+
+    table(spark, sf_dir, "events")
+    a = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000,
+        raw_nanos=True,
+    )
+    b = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000,
+        raw_nanos=True,
+    )
+    sink = _unique_sink("stream_join_replay")
+    run_to_memory(typed_event_join(a, b), sink, output_mode="append")
+    return spark.table(sink)

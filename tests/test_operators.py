@@ -78,12 +78,67 @@ def test_ngram_jaccard_max_df_drops_hot_shingle_pairs(spark):
     uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1)
     assert len(uncapped.collect()) == 15 + 1  # C(6,2) hot pairs + (7,8)
 
-    capped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1, max_df=5)
+    from pyspark.sql import Observation
+
+    obs = Observation("cap_metrics")
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.1, max_df=5, observation=obs
+    )
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
     assert got == {(7, 8): 1.0}  # hot-shingle pairs gone, rare-shingle pair kept
-    metrics = capped.max_df_observation.get
+    metrics = obs.get  # first-action semantics: the collect above
     assert metrics["shingles_dropped"] == 1
     assert metrics["pairs_avoided"] == 15
+
+
+def test_ngram_jaccard_quantile_cap_derives_from_data(spark):
+    """max_df_quantile mode: the cap is the in-plan df-quantile, so a
+    hot shingle well past the quantile is dropped without any absolute
+    constant. 13 doc-pairs share one unique trigram each (d=2); 6 docs
+    share one hot trigram (d=6): the p92 cap lands at 2 and only the
+    rare-shingle pairs survive."""
+    from pyspark.sql import Observation
+
+    rows = [(i, f"common common common u{i}a u{i}b u{i}c") for i in range(1, 7)]
+    rows += [
+        (100 + 2 * p + s, f"p{p}a p{p}b p{p}c p{p}d")
+        for p in range(13)
+        for s in (0, 1)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs = Observation("qcap_metrics")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1,
+            max_df_quantile=0.92, observation=obs,
+        ).collect()
+    }
+    # d >= 2 histogram: 13 pair-trigrams x 2 each at d=2, 1 hot at d=6
+    # -> ceil(.92 * 27) = 25 <= 26 cum at d=2 -> cap = 2.
+    assert got == {(100 + 2 * p, 101 + 2 * p) for p in range(13)}
+    assert obs.get["shingles_dropped"] == 1
+    assert obs.get["pairs_avoided"] == 15
+
+
+def test_jaccard_quantile_cap_preserves_pairs(spark, oracle_sf_dir):
+    """The headline guarantee behind dedup_ngram_jaccard's cap: at the
+    p92 df-quantile the >= threshold pair SET on the real corpus is
+    identical to the uncapped pair set (hot shingles only ever carried
+    pairs that rare shingles already witness)."""
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2, max_df_quantile=0.92
+        ).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
 
 
 def test_minhash_exact_dup_has_full_agreement(docs):
@@ -332,10 +387,14 @@ def test_ordered_running_sum_matches_global_window(spark):
     assert sorted(map(tuple, got.select("k", "v", "cum").collect())) == sorted(
         map(tuple, want.collect())
     )
-    # the data-sized windows must all carry a partition spec; only the
-    # per-partition-totals window (bounded by #partitions) is global
+    # the data-sized windows must all carry a partition spec (the local
+    # window partitions by __ordered_pid); the range exchange itself now
+    # sits behind the localCheckpoint boundary (Scan ExistingRDD) that
+    # freezes pid assignment for both plan branches
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "repartitionbyrange" in plan.lower() or "rangepartitioning" in plan.lower()
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
+    assert any("__ordered_pid" in s for s in specs)
+    assert "existingrdd" in plan.lower()
 
 
 def test_ordered_row_number_matches_global_window(spark):

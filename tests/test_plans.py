@@ -169,9 +169,14 @@ def test_bucketed_join_no_shuffle(spark, sf, tmp_path):
 def test_pack_shards_no_single_reducer_window(spark, sf):
     """The running token sum must be the two-phase range-partitioned
     form — a Window with an empty partition spec would funnel the
-    corpus through one reducer."""
+    corpus through one reducer. The range exchange sits behind the
+    localCheckpoint boundary (Scan ExistingRDD) that freezes pid
+    assignment, so the visible plan shows the pid-partitioned local
+    window over the checkpointed scan."""
     plan = plan_of(plans.REGISTRY["text_pack_shards"].fn(spark, sf))
-    assert "rangepartitioning" in plan.lower()
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
+    assert any("__ordered_pid" in s for s in specs)
+    assert "existingrdd" in plan.lower()
 
 
 def test_tfidf_window_is_per_document(spark, sf):
@@ -199,10 +204,23 @@ def test_funnel_single_exchange_stacked_windows(spark, sf):
 
 def test_jaccard_no_cartesian(spark, sf):
     """The inverted-index pair join must never degrade to a cartesian /
-    nested-loop shape (the naive all-pairs formulation)."""
-    plan = plan_of(plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf))
+    nested-loop shape (the naive all-pairs formulation). The single
+    permitted nested-loop node is the broadcast of the 1-row derived
+    df-cap (a scalar attach, identified by its _max_df condition) —
+    anything else nested-looping here is a real regression."""
+    import re
+
+    df = plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf)
+    plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted explain lists each node in the tree and again in the
+    # details; count distinct node ids, not occurrences
+    bnlj_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj_ids) <= 1
+    if bnlj_ids:
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        bnlj = [l for l in executed.splitlines() if "BroadcastNestedLoopJoin" in l]
+        assert bnlj and all("_max_df" in l for l in bnlj)
 
 
 def test_weighted_reservoir_no_global_sort(spark, sf):
@@ -211,3 +229,14 @@ def test_weighted_reservoir_no_global_sort(spark, sf):
     plan = plan_of(plans.REGISTRY["sample_weighted_reservoir"].fn(spark, sf))
     spec = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
     assert spec and "lang" in spec[0]
+
+
+def test_weighted_reservoir_unstratified_is_top_k(spark, sf):
+    """strata_col=None must plan as TakeOrderedAndProject (per-partition
+    heaps, k-row merge), never an empty-partition ranking window."""
+    from git_log_to_sqlite_spark.operators import weighted_reservoir
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = plan_of(weighted_reservoir(docs, "doc_id", "n_chars", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan.lower()

@@ -107,6 +107,36 @@ def test_exact_dedup_scales_multiplicatively(spark, oracle_sf_dir):
     assert all(got[k] == 4 * base[k] for k in base)
 
 
+def test_jaccard_quantile_cap_at_bench_sf(spark):
+    """The quantile-derived max_df path at sf0.1 (the bench SF, 10x the
+    oracle corpus): the in-plan p92 cap must still produce exactly the
+    uncapped >=0.2 pair set while reporting dropped-shingle telemetry —
+    the lossless-valve property dedup_ngram_jaccard's docstring claims,
+    asserted at the scale the bench measures."""
+    import os
+
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import ngram_jaccard_pairs
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    obs = Observation("sf01_cap")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2,
+            max_df_quantile=0.92, observation=obs,
+        ).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
+    assert obs.get["shingles_dropped"] > 0  # the valve actually engaged
+
+
 def test_connected_components_converges_on_wide_graph(spark):
     """5k-node graph mixing 100-node chains (depth stress) with random
     cross links — star contraction must converge inside the round
