@@ -29,7 +29,14 @@ from .similarity import (
     multiprobe_ann_topk,
 )
 from .skew import salted_aggregate, salted_join
-from .text import add_text_stats, fingerprint, lang_id, tfidf_topk, token_counts
+from .text import (
+    add_text_stats,
+    chunk_documents,
+    fingerprint,
+    lang_id,
+    tfidf_topk,
+    token_counts,
+)
 
 __all__ = [
     "asof_join",
@@ -54,6 +61,7 @@ __all__ = [
     "salted_aggregate",
     "salted_join",
     "add_text_stats",
+    "chunk_documents",
     "fingerprint",
     "lang_id",
     "tfidf_topk",

@@ -179,20 +179,35 @@ def minhash_lsh_pairs(
     )
 
 
-def _quantile_cap(postings: DataFrame, q: float) -> DataFrame:
+def _quantile_cap(sh: DataFrame, q: float) -> DataFrame:
     """1-row ``(_max_df)`` DataFrame: the smallest posting-list length
     d* such that at least fraction ``q`` of (length >= 2) posting lists
     have length <= d* — a discrete quantile of the shingle
     document-frequency distribution, computed INSIDE the plan (no
     driver collect, no corpus constant).
 
+    Takes the exploded ``(_id, shingle)`` table, NOT the built posting
+    lists. Trade-off (verified in the executed plan): the count-agg's
+    partial differs from the posting build's partial_collect_list, so
+    the two branches do NOT share an exchange — this branch re-scans
+    the (column-pruned) source and pays one map-side-combined count
+    shuffle, which is embarrassingly parallel and skew-free. The
+    alternatives are worse at corpus scale: deriving from ``postings``
+    shares the exchange but runs the wide collect_list merge — the
+    operator's most expensive aggregate — twice; persisting postings
+    materializes a corpus-sized intermediate.
+
     The windows here are global but run over the df *histogram* (one
     row per distinct posting-list length — bounded by the longest
     posting list, thousands of rows at worst at corpus scale), not over
     data; same bounded-dimension exemption as build_repositories.
     """
-    hist = postings.groupBy(F.size("ids").cast("long").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_sh")
+    hist = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     cum_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot_w = Window.partitionBy().rowsBetween(
@@ -284,7 +299,7 @@ def ngram_jaccard_pairs(
         # broadcast-scalar plan, not a data x data nested loop). The
         # histogram branch reuses the groupBy(shingle) exchange.
         postings = postings.crossJoin(
-            F.broadcast(_quantile_cap(postings, max_df_quantile))
+            F.broadcast(_quantile_cap(sh, max_df_quantile))
         )
         cap = F.col("_max_df")
     elif max_df is not None:

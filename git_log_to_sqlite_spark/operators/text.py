@@ -126,3 +126,41 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
             F.round("tf_idf", 6).alias("tf_idf"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-length shaping
+    step of a training/RAG pipeline: token windows of ``chunk_size``
+    starting every ``stride`` tokens (overlap = chunk_size - stride),
+    one output row per (document, chunk).
+
+    Pure Column expressions (sequence of starts -> transform to token
+    slices -> posexplode), so the ~(n/stride)x fan-out happens inside
+    whole-stage codegen with no shuffle at all: chunking is a
+    map-side-only operator and downstream stages partition the CHUNK
+    rows, never the parent documents. Chunk ids are the window index —
+    deterministic, so chunk tables are stable join keys across runs.
+
+    Start positions run to the last token (trailing chunks may be
+    shorter than ``chunk_size``; every token is covered at least once),
+    matching the usual text-splitter convention.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunk_arr = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunk_arr).alias("chunk_id", "_ctoks"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join("_ctoks", " ").alias("chunk_text"),
+        F.size("_ctoks").alias("chunk_tokens"),
+    )

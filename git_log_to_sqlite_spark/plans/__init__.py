@@ -59,6 +59,8 @@ _prioritize(
         # --- round-3 additions (must be in the gate prefix) ---
         "stream_tumbling_replay",
         "stream_join_replay",
+        "text_chunk_overlap",
+        "pipeline_curate_corpus",
         # --- round-1-gated tail: joins ---
         "join_revenue_per_customer",
         "join_region_revenue",

@@ -640,6 +640,91 @@ def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             CAST(u.s / 24 AS INT) AS chunk_id,
+             t[u.s + 1 : u.s + 32] AS ctoks
+      FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS u(s))
+    SELECT doc_id, chunk_id,
+           array_to_string(ctoks, ' ') AS chunk_text,
+           CAST(len(ctoks) AS INT) AS chunk_tokens
+    FROM ch
+    """,
+    doc="Sliding-window chunking (operators.text.chunk_documents): "
+    "32-token windows every 24 tokens (8-token overlap) — the "
+    "context-length shaping step of a training/RAG pipeline. The "
+    "fan-out is pure codegen (sequence -> transform-slice -> "
+    "posexplode), zero shuffle: chunking stays map-side and only the "
+    "chunk rows ever partition downstream.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_size=32, stride=24)
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle="""
+    WITH stats AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    kept AS (
+      SELECT * FROM stats
+      WHERE lang = 'en' AND n_chars BETWEEN 100 AND 20000 AND n_tokens >= 20),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
+             COUNT(*) AS n_copies
+      FROM kept GROUP BY md5(text)),
+    packed AS (
+      SELECT doc_id, n_tokens, n_copies,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum
+      FROM surv)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, n_copies,
+           CAST(FLOOR((cum - 1) / 2048) AS INT) AS shard_id
+    FROM packed
+    """,
+    doc="End-to-end corpus curation — the composition a training-data "
+    "pipeline actually runs, as ONE declarative plan: language + "
+    "length-gate filter (pushed into the parquet scan) -> exact dedup "
+    "with deterministic min-id survivor (groupBy on md5: the shuffle "
+    "carries 16-byte fingerprints + ids, never document bodies; "
+    "n_tokens rides through the agg since duplicates tokenize "
+    "identically, saving a join-back) -> token-budget shard packing "
+    "via the two-phase prefix sum (operators.ordered) — no "
+    "single-reducer window anywhere.",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    kept = d.filter(
+        (F.col("lang") == "en")
+        & F.col("n_chars").between(100, 20000)
+        & (toks >= 20)
+    ).select(F.md5("text").alias("_fp"), "doc_id", toks.alias("n_tokens"))
+    surv = kept.groupBy("_fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_copies"),
+    ).drop("_fp")
+    packed = ordered_running_sum(surv, ["doc_id"], "n_tokens", out_col="cum")
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_copies",
+        F.floor((F.col("cum") - 1) / 2048).cast("int").alias("shard_id"),
+    )
+
+
+@register(
     "sample_weighted_reservoir",
     oracle="""
     WITH keyed AS (

@@ -489,3 +489,31 @@ def test_weighted_reservoir_deterministic_and_weight_gated(spark):
     b = sorted(r["item_id"] for r in weighted_reservoir(df, "item_id", "w", k=10).collect())
     assert a == b
     assert all(i % 5 != 0 for i in a)  # zero-weight rows never sampled
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from git_log_to_sqlite_spark.operators import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: starts 0,4,8
+            (2, "a b c"),  # shorter than one chunk
+            (3, " ".join(f"u{i}" for i in range(8))),  # exactly chunk_size
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_size=8, stride=4)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert {(d, c) for d, c in rows} == {
+        (1, 0), (1, 1), (1, 2), (2, 0), (3, 0), (3, 1),
+    }
+    assert rows[(1, 0)]["chunk_text"] == " ".join(f"t{i}" for i in range(8))
+    assert rows[(1, 1)]["chunk_text"] == " ".join(f"t{i}" for i in range(4, 10))
+    assert rows[(1, 2)]["chunk_text"] == " ".join(f"t{i}" for i in range(8, 10))
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert rows[(2, 0)]["chunk_tokens"] == 3
+    # overlap: consecutive chunks share chunk_size - stride tokens
+    assert rows[(1, 0)]["chunk_text"].split()[4:] == rows[(1, 1)]["chunk_text"].split()[:4]
+    # every token of doc 1 appears in at least one chunk
+    covered = {t for (d, _), r in rows.items() if d == 1 for t in r["chunk_text"].split()}
+    assert covered == {f"t{i}" for i in range(10)}

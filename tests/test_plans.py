@@ -240,3 +240,12 @@ def test_weighted_reservoir_unstratified_is_top_k(spark, sf):
     plan = plan_of(weighted_reservoir(docs, "doc_id", "n_chars", k=10))
     assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition" not in plan.lower()
+
+
+def test_chunking_is_shuffle_free(spark, sf):
+    """Chunking must stay map-side: sequence -> transform-slice ->
+    posexplode inside codegen, zero exchanges in the plan."""
+    plan = plan_of(plans.REGISTRY["text_chunk_overlap"].fn(spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "Generate" in tree  # the posexplode fan-out node
