@@ -12,7 +12,7 @@ from .asof import asof_join
 from .clustering import assign_clusters, kmeans
 from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
-from .sampling import weighted_reservoir
+from .sampling import domain_mix, weighted_reservoir
 from .dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -47,6 +47,7 @@ __all__ = [
     "ordered_row_number",
     "ordered_running_sum",
     "weighted_reservoir",
+    "domain_mix",
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",

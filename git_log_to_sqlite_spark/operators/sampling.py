@@ -72,3 +72,49 @@ def weighted_reservoir(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def uniform_key(id_col: F.Column) -> F.Column:
+    """Deterministic uniform in (0, 1] derived from md5 of the id —
+    the seedless coin every sampler here flips. A pure function of the
+    data: reproducible across runs, partitionings, cluster sizes, and
+    engines (DuckDB computes the identical value from the same md5
+    literals, so sampled outputs stay hash-oracle-checkable)."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (h + F.lit(1.0)) / F.lit(_TWO_60)
+
+
+def domain_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    u_out: str = "u",
+) -> DataFrame:
+    """Deterministic domain reweighting — the data-mixing step that
+    turns a raw corpus into a target source distribution: each row is
+    kept iff its md5-uniform coin is below its domain's sampling rate.
+
+    The rates ride in as a broadcast dimension join (data-driven mix
+    config, not a baked CASE), so at 100 TB the fact table takes one
+    map-side hash probe per row and never shuffles; unknown domains
+    fall back to ``default_rate``. Expected kept mass per domain is
+    ``rate * n_domain`` with per-row independence (binomial, not
+    exact-count — pair with weighted_reservoir when exact k is
+    needed).
+    """
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        sorted(rates.items()), f"{domain_col} string, _rate double"
+    )
+    keyed = df.join(F.broadcast(rates_df), domain_col, "left").withColumn(
+        "_rate", F.coalesce(F.col("_rate"), F.lit(float(default_rate)))
+    )
+    return (
+        keyed.withColumn(u_out, uniform_key(F.col(id_col)))
+        .filter(F.col(u_out) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -61,6 +61,8 @@ _prioritize(
         "stream_join_replay",
         "text_chunk_overlap",
         "pipeline_curate_corpus",
+        "sample_domain_mix",
+        "dedup_embedding_groups",
         # --- round-1-gated tail: joins ---
         "join_revenue_per_customer",
         "join_region_revenue",

@@ -640,6 +640,42 @@ def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_domain_mix",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+               / 1152921504606846976.0 AS u,
+             CASE source WHEN 'src0' THEN 1.0
+                         WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.25
+                         ELSE 0.1 END AS rate
+      FROM documents)
+    SELECT doc_id, source, ROUND(u, 6) AS u
+    FROM keyed WHERE u < rate
+    """,
+    doc="Deterministic domain reweighting (operators.sampling."
+    "domain_mix): per-source keep rates as a broadcast dimension join, "
+    "md5-derived uniform coin per row — the data-mixing step that "
+    "shapes a raw corpus into a target source distribution, exactly "
+    "reproducible across runs/engines (hash-oracle-checked, unlike any "
+    "seeded sampler).",
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import domain_mix
+
+    d = table(spark, sf_dir, "documents")
+    out = domain_mix(
+        d,
+        "doc_id",
+        "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "source", F.round("u", 6).alias("u"))
+
+
+@register(
     "text_chunk_overlap",
     oracle="""
     WITH toks AS (

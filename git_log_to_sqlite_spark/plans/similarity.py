@@ -249,3 +249,50 @@ def sim_kmeans_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "dedup_embedding_groups",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 256 AND b.vec_id < 256 AND {_SQL_COS} >= 0.3),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON r.node = s.src),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           COALESCE(c.component, e.vec_id) AS group_id,
+           CAST(e.vec_id = COALESCE(c.component, e.vec_id) AS INT) AS is_survivor
+    FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    WHERE e.vec_id < 256
+    """,
+    doc="Semantic (embedding-space) dedup GROUPS: cosine pairs -> "
+    "transitive closure via operators.graph.connected_components -> "
+    "min-id group label + one survivor per cluster — the same "
+    "pairs-to-clusters pipeline as dedup_minhash_groups, fed by vector "
+    "similarity instead of lexical shingles. The 0.3 threshold is "
+    "demonstration-tuned to the near-random synthetic corpus (top-10 "
+    "cosine ~0.3); production uses ~0.95 with LSH/IVF candidate "
+    "generation (sim_ann_bucketed) replacing the bounded all-pairs "
+    "slice.",
+)
+def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import assign_dedup_groups
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 256)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("av"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("bv"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(sim.cosine(F.col("av"), F.col("bv")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    out = assign_dedup_groups(e.select("vec_id"), pairs, "vec_id")
+    return out.select(
+        "vec_id", "group_id", F.col("is_survivor").cast("int").alias("is_survivor")
+    )

@@ -517,3 +517,21 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # every token of doc 1 appears in at least one chunk
     covered = {t for (d, _), r in rows.items() if d == 1 for t in r["chunk_text"].split()}
     assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    from git_log_to_sqlite_spark.operators import domain_mix
+
+    rows = [(i, f"d{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    rates = {"d0": 1.0, "d1": 0.5, "d2": 0.0}
+    a = domain_mix(df, "id", "dom", rates, default_rate=0.25)
+    kept = {r["id"]: r["dom"] for r in a.collect()}
+    by_dom = {d: sum(1 for v in kept.values() if v == d) for d in ("d0", "d1", "d2", "d3")}
+    assert by_dom["d0"] == 500  # rate 1.0 keeps everything
+    assert by_dom["d2"] == 0  # rate 0.0 keeps nothing
+    assert 0.35 * 500 < by_dom["d1"] < 0.65 * 500  # binomial around 250
+    assert 0.10 * 500 < by_dom["d3"] < 0.40 * 500  # default 0.25 applies
+    # pure function of the data: second run identical
+    b = {r["id"] for r in domain_mix(df, "id", "dom", rates, 0.25).collect()}
+    assert set(kept) == b

@@ -142,3 +142,76 @@ def test_shingles_bounded_distinct_and_hash_range(sess, texts, n):
         assert r["n_sh"] == r["n_uniq"]
         if r["h"] is not None:
             assert 0 <= r["h"] < (1 << 60)
+
+
+# --- git-log parser round-trip fuzz (pure Python, no Spark job) --------
+
+_hash = st.text(alphabet="0123456789abcdef", min_size=7, max_size=40)
+# blacklist: the format's own separators, plus every char
+# str.splitlines() treats as a line boundary (the parser applies the
+# reference's first-line-of-message rule, so multi-line summaries are
+# out of scope for the single-line %s field by construction)
+_safe_text = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\x01\x02\n\r\t\x0b\x0c\x1c\x1d\x1e\x85\u2028\u2029",
+        blacklist_categories=("Cs",),
+    ),
+    min_size=1,
+    max_size=12,
+).map(str.strip).filter(lambda s: s and " => " not in s)
+_numstat_entry = st.tuples(
+    st.one_of(st.integers(0, 9999), st.just("-")),
+    st.one_of(st.integers(0, 9999), st.just("-")),
+    _safe_text.filter(lambda s: "{" not in s and "}" not in s),
+)
+_commit = st.tuples(
+    _hash,
+    st.lists(_hash, max_size=3),  # parents: >=2 means merge -> dropped
+    _safe_text,  # author name
+    _safe_text,  # author email
+    st.integers(0, 2**31),  # epoch
+    _safe_text,  # summary
+    st.lists(_numstat_entry, max_size=4),
+)
+
+
+def _render(commits) -> str:
+    blocks = []
+    for h, parents, name, email, epoch, summary, numstat in commits:
+        head = "\x02".join([h, " ".join(parents), name, email, str(epoch), summary])
+        lines = [f"{i}\t{d}\t{p}" for i, d, p in numstat]
+        blocks.append("\x01" + head + ("\n" + "\n".join(lines) if lines else ""))
+    return "".join(blocks)
+
+
+@given(commits=st.lists(_commit, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_gitlog_parse_blocks_roundtrip(commits):
+    """Any well-formed rendering parses back to exactly the expected
+    rows: merges excluded, '-' counts as 0, sentinels applied, zero-OID
+    root parent, numstat summed — the reference semantics hold for ANY
+    input, not just the golden fixtures."""
+    from git_log_to_sqlite_spark.sources.gitlog_source import ZERO_OID, parse_blocks
+
+    got = list(parse_blocks(_render(commits), "repo"))
+    expected = []
+    for h, parents, name, email, epoch, summary, numstat in commits:
+        if len(parents) >= 2:
+            continue  # merge exclusion
+        ins = sum(i for i, _, _ in numstat if i != "-")
+        dels = sum(d for _, d, _ in numstat if d != "-")
+        expected.append(
+            (
+                h,
+                parents[0] if parents else ZERO_OID,
+                name or "(no author name)",
+                email or "(no author email)",
+                summary or "(no commit summary)",
+                epoch,
+                ins,
+                dels,
+                "repo",
+                [p for _, _, p in numstat],
+            )
+        )
+    assert got == expected
