@@ -249,3 +249,25 @@ def test_chunking_is_shuffle_free(spark, sf):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "Generate" in tree  # the posexplode fan-out node
+
+
+def test_domain_mix_broadcast_rates_and_pruned_scan(spark, sf):
+    """The rates dimension must broadcast (never shuffle the corpus for
+    a 3-row config table) and the scan must read only the two columns
+    the query touches."""
+    plan = plan_of(plans.REGISTRY["sample_domain_mix"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in scan_schema and "source" in scan_schema
+    assert "text" not in scan_schema  # the wide column stays unread
+
+
+def test_curate_pipeline_two_phase_prefix_sum(spark, sf):
+    """The curation pipeline's shard packing must be the two-phase form:
+    pid-partitioned local window over the checkpoint-frozen range
+    partitioning, never an empty-partition data-sized window."""
+    plan = plan_of(plans.REGISTRY["pipeline_curate_corpus"].fn(spark, sf))
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
+    assert any("__ordered_pid" in s for s in specs)
+    assert "existingrdd" in plan.lower()
