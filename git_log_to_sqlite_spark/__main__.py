@@ -131,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
     config = Config.load(args.config)
     spark = get_spark(
         "git_log_to_sqlite_spark",
-        cpus=args.num_threads,
+        cpus=max(args.num_threads, 1),
         extra_conf={"spark.sql.session.timeZone": "UTC"},
     )
 

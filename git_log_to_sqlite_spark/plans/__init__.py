@@ -53,6 +53,13 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 # Round-3 rotation: fn_higher_order (repaired serialization this round),
 # the new round-3 queries, then the 42 oracle-bearing queries whose last
 # driver-green row is from round 1.
+#
+# ROUND-4 PLAN (the corpus now exceeds 2x the 50-slot gate, so rotation
+# alternates halves): front-load the 46 oracle-bearing names currently
+# past position 50 (last green = round 2) plus AT MOST 4 new queries —
+# exactly 50; round 5 then rotates this round's gated block back.
+# Adding more than 4 new queries in round 4 would push stale names past
+# the cutoff and leave them 3 rounds without a green row.
 _prioritize(
     first=[
         "fn_higher_order",

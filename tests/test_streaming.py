@@ -263,3 +263,27 @@ def test_incremental_gitlog_ingestion(spark, tmp_path):
     ).collect()
     counts = {r["repository"]: r["n"] for r in rows}
     assert counts == {"r1": 2, "r2": 3}
+
+
+def test_gate_streaming_query_runs_state_store(spark, oracle_sf_dir):
+    """The driver-gated streaming queries (plans/stream_queries.py) must
+    exercise the REAL streaming stateful machinery — assert the run's
+    progress reports a state-store operator with retained rows, so the
+    gate row can never silently degrade into a batch shortcut."""
+    from git_log_to_sqlite_spark.plans.registry import table
+    from git_log_to_sqlite_spark.streaming.replay import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    table(spark, oracle_sf_dir, "events")  # owns the nanosAsLong conf
+    s = read_events_stream(
+        spark,
+        f"{oracle_sf_dir}/events.parquet",
+        max_files_per_trigger=1_000_000,
+        raw_nanos=True,
+    )
+    q = run_to_memory(tumbling_counts(s), "state_probe_test", output_mode="complete")
+    ops = [op for pr in q.recentProgress for op in (pr["stateOperators"] or [])]
+    assert any(op["numRowsTotal"] > 0 for op in ops)
