@@ -92,10 +92,20 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return ap.parse_args(argv)
 
 
-def _dump_repo(directory: str, dump_dir: str) -> tuple[str, str] | None:
+def _dump_repo(directory: str, dump_dir: str, index: int) -> tuple[str, str] | None:
     """Run ``git log`` for one candidate directory into
-    ``<dump_dir>/<name>.log``; returns (name, remote_url) or None when
-    the directory is not a usable git repository (→ skipped report)."""
+    ``<dump_dir>/<index>/<name>.log``; returns (name, remote_url) or
+    None when the directory is not a usable git repository (→ skipped
+    report).
+
+    Each dump lands in its own per-directory subfolder: two scanned
+    directories can share a basename (root/a/proj and root/b/proj),
+    and a flat layout would have both threads clobbering one file,
+    silently losing a repository's history. The parser derives the
+    repository name from the FILE basename, so same-named directories
+    still merge under one name key downstream — the reference's own
+    name-keyed behavior — but every commit is parsed.
+    """
     name = os.path.basename(directory.rstrip("/"))
     try:
         log = subprocess.run(
@@ -108,7 +118,9 @@ def _dump_repo(directory: str, dump_dir: str) -> tuple[str, str] | None:
         return None  # not a git repo / empty — reference skips it too
     if not log.strip():
         return None
-    with open(os.path.join(dump_dir, f"{name}.log"), "w", encoding="utf-8") as fh:
+    sub = os.path.join(dump_dir, str(index))
+    os.makedirs(sub, exist_ok=True)
+    with open(os.path.join(sub, f"{name}.log"), "w", encoding="utf-8") as fh:
         fh.write(log)
     url = subprocess.run(
         ("git", "-C", directory, "config", "--get", "remote.origin.url"),
@@ -160,8 +172,13 @@ def main(argv: list[str] | None = None) -> int:
 
     with tempfile.TemporaryDirectory(prefix="gitlog_dump_") as dump_dir:
         with ThreadPoolExecutor(max_workers=max(args.num_threads, 1)) as pool:
-            dumped = list(pool.map(lambda d: _dump_repo(d, dump_dir), directories))
-        repos_meta_rows = [r for r in dumped if r is not None]
+            dumped = list(
+                pool.map(
+                    lambda pair: _dump_repo(pair[1], dump_dir, pair[0]),
+                    enumerate(directories),
+                )
+            )
+        repos_meta_rows = sorted({r for r in dumped if r is not None})
 
         if not repos_meta_rows:
             print(f"# Done in {time.monotonic() - t0:.1f} seconds\n")
@@ -176,8 +193,17 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         repos_meta = spark.createDataFrame(repos_meta_rows, "name string, url string")
-        commits = parse_git_log(spark, dump_dir)
-        result = run_pipeline(spark, commits, repos_meta, scanned, config)
+        commits = parse_git_log(spark, f"{dump_dir}/*/*.log")
+        # Reference parity (analyzer.rs:108-131): the ignore list applies
+        # only to the recursive scan — a non-recursive run analyzes the
+        # root even when its name is listed, so strip the list before the
+        # pipeline's defensive re-filter.
+        pipeline_config = config
+        if not args.recursive and config.ignored_repositories:
+            pipeline_config = Config(
+                ignored_repositories=[], author_map=config.author_map
+            )
+        result = run_pipeline(spark, commits, repos_meta, scanned, pipeline_config)
         write_sqlite(
             args.database,
             result.repositories,

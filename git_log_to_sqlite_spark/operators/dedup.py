@@ -213,13 +213,24 @@ def _quantile_cap(sh: DataFrame, q: float) -> DataFrame:
     tot_w = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # The threshold compare is pure integer arithmetic (cum * den >=
+    # num * tot with q = num/den taken from q's decimal digits), so the
+    # Spark and DuckDB twins can never disagree by a rounding ulp the
+    # way ceil(double * count) can (e.g. 0.9 * 10 = 9.000000000000002
+    # in doubles).
+    from fractions import Fraction
+
+    frac = Fraction(str(q))
     return (
         hist.select(
             "d",
             F.sum("n_sh").over(cum_w).alias("cum"),
             F.sum("n_sh").over(tot_w).alias("tot"),
         )
-        .filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("tot")))
+        .filter(
+            F.col("cum") * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * F.col("tot")
+        )
         .agg(F.min("d").alias("_max_df"))
     )
 
@@ -292,6 +303,12 @@ def ngram_jaccard_pairs(
     ).filter(F.size("ids") >= 2)
     if max_df is not None and max_df_quantile is not None:
         raise ValueError("max_df and max_df_quantile are mutually exclusive")
+    if observation is not None and max_df is None and max_df_quantile is None:
+        raise ValueError(
+            "observation requires a cap (max_df or max_df_quantile); "
+            "without one it would never be attached and Observation.get "
+            "would block/raise far from the cause"
+        )
     cap = None
     if max_df_quantile is not None:
         # 1-row broadcast: every posting row sees the derived cap (a

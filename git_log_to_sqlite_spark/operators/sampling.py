@@ -36,13 +36,23 @@ from pyspark.sql import functions as F
 _TWO_60 = float(1 << 60)
 
 
-def priority_key(id_col: F.Column, weight_col: F.Column) -> F.Column:
-    """-ln(u)/w with u md5-derived from the id — smaller is better."""
+def uniform_key(id_col: F.Column) -> F.Column:
+    """Deterministic uniform in (0, 1] derived from md5 of the id —
+    the seedless coin every sampler here flips. A pure function of the
+    data: reproducible across runs, partitionings, cluster sizes, and
+    engines (DuckDB computes the identical value from the same md5
+    literals, so sampled outputs stay hash-oracle-checkable). This is
+    the ONE place the md5→uniform idiom lives; the DuckDB oracles
+    mirror it byte-for-byte."""
     h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
-    u = (h + F.lit(1.0)) / F.lit(_TWO_60)
-    return -F.log(u) / weight_col
+    return (h + F.lit(1.0)) / F.lit(_TWO_60)
+
+
+def priority_key(id_col: F.Column, weight_col: F.Column) -> F.Column:
+    """-ln(u)/w with u md5-derived from the id — smaller is better."""
+    return -F.log(uniform_key(id_col)) / weight_col
 
 
 def weighted_reservoir(
@@ -72,18 +82,6 @@ def weighted_reservoir(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
-
-
-def uniform_key(id_col: F.Column) -> F.Column:
-    """Deterministic uniform in (0, 1] derived from md5 of the id —
-    the seedless coin every sampler here flips. A pure function of the
-    data: reproducible across runs, partitionings, cluster sizes, and
-    engines (DuckDB computes the identical value from the same md5
-    literals, so sampled outputs stay hash-oracle-checkable)."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    return (h + F.lit(1.0)) / F.lit(_TWO_60)
 
 
 def domain_mix(

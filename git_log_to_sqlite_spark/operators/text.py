@@ -147,13 +147,23 @@ def chunk_documents(
     rows, never the parent documents. Chunk ids are the window index —
     deterministic, so chunk tables are stable join keys across runs.
 
-    Start positions run to the last token (trailing chunks may be
-    shorter than ``chunk_size``; every token is covered at least once),
-    matching the usual text-splitter convention.
+    Start positions stop at the first window that reaches the last
+    token (the final chunk may be shorter than ``chunk_size``; every
+    token is covered at least once and no chunk is a strict subset of
+    its predecessor — the standard text-splitter convention).
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # last start = smallest multiple of stride covering the tail:
+    # ceil((n - chunk_size) / stride) * stride, clamped to >= 0.
+    # floor((x + stride-1)/stride) over small ints is exact in double,
+    # and the DuckDB oracle twin computes the identical expression.
+    last = F.greatest(
+        F.floor((n - F.lit(chunk_size) + F.lit(stride - 1)) / F.lit(stride))
+        * stride,
+        F.lit(0),
+    ).cast("int")
+    starts = F.sequence(F.lit(0), last, F.lit(stride))
     chunk_arr = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
     return df.select(
         F.col(id_col),

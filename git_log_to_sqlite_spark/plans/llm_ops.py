@@ -68,14 +68,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_DF_Q = 0.92
 
 # DuckDB twin of operators.dedup._quantile_cap: smallest d* with
-# cum-count(d <= d*) >= ceil(q * total) over posting lists of length
-# >= 2. Expects a CTE named dfreq(shingle, d) in scope.
+# cum-count(d <= d*) >= q * total over posting lists of length >= 2.
+# The compare is the same integer arithmetic as the Spark side
+# (cum * den >= num * tot, q = num/den from q's decimal digits) so the
+# two engines can never diverge by a double-rounding ulp. Expects a
+# CTE named dfreq(shingle, d) in scope.
+from fractions import Fraction as _Fraction
+
+_Q_FRAC = _Fraction(str(_JACCARD_DF_Q))
 _SQL_DF_CAP = f"""
       SELECT MIN(d) AS max_df FROM (
         SELECT d, SUM(n_sh) OVER (ORDER BY d) AS cum,
                SUM(n_sh) OVER () AS tot
         FROM (SELECT d, COUNT(*) AS n_sh FROM dfreq WHERE d >= 2 GROUP BY d) h) c
-      WHERE cum >= CEIL({_JACCARD_DF_Q} * tot)"""
+      WHERE cum * {_Q_FRAC.denominator} >= {_Q_FRAC.numerator} * tot"""
 
 
 @register(
@@ -684,18 +690,21 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(u.s / 24 AS INT) AS chunk_id,
              t[u.s + 1 : u.s + 32] AS ctoks
-      FROM toks, UNNEST(range(0, greatest(len(t) - 1, 0) + 1, 24)) AS u(s))
+      FROM toks, UNNEST(range(0,
+             CAST(greatest(floor((len(t) - 32 + 23) / 24) * 24, 0) AS BIGINT) + 1,
+             24)) AS u(s))
     SELECT doc_id, chunk_id,
            array_to_string(ctoks, ' ') AS chunk_text,
            CAST(len(ctoks) AS INT) AS chunk_tokens
     FROM ch
     """,
     doc="Sliding-window chunking (operators.text.chunk_documents): "
-    "32-token windows every 24 tokens (8-token overlap) — the "
-    "context-length shaping step of a training/RAG pipeline. The "
-    "fan-out is pure codegen (sequence -> transform-slice -> "
-    "posexplode), zero shuffle: chunking stays map-side and only the "
-    "chunk rows ever partition downstream.",
+    "32-token windows every 24 tokens (8-token overlap), stopping at "
+    "the first window that covers the last token — the context-length "
+    "shaping step of a training/RAG pipeline. The fan-out is pure "
+    "codegen (sequence -> transform-slice -> posexplode), zero "
+    "shuffle: chunking stays map-side and only the chunk rows ever "
+    "partition downstream.",
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import chunk_documents

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .registry import register, table
+from .registry import register
 
 _SINK_SEQ = [0]
 
@@ -59,9 +59,8 @@ def _unique_sink(name: str) -> str:
 def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.replay import read_events_stream, run_to_memory, tumbling_counts
 
-    # table() first: it owns the nanosAsLong session conf the raw
-    # events parquet needs; the stream declares the same raw schema.
-    table(spark, sf_dir, "events")
+    # read_events_stream(raw_nanos=True) sets the nanosAsLong session
+    # conf itself; no batch-side table() read is needed.
     stream = read_events_stream(
         spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000,
         raw_nanos=True,
@@ -96,7 +95,6 @@ def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.replay import read_events_stream, run_to_memory, typed_event_join
 
-    table(spark, sf_dir, "events")
     a = read_events_stream(
         spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000,
         raw_nanos=True,

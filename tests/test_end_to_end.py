@@ -198,3 +198,39 @@ def test_write_delta_gated_on_optional_dep(spark, tmp_path):
     else:
         write_delta(df, str(tmp_path / "t"))
         assert spark.read.format("delta").load(str(tmp_path / "t")).count() == 3
+
+
+def test_cli_duplicate_basename_repos_lose_no_commits(tmp_path):
+    """Two scanned directories sharing a basename (root/a/proj and
+    root/b/proj) must both be parsed — per-directory dump subfolders
+    prevent the flat-file clobbering that silently dropped one repo's
+    history; the histories merge under the one name key (the
+    reference's own name-keyed repositories semantics)."""
+    import sqlite3
+    import subprocess
+    import sys
+
+    root = tmp_path / "root"
+    for parent, n_commits in (("a", 2), ("b", 3)):
+        d = root / parent / "proj"
+        d.mkdir(parents=True)
+        _git(d, "init", "-q")
+        for i in range(n_commits):
+            (d / f"{parent}{i}.txt").write_text(f"{parent} {i}\n")
+            _git(d, "add", f"{parent}{i}.txt")
+            _git(d, "commit", "-q", "-m", f"{parent} commit {i}")
+
+    db = tmp_path / "out.db"
+    proc = subprocess.run(
+        (
+            sys.executable, "-m", "git_log_to_sqlite_spark", str(root),
+            "--recursive", "--max-depth", "2",
+            "--database", str(db), "--num-threads", "4",
+        ),
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM repositories").fetchone()[0] == 1
+    assert con.execute("SELECT COUNT(*) FROM logs").fetchone()[0] == 5
+    con.close()

@@ -504,12 +504,11 @@ def test_chunk_documents_coverage_and_overlap(spark):
     )
     out = chunk_documents(docs, "doc_id", "text", chunk_size=8, stride=4)
     rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
-    assert {(d, c) for d, c in rows} == {
-        (1, 0), (1, 1), (1, 2), (2, 0), (3, 0), (3, 1),
-    }
+    # doc 1 (10 toks): last start = ceil((10-8)/4)*4 = 4 -> two chunks;
+    # doc 3 (exactly 8 toks): one chunk, no redundant tail subset
+    assert {(d, c) for d, c in rows} == {(1, 0), (1, 1), (2, 0), (3, 0)}
     assert rows[(1, 0)]["chunk_text"] == " ".join(f"t{i}" for i in range(8))
     assert rows[(1, 1)]["chunk_text"] == " ".join(f"t{i}" for i in range(4, 10))
-    assert rows[(1, 2)]["chunk_text"] == " ".join(f"t{i}" for i in range(8, 10))
     assert rows[(2, 0)]["chunk_text"] == "a b c"
     assert rows[(2, 0)]["chunk_tokens"] == 3
     # overlap: consecutive chunks share chunk_size - stride tokens
