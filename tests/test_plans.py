@@ -271,3 +271,19 @@ def test_curate_pipeline_two_phase_prefix_sum(spark, sf):
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
     assert any("__ordered_pid" in s for s in specs)
     assert "existingrdd" in plan.lower()
+
+
+def test_gate_prefix_is_hash_checkable_by_construction():
+    """Rotation invariants the external 50-query gate depends on:
+    every name in the enumeration prefix has a DuckDB oracle (the gate
+    hashes values — an oracle-less row renders as an error), and the
+    deliberately oracle-less queries sit strictly past the cutoff."""
+    names = list(plans.REGISTRY)
+    oracles = plans.oracle_map()
+    prefix = names[:50]
+    assert all(n in oracles for n in prefix), [n for n in prefix if n not in oracles]
+    no_oracle = [n for n in names if n not in oracles]
+    assert all(names.index(n) >= 50 for n in no_oracle), no_oracle
+    # duplicate-free and spark/oracle key consistency
+    assert len(names) == len(set(names))
+    assert set(oracles) <= set(names)
