@@ -55,11 +55,12 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 # driver-green row is from round 1.
 #
 # ROUND-4 PLAN (the corpus now exceeds 2x the 50-slot gate, so rotation
-# alternates halves): front-load the 46 oracle-bearing names currently
-# past position 50 (last green = round 2) plus AT MOST 4 new queries —
-# exactly 50; round 5 then rotates this round's gated block back.
-# Adding more than 4 new queries in round 4 would push stale names past
-# the cutoff and leave them 3 rounds without a green row.
+# alternates halves): front-load the 46 oracle-bearing names whose last
+# green row is round 2, PLUS text_clean and events_top_paths (registered
+# late in round 3 past the cutoff — no driver row yet, highest priority)
+# = 48, leaving room for AT MOST 2 brand-new round-4 queries; round 5
+# then rotates this round's gated block back. Overflowing 50 pushes
+# stale names to 3 rounds without a green row.
 _prioritize(
     first=[
         "fn_higher_order",

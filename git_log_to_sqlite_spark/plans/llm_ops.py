@@ -646,6 +646,51 @@ def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_clean",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               'https?://[^ ]+', ' ', 'g'),
+             ' +', ' ', 'g')) AS clean_text,
+           n_chars,
+           CAST(length(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               'https?://[^ ]+', ' ', 'g'),
+             ' +', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+    FROM documents
+    """,
+    doc="Boilerplate stripping — the first transform of a web-corpus "
+    "curation pipeline: drop HTML tags and URLs, collapse runs of "
+    "spaces, trim. Pure regexp_replace chain inside codegen (the "
+    "synthetic corpus is already clean, so the transform is near-"
+    "identity here; the regex paths and char-count deltas are what "
+    "the oracle pins).",
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "<[^>]*>", " "),
+                "https?://[^ ]+",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        "n_chars",
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+@register(
     "sample_domain_mix",
     oracle="""
     WITH keyed AS (

@@ -419,3 +419,39 @@ def events_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT prev AS prev_type, event_type AS next_type,
+           COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Sequential path mining: consecutive event-type transitions per "
+    "user (lag over the per-user time order, ties broken by event_id "
+    "for determinism) aggregated into the corpus transition matrix — "
+    "the navigation-pattern shape behind funnel discovery. One "
+    "exchange on user_id for the lag window, then a partial+final agg "
+    "on the (prev, next) pair.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    return seq.groupBy(
+        F.col("prev").alias("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
