@@ -60,7 +60,26 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 # late in round 3 past the cutoff — no driver row yet, highest priority)
 # = 48, leaving room for AT MOST 2 brand-new round-4 queries; round 5
 # then rotates this round's gated block back. Overflowing 50 pushes
-# stale names to 3 rounds without a green row.
+# stale names to 3 rounds without a green row. The 98-oracle corpus is
+# at the 2x50 saturation point — do NOT register more than 2 further
+# oracle-bearing queries unless the external gate grows.
+#
+# Pre-staged round-4 first list (computed from this round's enumeration;
+# insert up to 2 new round-4 names after events_top_paths):
+#   text_clean, events_top_paths, agg_global, agg_distinct, agg_stats,
+#   events_window_tumbling, events_funnel_depth, events_cohort_retention,
+#   events_window_sliding, fn_cast, fn_array, fn_explode, fn_map,
+#   dedup_exact, dedup_ngram_jaccard, dedup_group_assign,
+#   dedup_minhash_lsh, dedup_minhash_groups, dedup_simhash, text_langid,
+#   text_quality, text_tokens, text_fingerprint, mm_binary_meta,
+#   asof_event_value, text_pii_mask, text_topk_terms, text_tfidf_topk,
+#   text_pack_shards, sample_weighted_reservoir, sim_cosine_topk,
+#   sim_ann_bucketed, sim_pairs_threshold, dedup_embedding_cosine,
+#   sim_centroid_per_label, sim_ann_multiprobe, udf_scalar_python,
+#   udf_pandas_vectorized, udf_grouped_map, udf_grouped_agg,
+#   udf_table_function, udf_native_udtf, udf_map_in_pandas,
+#   sql_correlated_exists, sql_not_exists, sql_scalar_subquery,
+#   sql_correlated_scalar_agg, sql_in_subquery
 _prioritize(
     first=[
         "fn_higher_order",
