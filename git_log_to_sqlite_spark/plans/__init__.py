@@ -50,93 +50,77 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
     REGISTRY.update(ordered)
 
 
-# Round-3 rotation: fn_higher_order (repaired serialization this round),
-# the new round-3 queries, then the 42 oracle-bearing queries whose last
-# driver-green row is from round 1.
-#
-# ROUND-4 PLAN (the corpus now exceeds 2x the 50-slot gate, so rotation
-# alternates halves): front-load the 46 oracle-bearing names whose last
-# green row is round 2, PLUS text_clean and events_top_paths (registered
-# late in round 3 past the cutoff — no driver row yet, highest priority)
-# = 48, leaving room for AT MOST 2 brand-new round-4 queries; round 5
-# then rotates this round's gated block back. Overflowing 50 pushes
-# stale names to 3 rounds without a green row. The 98-oracle corpus is
-# at the 2x50 saturation point — do NOT register more than 2 further
-# oracle-bearing queries unless the external gate grows.
-#
-# Pre-staged round-4 first list (computed from this round's enumeration;
-# insert up to 2 new round-4 names after events_top_paths):
-#   text_clean, events_top_paths, agg_global, agg_distinct, agg_stats,
-#   events_window_tumbling, events_funnel_depth, events_cohort_retention,
-#   events_window_sliding, fn_cast, fn_array, fn_explode, fn_map,
-#   dedup_exact, dedup_ngram_jaccard, dedup_group_assign,
-#   dedup_minhash_lsh, dedup_minhash_groups, dedup_simhash, text_langid,
-#   text_quality, text_tokens, text_fingerprint, mm_binary_meta,
-#   asof_event_value, text_pii_mask, text_topk_terms, text_tfidf_topk,
-#   text_pack_shards, sample_weighted_reservoir, sim_cosine_topk,
-#   sim_ann_bucketed, sim_pairs_threshold, dedup_embedding_cosine,
-#   sim_centroid_per_label, sim_ann_multiprobe, udf_scalar_python,
-#   udf_pandas_vectorized, udf_grouped_map, udf_grouped_agg,
-#   udf_table_function, udf_native_udtf, udf_map_in_pandas,
-#   sql_correlated_exists, sql_not_exists, sql_scalar_subquery,
-#   sql_correlated_scalar_agg, sql_in_subquery
+# Round-4 rotation (executing the plan pre-staged in round 3): the two
+# queries registered past the round-3 cutoff — text_clean and
+# events_top_paths, the only oracle-bearing queries with no driver row
+# in any round — lead the prefix, followed by the 46 oracle-bearing
+# names whose last driver-green row is round 2.  That fills 48 of the
+# 50 gate slots; the 2 free slots hold this round's (at most) 2 new
+# oracle queries, inserted right after events_top_paths.  Round 5 then
+# rotates the round-3-gated block back to the front.  The 98-oracle
+# corpus is at the 2x50 gate saturation point — adding more than 2 new
+# oracle-bearing queries per round pushes stale names past two rounds
+# without a green row; do not grow the corpus faster than the gate.
 _prioritize(
     first=[
-        "fn_higher_order",
-        # --- round-3 additions (must be in the gate prefix) ---
-        "stream_tumbling_replay",
-        "stream_join_replay",
-        "text_chunk_overlap",
-        "pipeline_curate_corpus",
-        "sample_domain_mix",
-        "dedup_embedding_groups",
-        # --- round-1-gated tail: joins ---
-        "join_revenue_per_customer",
-        "join_region_revenue",
-        "join_left_outer",
-        "join_right_outer",
-        "join_full_outer",
-        "join_merge_hint",
-        "join_semi",
-        "join_anti",
-        "join_cross",
-        "join_self_nation_pairs",
-        "join_range_bands",
-        "join_asof_last_event",
-        # --- aggregation ---
-        "agg_percentiles",
-        "agg_rollup",
-        "agg_cube",
-        "agg_grouping_sets",
-        "agg_pivot",
-        "agg_collect_sorted",
-        "agg_salted_skew",
-        "dedup_dropduplicates_subset",
-        # --- sort / limit / set ops ---
-        "sort_topk_orders",
-        "sort_multikey_nulls",
-        "setop_union",
-        "setop_intersect",
-        "setop_except",
-        "setop_intersect_all",
-        "setop_except_all",
-        # --- windows / events ---
-        "win_ranking_suite",
-        "win_lag_lead",
-        "win_first_last_nth",
-        "win_running_frames",
-        "win_range_between",
-        "win_topk_per_group",
-        "win_time_bucket",
-        "events_sessionize",
+        # --- no driver row yet (registered past the round-3 cutoff) ---
+        "text_clean",
+        "events_top_paths",
+        # --- round-4 additions (the 2 free slots) ---
+        # (inserted here as they land)
+        # --- round-2-gated block: aggregation / events ---
+        "agg_global",
+        "agg_distinct",
+        "agg_stats",
+        "events_window_tumbling",
+        "events_funnel_depth",
+        "events_cohort_retention",
+        "events_window_sliding",
         # --- scalar fns ---
-        "fn_strings",
-        "fn_regex",
-        "fn_dates",
-        "fn_math",
-        "fn_conditional",
-        "fn_json",
-        "fn_from_json_struct",
+        "fn_cast",
+        "fn_array",
+        "fn_explode",
+        "fn_map",
+        # --- dedup family ---
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_group_assign",
+        "dedup_minhash_lsh",
+        "dedup_minhash_groups",
+        "dedup_simhash",
+        # --- text analysis ---
+        "text_langid",
+        "text_quality",
+        "text_tokens",
+        "text_fingerprint",
+        "mm_binary_meta",
+        "asof_event_value",
+        "text_pii_mask",
+        "text_topk_terms",
+        "text_tfidf_topk",
+        "text_pack_shards",
+        "sample_weighted_reservoir",
+        # --- similarity ---
+        "sim_cosine_topk",
+        "sim_ann_bucketed",
+        "sim_pairs_threshold",
+        "dedup_embedding_cosine",
+        "sim_centroid_per_label",
+        "sim_ann_multiprobe",
+        # --- UDF surface ---
+        "udf_scalar_python",
+        "udf_pandas_vectorized",
+        "udf_grouped_map",
+        "udf_grouped_agg",
+        "udf_table_function",
+        "udf_native_udtf",
+        "udf_map_in_pandas",
+        # --- subqueries ---
+        "sql_correlated_exists",
+        "sql_not_exists",
+        "sql_scalar_subquery",
+        "sql_correlated_scalar_agg",
+        "sql_in_subquery",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /
