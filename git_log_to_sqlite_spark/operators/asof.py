@@ -92,8 +92,12 @@ def asof_join(
     for c in value_cols:
         v = F.col(f"_f_{c}")
         if tolerance_seconds is not None:
+            # Leading TIMESTAMP cast makes the distance NTZ-proof (a
+            # direct double cast on TIMESTAMP_NTZ throws); on numeric
+            # epoch-seconds columns the round-trip is value-preserving.
             dist = F.abs(
-                F.col("_qts").cast("double") - F.col("_f___mts").cast("double")
+                F.col("_qts").cast("timestamp").cast("double")
+                - F.col("_f___mts").cast("timestamp").cast("double")
             )
             v = F.when(dist <= tolerance_seconds, v)
         out_vals.append(v.alias(f"{c}{suffix}"))

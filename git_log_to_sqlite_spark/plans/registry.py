@@ -66,11 +66,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. Plain parquet read — filters/projections
     in the calling query push down into this scan.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; it is read as raw nanos (legacy conf) and converted
-    with integer division (a double division would lose precision on
-    1e18-scale nanos). DuckDB truncates the same nanos to micros, so
-    both engines see identical timestamps.
+    ``events.ts`` is normalized to TIMESTAMP here — the single choke
+    point — whatever the producer's physical encoding, because upstream
+    writers change encodings over time (this repo has seen both):
+
+    * ``TIMESTAMP(NANOS)``: Spark's parquet reader rejects it natively;
+      read as raw nanos (legacy conf) and converted with integer
+      division (a double division would lose precision on 1e18-scale
+      nanos). DuckDB truncates the same nanos to micros — identical.
+    * ``timestamp[us]`` with no timezone (Spark TIMESTAMP_NTZ): cast to
+      session-TZ TIMESTAMP. The session TZ is pinned to UTC, so the
+      wall-clock reading — and therefore the epoch value DuckDB's naive
+      TIMESTAMP read produces — is unchanged.
+    * ``timestamp[us, tz=UTC]`` (plain TIMESTAMP): passthrough.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
@@ -78,7 +86,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)

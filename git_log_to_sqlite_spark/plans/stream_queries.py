@@ -59,11 +59,10 @@ def _unique_sink(name: str) -> str:
 def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.replay import read_events_stream, run_to_memory, tumbling_counts
 
-    # read_events_stream(raw_nanos=True) sets the nanosAsLong session
-    # conf itself; no batch-side table() read is needed.
+    # read_events_stream probes the parquet footer itself and declares
+    # the matching schema; no batch-side table() read is needed.
     stream = read_events_stream(
-        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000,
-        raw_nanos=True,
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000
     )
     sink = _unique_sink("stream_tumbling_replay")
     run_to_memory(tumbling_counts(stream), sink, output_mode="complete")
@@ -96,12 +95,10 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.replay import read_events_stream, run_to_memory, typed_event_join
 
     a = read_events_stream(
-        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000,
-        raw_nanos=True,
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000
     )
     b = read_events_stream(
-        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000,
-        raw_nanos=True,
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000
     )
     sink = _unique_sink("stream_join_replay")
     run_to_memory(typed_event_join(a, b), sink, output_mode="append")

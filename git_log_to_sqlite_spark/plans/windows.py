@@ -18,6 +18,15 @@ from .registry import register, table
 from .relational import _DSUM, dsum
 
 
+def _epoch_seconds(col):
+    """Fractional epoch seconds from any timestamp flavor. The leading
+    TIMESTAMP cast makes the expression NTZ-proof: ``CAST(ntz AS
+    DOUBLE)`` throws DATATYPE_MISMATCH, while NTZ -> TIMESTAMP is legal
+    and (with the session TZ pinned to UTC) preserves the wall clock.
+    On an already-TIMESTAMP column the extra cast folds away."""
+    return col.cast("timestamp").cast("double")
+
+
 @register(
     "win_topk_per_group",
     oracle="""
@@ -250,8 +259,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    gap = _epoch_seconds(F.col("ts")) - _epoch_seconds(F.lag(F.col("ts")).over(w))
+    new_session = F.when(gap.isNull() | (gap > 30 * 60.0), 1).otherwise(0)
     return (
         e.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(w_run).cast("int"))
@@ -381,7 +390,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_trunc("week", "first_ts").alias("cohort_week"),
             F.floor(
-                (F.col("ts").cast("double") - F.col("first_ts").cast("double"))
+                (_epoch_seconds(F.col("ts")) - _epoch_seconds(F.col("first_ts")))
                 / 604800.0
             )
             .cast("int")

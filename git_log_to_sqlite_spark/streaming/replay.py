@@ -18,58 +18,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Physical schema of the events parquet: ts is TIMESTAMP(NANOS), which
-# Spark reads as raw LongType nanos under the legacy conf.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# TIMESTAMP(NANOS) files: Spark reads ts as raw LongType nanos under
+# the legacy conf.
+EVENTS_RAW_SCHEMA = _events_schema(T.LongType())
+
+# timestamp[us] with no timezone: Spark reads TIMESTAMP_NTZ.
+EVENTS_NTZ_SCHEMA = _events_schema(T.TimestampNTZType())
+
+# timestamp[us, tz=UTC] / re-materialized event parquet: TIMESTAMP.
+EVENTS_SCHEMA = _events_schema(T.TimestampType())
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """nanos (long) -> TimestampType event time (integer division —
-    a double division would lose precision on 1e18-scale nanos)."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize ``ts`` to TimestampType event time from any physical
+    encoding: raw nanos (integer division — a double division would
+    lose precision on 1e18-scale nanos) or TIMESTAMP_NTZ (cast under
+    the UTC session TZ, wall clock preserved)."""
+    ts_dtype = dict(df.dtypes).get("ts")
+    if ts_dtype == "bigint":
         return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
-
-
-# Schema of re-materialized event parquet (normal TIMESTAMP ts).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
 
 
 def read_events_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int = 1,
-    raw_nanos: bool = False,
 ) -> DataFrame:
     """Replay parquet file(s) as a stream, one micro-batch per file.
 
-    ``raw_nanos=True`` reads the driver's original events.parquet
-    (physical TIMESTAMP(NANOS) -> long under the legacy conf, then
-    converted); the default expects normal TIMESTAMP files (e.g. the
-    test replay fixtures). File-source schemas are declared, never
-    inferred — a schema mismatch reads garbage silently.
+    File-source schemas must be declared, never inferred — and a
+    declared schema that disagrees with the file's physical encoding
+    reads garbage **silently** (a LongType declaration over micros
+    files yields values 1000x off, no error). So the encoding is never
+    a caller-supplied flag: a one-time driver-side footer probe (a
+    batch ``spark.read.parquet`` touches only metadata) picks the
+    matching declared schema, and ``with_event_time`` normalizes to
+    TIMESTAMP. Upstream writers have switched encodings before
+    (TIMESTAMP(NANOS) -> timestamp[us]); this probe is what survives
+    the next switch.
     """
-    if raw_nanos:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    if probed == "bigint":
         schema = EVENTS_RAW_SCHEMA
+    elif probed == "timestamp_ntz":
+        schema = EVENTS_NTZ_SCHEMA
     else:
         schema = EVENTS_SCHEMA
     reader = spark.readStream.schema(schema).option(

@@ -1,0 +1,162 @@
+"""Event-time ingestion must survive upstream parquet-writer changes.
+
+The driver's ``events.parquet`` has already shipped in two physical
+encodings across rounds — TIMESTAMP(NANOS) (Spark reads raw bigint
+nanos under the legacy conf) and plain ``timestamp[us]`` (Spark reads
+TIMESTAMP_NTZ) — and a third (``timestamp[us, tz=UTC]`` -> TIMESTAMP)
+is the natural next one.  The round-4 regression (4 queries red, one
+silently 1000x off, bench crashed) came from code assuming a single
+encoding.  This suite pins the fix: the same logical events land in
+ALL THREE encodings, and every event-time query plus the streaming
+replay source must produce identical results on each.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from git_log_to_sqlite_spark.plans import REGISTRY
+from git_log_to_sqlite_spark.plans.registry import table
+
+BASE = dt.datetime(2024, 3, 1, 12, 0, 0)
+# Gaps straddle the 30-minute session boundary and a week boundary so
+# sessionize/cohort actually exercise their arithmetic.
+_OFFSETS_S = [0, 60, 45 * 60, 46 * 60, 8 * 86400, 8 * 86400 + 10]
+_ROWS = [
+    {
+        "event_id": i + 1,
+        "ts": BASE + dt.timedelta(seconds=off + 7 * u),
+        "user_id": u,
+        "event_type": ["view", "click", "purchase"][i % 3],
+        "value": float(i) + 0.25,
+        "props": '{"k": %d}' % i,
+    }
+    for u in (1, 2)
+    for i, off in enumerate(_OFFSETS_S)
+]
+
+ENCODINGS = {
+    "nanos": pa.timestamp("ns"),
+    "micros_ntz": pa.timestamp("us"),
+    "micros_utc": pa.timestamp("us", tz="UTC"),
+}
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    """One sf_dir per physical ts encoding, same logical rows."""
+    dirs = {}
+    for name, ts_type in ENCODINGS.items():
+        d = tmp_path_factory.mktemp(f"enc_{name}")
+        arrays = {
+            "event_id": pa.array([r["event_id"] for r in _ROWS], pa.int64()),
+            "ts": pa.array([r["ts"] for r in _ROWS], ts_type),
+            "user_id": pa.array([r["user_id"] for r in _ROWS], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in _ROWS], pa.string()),
+            "value": pa.array([r["value"] for r in _ROWS], pa.float64()),
+            "props": pa.array([r["props"] for r in _ROWS], pa.string()),
+        }
+        pq.write_table(pa.table(arrays), str(d / "events.parquet"))
+        dirs[name] = str(d)
+    return dirs
+
+
+def _canon(df):
+    rows = [tuple(r) for r in df.collect()]
+    return sorted(rows)
+
+
+def test_table_normalizes_every_encoding_to_timestamp(spark, encoded_dirs):
+    for name, d in encoded_dirs.items():
+        df = table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        assert df.count() == len(_ROWS), name
+
+
+def test_table_wall_clock_identical_across_encodings(spark, encoded_dirs):
+    results = {
+        name: _canon(table(spark, d, "events").select("event_id", "ts"))
+        for name, d in encoded_dirs.items()
+    }
+    assert results["nanos"] == results["micros_ntz"] == results["micros_utc"]
+
+
+EVENT_QUERIES = [
+    "events_sessionize",
+    "events_cohort_retention",
+    "events_window_tumbling",
+    "events_funnel_depth",
+    "events_top_paths",
+]
+
+
+@pytest.mark.parametrize("qname", EVENT_QUERIES)
+def test_event_queries_identical_across_encodings(spark, encoded_dirs, qname):
+    fn = REGISTRY[qname].fn
+    results = {name: _canon(fn(spark, d)) for name, d in encoded_dirs.items()}
+    assert results["nanos"] == results["micros_ntz"], qname
+    assert results["nanos"] == results["micros_utc"], qname
+    # and not vacuously empty
+    assert len(results["nanos"]) > 0, qname
+
+
+def test_asof_tolerance_branch_is_ntz_proof(spark, encoded_dirs):
+    """The tolerance bound casts timestamps to a numeric distance; fed a
+    TIMESTAMP_NTZ column the old double cast threw DATATYPE_MISMATCH.
+    Run the tolerance branch over the raw (un-normalized) NTZ read and
+    the normalized TIMESTAMP read and require identical matches."""
+    from pyspark.sql import functions as F
+
+    from git_log_to_sqlite_spark.operators.asof import asof_join
+
+    ntz_raw = spark.read.parquet(f"{encoded_dirs['micros_ntz']}/events.parquet")
+    assert dict(ntz_raw.dtypes)["ts"] == "timestamp_ntz"
+    norm = table(spark, encoded_dirs["micros_ntz"], "events")
+
+    def run(events):
+        left = events.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = events.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("vts"), F.col("value").alias("vval"),
+            F.col("event_id").alias("vid"),
+        )
+        out = asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="vts",
+            value_cols=["vval"], tie_col="vid", tolerance_seconds=3600.0,
+        )
+        return sorted(
+            (r["event_id"], r["user_id"], r["vval_asof"]) for r in out.collect()
+        )
+
+    got_ntz, got_norm = run(ntz_raw), run(norm)
+    assert got_ntz == got_norm
+    matched = [v for _, _, v in got_norm if v is not None]
+    nulled = [v for _, _, v in got_norm if v is None]
+    assert matched and nulled  # the bound both keeps and rejects matches
+
+
+@pytest.mark.parametrize("enc", list(ENCODINGS))
+def test_stream_replay_probe_reads_every_encoding(spark, encoded_dirs, enc):
+    """The footer probe must declare the matching schema per encoding —
+    a wrong declaration reads garbage silently (the round-4 failure:
+    LongType over micros files = values 1000x off)."""
+    from git_log_to_sqlite_spark.streaming.replay import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    s = read_events_stream(
+        spark, f"{encoded_dirs[enc]}/events.parquet", max_files_per_trigger=1_000_000
+    )
+    sink = f"enc_probe_{enc}"
+    run_to_memory(tumbling_counts(s), sink, output_mode="complete")
+    got = _canon(spark.table(sink))
+    want = _canon(tumbling_counts(table(spark, encoded_dirs[enc], "events")))
+    assert got == want
+    assert len(got) > 0

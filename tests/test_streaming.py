@@ -282,7 +282,6 @@ def test_gate_streaming_query_runs_state_store(spark, oracle_sf_dir):
         spark,
         f"{oracle_sf_dir}/events.parquet",
         max_files_per_trigger=1_000_000,
-        raw_nanos=True,
     )
     q = run_to_memory(tumbling_counts(s), "state_probe_test", output_mode="complete")
     ops = [op for pr in q.recentProgress for op in (pr["stateOperators"] or [])]
