@@ -53,35 +53,46 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = plans.REGISTRY[name].fn
         runs = []
         # min-of-3: run 1 pays codegen/compile; runs 2-3 absorb this
         # box's +/-2x contention swings on the shuffle-heavy queries
         # (measured: identical code, 1.6s-8.0s across back-to-back runs)
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
-        # operators that persist intermediates (minhash signatures) must
-        # not bleed executor memory into later queries' numbers
-        spark.catalog.clearCache()
+        # Per-query containment: one failing query records an error
+        # field instead of aborting the suite — a single regression
+        # must never zero the whole round's perf signal.
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            print(f"  {name}: FAILED ({errors[name]})", file=sys.stderr)
+            continue
+        finally:
+            # operators that persist intermediates (minhash signatures)
+            # must not bleed executor memory into later queries' numbers
+            spark.catalog.clearCache()
         print(f"  {name}: {timings[name]:.3f}s (runs: {[f'{r:.2f}' for r in runs]})",
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        # value covers only completed queries — flag the gap loudly.
+        out["errors"] = errors
+        out["incomplete"] = True
+    print(json.dumps(out))
     spark.stop()
 
 
