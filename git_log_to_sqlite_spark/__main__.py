@@ -181,6 +181,13 @@ def main(argv: list[str] | None = None) -> int:
         repos_meta_rows = sorted({r for r in dumped if r is not None})
 
         if not repos_meta_rows:
+            if args.clear:
+                # Reference parity: truncation happens during prepare,
+                # before scanning (analyzer.rs:190-194) — an empty scan
+                # must still purge.
+                from .etl.writers import clear_sqlite
+
+                clear_sqlite(args.database)
             print(f"# Done in {time.monotonic() - t0:.1f} seconds\n")
             print("# 0 repositories in the table\n\n\n")
             print(f"# {len(ignored)} ignored repositories:\n\n{', '.join(ignored)}\n")

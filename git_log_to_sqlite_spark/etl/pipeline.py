@@ -63,11 +63,17 @@ def build_repositories(repos_meta: DataFrame) -> DataFrame:
     dimension (one row per scanned repo — thousands at most), not a
     fact table; data-sized id assignment uses
     operators.ordered.ordered_row_number (see build_changed_files).
+    partitionBy(lit(0)) declares the single group explicitly so
+    WindowExec doesn't warn about it.
     """
-    w = Window.orderBy("name")
+    w = Window.partitionBy(F.lit(0)).orderBy("name")
     return (
         repos_meta.select("name", "url")
-        .dropDuplicates(["name"])
+        # Deterministic survivor rule for duplicate-basename repos:
+        # the minimum non-null url wins (dropDuplicates would keep an
+        # arbitrary row, so re-runs could flip the stored url).
+        .groupBy("name")
+        .agg(F.min("url").alias("url"))
         .select(
             F.row_number().over(w).cast("long").alias("id"),
             F.col("name"),

@@ -87,6 +87,22 @@ def write_delta(
     writer.save(path)
 
 
+def clear_sqlite(db_path: str) -> None:
+    """R23 standalone: DDL + truncate the three tables (analyzer.rs:
+    190-194). The reference truncates during prepare, BEFORE any repo
+    is scanned — so ``--clear`` must purge even when the scan then
+    finds nothing to store."""
+    con = sqlite3.connect(db_path)
+    try:
+        for ddl in _DDL:
+            con.execute(ddl)
+        for table in ("changed_files", "logs", "repositories"):
+            con.execute(f"DELETE FROM {table}")
+        con.commit()
+    finally:
+        con.close()
+
+
 def write_sqlite(
     db_path: str,
     repositories: DataFrame,

@@ -209,8 +209,16 @@ def _quantile_cap(sh: DataFrame, q: float) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    cum_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot_w = Window.partitionBy().rowsBetween(
+    # partitionBy(lit(0)) = the same single-group window, but with an
+    # explicit (constant) partition spec so WindowExec doesn't emit its
+    # move-everything-to-one-partition warning on every bench/gate run —
+    # the boundedness argument above is the reason one partition is OK.
+    cum_w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(F.lit(0)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     # The threshold compare is pure integer arithmetic (cum * den >=

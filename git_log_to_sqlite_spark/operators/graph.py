@@ -82,6 +82,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge
     DataFrame. Returns ``(node, component)`` where ``component`` is the
@@ -92,6 +93,10 @@ def connected_components(
     ``max_rounds`` (default 25, enough for any realistic graph) passes
     without reaching the fixpoint rather than returning a possibly
     wrong labeling.
+
+    ``stats``, when supplied, receives ``{"rounds": <int>}`` — the
+    number of large+small-star rounds executed before the fixpoint —
+    so tests can pin the convergence bound (tests/test_graph.py).
 
     Nodes only ever appearing as isolated vertices must be handled by
     the caller (see :func:`assign_dedup_groups`): an edge list cannot
@@ -119,14 +124,18 @@ def connected_components(
     ).localCheckpoint(eager=True)
     cur_sig = _signature(cur)
     converged = cur_sig[0] == 0
+    rounds = 0
     for _ in range(max_rounds):
         if converged:
             break
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        rounds += 1
         nxt_sig = _signature(nxt)
         if nxt_sig == cur_sig and nxt.exceptAll(cur).isEmpty():
             converged = True
         cur, cur_sig = nxt, nxt_sig
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"

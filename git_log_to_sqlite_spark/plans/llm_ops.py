@@ -794,23 +794,63 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    return curate_corpus(d)
+
+
+def curate_corpus(d: DataFrame, telemetry: dict | None = None) -> DataFrame:
+    """The curation plan behind ``pipeline_curate_corpus``.
+
+    ``telemetry``, when supplied, is populated with named
+    ``pyspark.sql.Observation`` objects — ``input`` / ``post_filter`` /
+    ``post_dedup`` row (and token) counts collected as CollectMetrics
+    nodes INSIDE the single plan execution, the retention accounting a
+    production curation run reports without re-running any stage
+    (each ``Observation.get`` blocks until the query's action runs).
+    """
+    from pyspark.sql import Observation
+
+    def _observe(df: DataFrame, name: str, *metrics) -> DataFrame:
+        if telemetry is None:
+            return df
+        obs = Observation(name)
+        telemetry[name] = obs
+        return df.observe(obs, *metrics)
+
+    d = _observe(d, "input", F.count(F.lit(1)).alias("rows"))
     toks = F.size(F.split(F.col("text"), " "))
     kept = d.filter(
         (F.col("lang") == "en")
         & F.col("n_chars").between(100, 20000)
         & (toks >= 20)
     ).select(F.md5("text").alias("_fp"), "doc_id", toks.alias("n_tokens"))
+    kept = _observe(
+        kept,
+        "post_filter",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_tokens").alias("tokens"),
+    )
     surv = kept.groupBy("_fp").agg(
         F.min("doc_id").alias("doc_id"),
         F.min("n_tokens").alias("n_tokens"),
         F.count("*").alias("n_copies"),
     ).drop("_fp")
     packed = ordered_running_sum(surv, ["doc_id"], "n_tokens", out_col="cum")
-    return packed.select(
+    out = packed.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "n_copies",
         F.floor((F.col("cum") - 1) / 2048).cast("int").alias("shard_id"),
+    )
+    # The dedup-stage metrics ride on the FINAL select, which is
+    # row-and-token-preserving over the dedup output. They must NOT sit
+    # directly below ordered_running_sum: repartitionByRange runs a
+    # range-bound SAMPLING job over its child first, so a mid-plan
+    # CollectMetrics there fires twice per action (observed 2x counts).
+    return _observe(
+        out,
+        "post_dedup",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_tokens").alias("tokens"),
     )
 
 

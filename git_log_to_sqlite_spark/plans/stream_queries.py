@@ -70,6 +70,50 @@ def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_replay",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Streaming session windows end-to-end at the gate "
+    "(streaming/replay.py session_agg): events replayed via readStream "
+    "-> withWatermark -> session_window(ts, 30 min) stateful "
+    "aggregation -> memory sink. The oracle rebuilds gap sessions with "
+    "the lag-gap + running-sum composition; note the break condition "
+    "is >= gap (session_window merges HALF-OPEN [ts, ts+gap) "
+    "intervals, so an event landing exactly gap after its predecessor "
+    "opens a NEW session — the one-sided difference from "
+    "events_sessionize's strict > lag-gap semantics), and the window "
+    "end is last_event + gap.",
+)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.replay import read_events_stream, run_to_memory, session_agg
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000
+    )
+    sink = _unique_sink("stream_session_replay")
+    run_to_memory(session_agg(stream), sink, output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
     "stream_join_replay",
     oracle="""
     SELECT a.user_id AS a_user,

@@ -4,8 +4,10 @@ must match exact transitive closure on any graph shape)."""
 
 from __future__ import annotations
 
+import math
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from git_log_to_sqlite_spark.operators.graph import (
@@ -105,3 +107,24 @@ def test_assign_dedup_groups_singletons_and_survivors(spark):
         F.sum(F.col("is_survivor").cast("int")).alias("n")
     )
     assert all(r["n"] == 1 for r in surv.collect())
+
+
+@pytest.mark.parametrize("n", [16, 256, 1024])
+def test_chain_convergence_rounds_logarithmic(spark, n):
+    """Large-star/small-star must converge in O(log^2 n) rounds; the
+    longest-chain graph is the adversarial case (diameter n-1, where
+    naive label propagation needs ~n/2 rounds). Empirically the
+    implementation tracks log2(n)+1 on chains (4/5/7/9/11 rounds for
+    n=8/16/64/256/1024); the pinned bound ceil(log2 n)+3 leaves one
+    round of headroom while still failing loudly for anything
+    super-logarithmic — an O(sqrt n) regression needs 32 rounds at
+    n=1024, an O(n) one 500+."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats = {}
+    out = connected_components(edges, stats=stats)
+    assert out.count() == n
+    assert out.filter("component != 0").count() == 0
+    bound = math.ceil(math.log2(n)) + 3
+    assert stats["rounds"] <= bound, (n, stats["rounds"], bound)

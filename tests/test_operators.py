@@ -534,3 +534,37 @@ def test_domain_mix_rates_and_determinism(spark):
     # pure function of the data: second run identical
     b = {r["id"] for r in domain_mix(df, "id", "dom", rates, 0.25).collect()}
     assert set(kept) == b
+
+
+def test_curate_corpus_retention_telemetry(spark, oracle_sf_dir):
+    """The curation pipeline's Observation metrics must report the
+    input -> post-filter -> post-dedup retention funnel from INSIDE the
+    single plan execution (CollectMetrics, no stage re-runs), and the
+    numbers must equal independently recomputed stage counts."""
+    from git_log_to_sqlite_spark.plans.llm_ops import curate_corpus
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    d = table(spark, oracle_sf_dir, "documents")
+    telemetry = {}
+    out = curate_corpus(d, telemetry=telemetry)
+    packed_rows = out.count()  # the one action; metrics ride along
+
+    got = {name: obs.get for name, obs in telemetry.items()}
+    assert set(got) == {"input", "post_filter", "post_dedup"}
+
+    toks = F.size(F.split(F.col("text"), " "))
+    kept = d.filter(
+        (F.col("lang") == "en")
+        & F.col("n_chars").between(100, 20000)
+        & (toks >= 20)
+    )
+    n_input = d.count()
+    n_kept = kept.count()
+    n_surv = kept.select(F.md5("text")).distinct().count()
+
+    assert got["input"]["rows"] == n_input
+    assert got["post_filter"]["rows"] == n_kept
+    assert got["post_dedup"]["rows"] == n_surv == packed_rows
+    # funnel is monotone and the dedup stage conserves nothing it shouldn't
+    assert n_input >= n_kept >= n_surv > 0
+    assert got["post_filter"]["tokens"] >= got["post_dedup"]["tokens"] > 0
