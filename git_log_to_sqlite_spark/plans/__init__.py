@@ -66,6 +66,17 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 # all three rotate back in round 6 with the round-4 block.  The
 # 100-oracle corpus stays at the 2x50 gate saturation point — do not
 # grow the corpus faster than the gate.
+#
+# Pre-staged round-6 rotation: text_chunk_overlap first (its last
+# driver row is round 3 — the oldest in the corpus after this round),
+# then agg_pricing_summary + agg_percentiles (round-4 rows), then the
+# round-4-gated block (text_clean, events_top_paths, agg_global,
+# agg_distinct, agg_stats, events_window_tumbling, events_funnel_depth,
+# events_window_sliding, fn_cast/array/explode/map, the dedup family,
+# text analysis, mm_binary_meta, asof_event_value, similarity, UDFs,
+# subqueries — the current post-prefix order, 45 names after removing
+# events_cohort_retention which re-verifies this round).  3+45 = 48
+# slots; at most 2 new round-6 oracle queries take the remaining 2.
 _prioritize(
     first=[
         # --- repaired this round; driver must re-verify first ---
