@@ -5,6 +5,8 @@ oracle can't state."""
 
 from __future__ import annotations
 
+import random
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -568,3 +570,62 @@ def test_curate_corpus_retention_telemetry(spark, oracle_sf_dir):
     # funnel is monotone and the dedup stage conserves nothing it shouldn't
     assert n_input >= n_kept >= n_surv > 0
     assert got["post_filter"]["tokens"] >= got["post_dedup"]["tokens"] > 0
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Equivalence against an independent reference implementation:
+    pandas.merge_asof computes the same nearest-prior/next semantics
+    with a completely different algorithm (sorted merge scan vs the
+    union + last(ignorenulls) window). 200 random queries x 200 random
+    points across 8 keys, both directions, with and without tolerance;
+    any drift in boundary handling (ties, exact-equal timestamps,
+    out-of-tolerance nulling) fails loudly."""
+    import pandas as pd
+
+    from git_log_to_sqlite_spark.operators.asof import asof_join
+
+    rng = random.Random(20240813)
+    n_keys = 8
+    left_rows = [
+        (i, rng.randrange(n_keys), rng.randrange(0, 100_000))
+        for i in range(200)
+    ]
+    right_rows = [
+        (j, rng.randrange(n_keys), rng.randrange(0, 100_000), float(j))
+        for j in range(200)
+    ]
+    # force some exact-equal timestamps across sides (boundary case)
+    for k in range(20):
+        qid, key, ts = left_rows[k]
+        right_rows[k] = (right_rows[k][0], key, ts, right_rows[k][3])
+
+    left = spark.createDataFrame(left_rows, "qid long, k long, ts long")
+    right = spark.createDataFrame(right_rows, "rid long, k long, rts long, val double")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 5_000.0):
+            got = asof_join(
+                left, right, key="k", left_ts="ts", right_ts="rts",
+                value_cols=["val"], tie_col="rid",
+                direction=direction, tolerance_seconds=tol,
+            )
+            got_map = {r["qid"]: r["val_asof"] for r in got.collect()}
+
+            lpd = pd.DataFrame(left_rows, columns=["qid", "k", "ts"]).sort_values("ts")
+            # pandas breaks right-side ts ties by position: sort so the
+            # LAST row at each (k, rts) is the max rid — the survivor
+            # rule tie_col="rid" (highest wins) declares.
+            rpd = (
+                pd.DataFrame(right_rows, columns=["rid", "k", "rts", "val"])
+                .sort_values(["rts", "rid"])
+            )
+            want_df = pd.merge_asof(
+                lpd, rpd, left_on="ts", right_on="rts", by="k",
+                direction=direction,
+                tolerance=int(tol) if tol is not None else None,
+            )
+            want = {
+                int(r.qid): (None if pd.isna(r.val) else float(r.val))
+                for r in want_df.itertuples()
+            }
+            assert got_map == want, (direction, tol)
