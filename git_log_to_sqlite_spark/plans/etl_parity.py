@@ -146,14 +146,25 @@ _ORACLE_SQL = f"""
 
 
 def _write_fixture_dir() -> str:
-    d = tempfile.mkdtemp(prefix="etl_parity_")
+    """Materialize the fixture logs at a content-addressed stable path:
+    repeated gate/bench/test invocations in one session (or machine)
+    reuse the same directory instead of accumulating mkdtemp leftovers,
+    and a content change gets a fresh path by construction."""
+    import hashlib
+
+    payload = "\x00".join((_ALPHA_LOG, _BETA_LOG, _IGNORED_LOG)).encode()
+    digest = hashlib.md5(payload).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"etl_parity_{digest}")
+    os.makedirs(d, exist_ok=True)
     for name, text in (
         ("alpha", _ALPHA_LOG),
         ("beta", _BETA_LOG),
         ("ignored-repo", _IGNORED_LOG),
     ):
-        with open(os.path.join(d, f"{name}.log"), "w", encoding="utf-8") as fh:
-            fh.write(text)
+        path = os.path.join(d, f"{name}.log")
+        if not os.path.exists(path):
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(text)
     return d
 
 
