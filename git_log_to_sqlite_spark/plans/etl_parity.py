@@ -162,9 +162,24 @@ def _write_fixture_dir() -> str:
         ("ignored-repo", _IGNORED_LOG),
     ):
         path = os.path.join(d, f"{name}.log")
-        if not os.path.exists(path):
-            with open(path, "w", encoding="utf-8") as fh:
+        # Atomic create-or-verify: the digest names the *intended*
+        # content, not what's on disk — a file truncated by a crashed
+        # run (or pre-created by another tenant of the shared tempdir)
+        # must not be trusted just because the path exists. Write to a
+        # unique temp file and os.replace() into place so readers never
+        # observe a partial file; if the path exists, verify its bytes.
+        if os.path.exists(path):
+            with open(path, "r", encoding="utf-8") as fh:
+                if fh.read() == text:
+                    continue
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
                 fh.write(text)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return d
 
 
@@ -211,3 +226,95 @@ def etl_logs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_files"), F.lit(0)).cast("long").alias("n_files"),
         )
     )
+
+
+# --- multi-repo dimension parity (round 6) -----------------------------
+#
+# Exercises the two load-stage paths etl_logs_parity does not reach:
+#
+# * duplicate-basename repositories collapsing to ONE keyed row with
+#   the deterministic min(url) survivor — the fixed-by-design
+#   replacement for the reference's `INSERT OR IGNORE` on a non-unique
+#   name column (analyzer.rs:300-303), which duplicates rows on re-run
+#   and keeps an arbitrary url;
+# * the R25 skipped-directories report: scanned paths whose basename
+#   is not an analyzed repo name, via broadcast left anti-join
+#   (analyzer.rs:255-263), including a trailing-slash path.
+
+_MULTI_REPOS_META = [
+    # three discoveries of the same repo basename: min(url) survivor is
+    # the git@ form ('g' < 'h'), then URL-normalized.
+    ("alpha", "git@github.com:owner/alpha.git"),
+    ("alpha", "https://gitlab.com/mirror/alpha.git"),
+    ("alpha", None),
+    ("beta", None),  # no remote anywhere -> "(no remote url)"
+    ("ignored-repo", "https://example.com/ignored.git"),  # config-ignored
+]
+
+_SCANNED_DIRS = [
+    "/scan/alpha",
+    "/scan/beta/",  # trailing slash: basename regex must still match
+    "/scan/.cache",
+    "/scan/ignored-repo",  # ignored repos are NOT analyzed -> skipped
+    "/scan/vendor",
+]
+
+_REPOS_SKIPPED_EXPECTED = [
+    ("repository", 1, "alpha", "https://github.com/owner/alpha.git"),
+    ("repository", 2, "beta", "(no remote url)"),
+    ("skipped", None, "/scan/.cache", None),
+    ("skipped", None, "/scan/ignored-repo", None),
+    ("skipped", None, "/scan/vendor", None),
+]
+
+_REPOS_SKIPPED_VALUES = ",\n      ".join(
+    "('{}', {}, '{}', {})".format(
+        kind,
+        "NULL" if rid is None else rid,
+        item,
+        "NULL" if url is None else f"'{url}'",
+    )
+    for kind, rid, item, url in _REPOS_SKIPPED_EXPECTED
+)
+
+_REPOS_SKIPPED_ORACLE = f"""
+    SELECT kind, CAST(id AS BIGINT) AS id, item, CAST(url AS VARCHAR) AS url
+    FROM (VALUES
+      {_REPOS_SKIPPED_VALUES}
+    ) AS t(kind, id, item, url)
+"""
+
+
+@register(
+    "etl_repos_skipped_parity",
+    oracle=_REPOS_SKIPPED_ORACLE,
+    doc="Multi-repo load-stage parity at the gate: duplicate-basename "
+    "repository discoveries collapse to one keyed dimension row with "
+    "the deterministic min(url) survivor (the fix for the reference's "
+    "INSERT OR IGNORE duplication, analyzer.rs:300-303), ids assigned "
+    "by name order, URLs normalized; plus the R25 skipped-directories "
+    "broadcast anti-join report (analyzer.rs:255-263). Both outputs "
+    "unioned into one frame and hash-compared to the hand-derived "
+    "golden VALUES table.",
+)
+def etl_repos_skipped_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs_dir = _write_fixture_dir()
+    commits = parse_git_log(spark, logs_dir)
+    repos_meta = spark.createDataFrame(_MULTI_REPOS_META, "name string, url string")
+    scanned = spark.createDataFrame([(p,) for p in _SCANNED_DIRS], "path string")
+    res = run_pipeline(
+        spark, commits, repos_meta, scanned_dirs=scanned, config=_CONFIG
+    )
+    repos = res.repositories.select(
+        F.lit("repository").alias("kind"),
+        F.col("id").cast("long").alias("id"),
+        F.col("name").alias("item"),
+        F.col("url"),
+    )
+    skipped = res.skipped.select(
+        F.lit("skipped").alias("kind"),
+        F.lit(None).cast("long").alias("id"),
+        F.col("path").alias("item"),
+        F.lit(None).cast("string").alias("url"),
+    )
+    return repos.unionByName(skipped)

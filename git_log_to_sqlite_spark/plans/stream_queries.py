@@ -147,3 +147,39 @@ def stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _unique_sink("stream_join_replay")
     run_to_memory(typed_event_join(a, b), sink, output_mode="append")
     return spark.table(sink)
+
+
+@register(
+    "stream_dedup_replay",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+    doc="Stateful stream dedup at the gate (streaming/replay.py "
+    "dedup_within_watermark): the events parquet is replayed TWICE and "
+    "unioned, so every row genuinely arrives as a duplicate, then "
+    "dropDuplicatesWithinWatermark('event_id') keeps exactly one copy "
+    "per id -> append-mode memory sink. The oracle is the plain events "
+    "table because event_id is unique in the source (pinned by the "
+    "testdata contract test) and both copies of a row are bit-equal, "
+    "so survivor choice cannot change values. Unlike a plain stream "
+    "dropDuplicates (which retains every id forever), state here is "
+    "evicted once the watermark passes an id's event time — bounded "
+    "memory on an unbounded stream.",
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.replay import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    a = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000
+    )
+    b = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=1_000_000
+    )
+    sink = _unique_sink("stream_dedup_replay")
+    run_to_memory(dedup_within_watermark(a.unionByName(b)), sink, output_mode="append")
+    return spark.table(sink).select("event_id", "ts", "user_id", "event_type", "value")

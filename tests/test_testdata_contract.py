@@ -117,3 +117,21 @@ def test_testdata_schema_contract(sf_dir, table):
             "streaming/replay footer probe), verify queries green on the "
             "new encoding, then extend the allowed set here"
         )
+
+
+@pytest.mark.parametrize("sf_dir", sorted({SF_DIR, ORACLE_SF_DIR}))
+def test_event_id_is_unique(sf_dir):
+    """stream_dedup_replay's oracle (plans/stream_queries.py) is the
+    plain events table, which is only correct while event_id is a key.
+    If regeneration ever introduces duplicate ids, that oracle must
+    switch to an explicit survivor rule."""
+    import duckdb
+
+    n, d = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT event_id) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert n == d, (
+        f"events.event_id no longer unique ({n} rows, {d} ids) — "
+        "stream_dedup_replay's oracle assumption is broken"
+    )
