@@ -63,10 +63,10 @@ def build_repositories(repos_meta: DataFrame) -> DataFrame:
     dimension (one row per scanned repo — thousands at most), not a
     fact table; data-sized id assignment uses
     operators.ordered.ordered_row_number (see build_changed_files).
-    partitionBy(lit(0)) declares the single group explicitly so
-    WindowExec doesn't warn about it.
+    (WindowExec's single-partition warning is suppressed at the logger
+    in session.get_spark; a lit(0) partition key gets folded away.)
     """
-    w = Window.partitionBy(F.lit(0)).orderBy("name")
+    w = Window.orderBy("name")
     return (
         repos_meta.select("name", "url")
         # Deterministic survivor rule for duplicate-basename repos:

@@ -209,16 +209,14 @@ def _quantile_cap(sh: DataFrame, q: float) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    # partitionBy(lit(0)) = the same single-group window, but with an
-    # explicit (constant) partition spec so WindowExec doesn't emit its
-    # move-everything-to-one-partition warning on every bench/gate run —
-    # the boundedness argument above is the reason one partition is OK.
-    cum_w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Deliberately global windows: the boundedness argument above is
+    # why one partition is fine. (WindowExec's single-partition warning
+    # is suppressed at the logger in session.get_spark — a lit(0)
+    # partition key does not work; EliminateWindowPartitions folds it.)
+    cum_w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    tot_w = Window.partitionBy(F.lit(0)).rowsBetween(
+    tot_w = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     # The threshold compare is pure integer arithmetic (cum * den >=

@@ -66,13 +66,9 @@ def _attach_offsets(ranged: DataFrame, partial: F.Column, local_fn,
     added to."""
     totals = ranged.groupBy(_PID).agg(partial.alias("_ptotal"))
     # Global window over #partitions rows only — bounded, not a
-    # data-sized single-reducer sort. partitionBy(lit(0)) declares the
-    # single group explicitly so WindowExec doesn't warn about it.
-    off_w = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(_PID)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # data-sized single-reducer sort (warning suppressed at the logger
+    # in session.get_spark; a lit(0) partition key gets folded away).
+    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         _PID, F.coalesce(F.sum("_ptotal").over(off_w), F.lit(0)).alias(_OFFSET)
     )

@@ -57,6 +57,22 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec warns "No Partition Defined for Window operation" on
+    # every empty-partition window — including this repo's deliberately
+    # global ones, each of which runs over a BOUNDED frame (a
+    # #partitions-row offsets table, a df histogram, a dimension table)
+    # with the boundedness argument documented at the site. A
+    # partitionBy(lit(0)) decoy does NOT silence it: Spark >= 3.5's
+    # EliminateWindowPartitions rule folds literal partition keys away,
+    # restoring the empty spec at the physical node. So suppress the
+    # logger itself. Trade-off: a genuinely data-sized empty-spec
+    # window would also log nothing — that class of mistake is guarded
+    # by plan-shape tests (tests/test_plans.py) instead of log grep.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
     return spark
 
 
