@@ -231,7 +231,7 @@ def win_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -239,7 +239,7 @@ def win_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked)
     SELECT user_id, CAST(session_id AS INT) AS session_id,
@@ -253,10 +253,16 @@ def win_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
+    # Both windows order by (ts, event_id): the lag-gap flag AND the
+    # running sum must walk rows in the same total order, or two events
+    # with equal (user_id, ts) where the first is a session break could
+    # be summed in opposite orders by Spark and the oracle, splitting
+    # sessions differently (pinned by the tie-case test in
+    # tests/test_plans.py).
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap = _epoch_seconds(F.col("ts")) - _epoch_seconds(F.lag(F.col("ts")).over(w))

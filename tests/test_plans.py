@@ -287,3 +287,55 @@ def test_gate_prefix_is_hash_checkable_by_construction():
     # duplicate-free and spark/oracle key consistency
     assert len(names) == len(set(names))
     assert set(oracles) <= set(names)
+
+
+def test_sessionize_equal_ts_tiebreak(spark, tmp_path):
+    """Pinned tie case for events_sessionize: two events with equal
+    (user_id, ts) where the first (by event_id) is a session break.
+    The lag-gap flag and the running sum must walk the same
+    (ts, event_id) total order in BOTH engines, or the break flag could
+    be summed before/after its tied neighbor and split sessions
+    differently (the latent nondeterminism flagged in round 5)."""
+    import datetime as dt
+
+    from .oracle_harness import compare, duck_connection
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    rows = [
+        # user 1: break at 10:40 arrives as a TIE (ids 2 and 3)
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(40), 1, "click", 2.0, "{}"),
+        (3, t(40), 1, "click", 4.0, "{}"),
+        # user 2: tie at the very first events of the partition
+        (4, t(0), 2, "view", 8.0, "{}"),
+        (5, t(0), 2, "view", 16.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path / "tie_sf")
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    spec = plans.REGISTRY["events_sessionize"]
+    out = spec.fn(spark, sf_dir)
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_value)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): (1, 1.0),  # the 10:00 view alone
+        (1, 2): (2, 6.0),  # both tied 10:40 clicks in ONE session
+        (2, 1): (2, 24.0),  # first-row tie never splits
+    }
+
+    # and the DuckDB oracle agrees on the tie, value-for-value
+    con = duck_connection("/root/testdata/sf0.001")
+    con.execute("DROP VIEW events")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    ok, msg = compare(out, con, spec.oracle, "events_sessionize_tie")
+    assert ok, msg
