@@ -384,26 +384,27 @@ def events_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "come from fractional epoch-second arithmetic (cast timestamp to "
     "double) so both engines floor identical IEEE values — "
     "unix_timestamp() truncation would disagree with DuckDB's "
-    "fractional epoch() at week boundaries. Two shuffles: first-seen "
-    "agg joins back on the user key, then the cohort rollup.",
+    "fractional epoch() at week boundaries. ONE data-sized exchange "
+    "(round-6 reshape; the funnel query's pattern): first_ts is "
+    "min(ts) OVER (PARTITION BY user_id) instead of a groupBy+join-"
+    "back, and the following distinct reuses the window's hash(user_id)"
+    " partitioning — HashPartitioning on a SUBSET of the grouping keys "
+    "satisfies ClusteredDistribution, so no second data shuffle; only "
+    "the bounded cohort rollup shuffles after that (plan-pinned in "
+    "tests/test_plans.py).",
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    first_ev = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    activity = (
-        e.join(first_ev, "user_id")
-        .select(
-            "user_id",
-            F.date_trunc("week", "first_ts").alias("cohort_week"),
-            F.floor(
-                (_epoch_seconds(F.col("ts")) - _epoch_seconds(F.col("first_ts")))
-                / 604800.0
-            )
-            .cast("int")
-            .alias("week_offset"),
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    activity = e.select(
+        "user_id",
+        F.date_trunc("week", first_ts).alias("cohort_week"),
+        F.floor(
+            (_epoch_seconds(F.col("ts")) - _epoch_seconds(first_ts)) / 604800.0
         )
-        .distinct()
-    )
+        .cast("int")
+        .alias("week_offset"),
+    ).distinct()
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_users")
     )

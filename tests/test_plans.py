@@ -339,3 +339,18 @@ def test_sessionize_equal_ts_tiebreak(spark, tmp_path):
     )
     ok, msg = compare(out, con, spec.oracle, "events_sessionize_tie")
     assert ok, msg
+
+
+def test_cohort_retention_single_data_exchange(spark, sf):
+    """The round-6 reshape: first_ts via min().over(partitionBy user_id)
+    instead of groupBy+join-back. The plan must contain exactly two
+    exchanges — the window's hash(user_id) and the bounded cohort
+    rollup over partial counts — and no join; the distinct must reuse
+    the window's partitioning (hash on a subset of the grouping keys
+    satisfies ClusteredDistribution)."""
+    plan = plan_of(plans.REGISTRY["events_cohort_retention"].fn(spark, sf))
+    node_lines = [l for l in plan.splitlines() if l.startswith("(")]
+    exchanges = [l for l in node_lines if "Exchange" in l]
+    assert len(exchanges) == 2, exchanges
+    assert not any("Join" in l for l in node_lines), node_lines
+    assert sum("Window" in l for l in node_lines) == 1
