@@ -70,7 +70,10 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — record, keep benching
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            # (str(...).splitlines() or [""]) — an empty exception
+            # message must not IndexError out of the containment itself.
+            first_line = (str(exc).splitlines() or [""])[0][:200]
+            errors[name] = f"{type(exc).__name__}: {first_line}"
             print(f"  {name}: FAILED ({errors[name]})", file=sys.stderr)
             continue
         finally:

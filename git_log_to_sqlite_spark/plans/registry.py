@@ -84,9 +84,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from ..sources.events_probe import probe_events_ts
+
+        ts_dtype = probe_events_ts(spark, path)  # scopes the legacy conf
         df = spark.read.parquet(path)
-        ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         elif ts_dtype == "timestamp_ntz":

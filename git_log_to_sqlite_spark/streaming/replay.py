@@ -73,8 +73,13 @@ def read_events_stream(
     (TIMESTAMP(NANOS) -> timestamp[us]); this probe is what survives
     the next switch.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    from ..sources.events_probe import probe_events_ts
+
+    # The probe scopes the nanosAsLong legacy conf: restored unless the
+    # file really is nanos-encoded (sources/events_probe.py has the
+    # lifetime rule — a nanos file needs the conf at stream-execution
+    # time too, so only the not-nanos path can undo it).
+    probed = probe_events_ts(spark, path)
     if probed == "bigint":
         schema = EVENTS_RAW_SCHEMA
     elif probed == "timestamp_ntz":

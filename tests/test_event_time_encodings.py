@@ -160,3 +160,35 @@ def test_stream_replay_probe_reads_every_encoding(spark, encoded_dirs, enc):
     want = _canon(tumbling_counts(table(spark, encoded_dirs[enc], "events")))
     assert got == want
     assert len(got) > 0
+
+
+def test_nanos_conf_scoped_to_probe(spark, encoded_dirs):
+    """The legacy nanosAsLong conf must not leak session-wide from
+    probing a non-nanos file (a later batch read of a genuine
+    TIMESTAMP(NANOS) column elsewhere would silently come back as
+    bigint); for a genuinely nanos-encoded file it MUST stay set,
+    because the returned frame still needs it at execution time."""
+    from git_log_to_sqlite_spark.sources.events_probe import (
+        _NANOS_CONF,
+        probe_events_ts,
+    )
+
+    spark.conf.unset(_NANOS_CONF)
+
+    got = probe_events_ts(spark, f"{encoded_dirs['micros_ntz']}/events.parquet")
+    assert got == "timestamp_ntz"
+    assert spark.conf.get(_NANOS_CONF, None) is None  # restored
+
+    got = probe_events_ts(spark, f"{encoded_dirs['micros_utc']}/events.parquet")
+    assert got == "timestamp"
+    assert spark.conf.get(_NANOS_CONF, None) is None  # restored
+
+    got = probe_events_ts(spark, f"{encoded_dirs['nanos']}/events.parquet")
+    assert got == "bigint"
+    assert spark.conf.get(_NANOS_CONF) == "true"  # must stay for execution
+
+    # a prior explicit setting is restored verbatim on the non-nanos path
+    spark.conf.set(_NANOS_CONF, "false")
+    probe_events_ts(spark, f"{encoded_dirs['micros_ntz']}/events.parquet")
+    assert spark.conf.get(_NANOS_CONF) == "false"
+    spark.conf.unset(_NANOS_CONF)
