@@ -172,7 +172,14 @@ def _write_fixture_dir() -> str:
             with open(path, "r", encoding="utf-8") as fh:
                 if fh.read() == text:
                     continue
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        # The temp file must live OUTSIDE the fixture dir: the parity
+        # queries spark.read.text the whole directory, so a leftover
+        # .tmp from a crashed run would parse as a phantom repository.
+        # gettempdir() is the fixture dir's parent — same filesystem,
+        # os.replace stays atomic.
+        fd, tmp = tempfile.mkstemp(
+            dir=tempfile.gettempdir(), suffix=".etl_parity_tmp"
+        )
         try:
             with os.fdopen(fd, "w", encoding="utf-8") as fh:
                 fh.write(text)
