@@ -170,9 +170,11 @@ def test_nanos_conf_scoped_to_probe(spark, encoded_dirs):
     because the returned frame still needs it at execution time."""
     from git_log_to_sqlite_spark.sources.events_probe import (
         _NANOS_CONF,
+        _PROBE_CACHE,
         probe_events_ts,
     )
 
+    _PROBE_CACHE.clear()  # earlier tests probed these paths already
     spark.conf.unset(_NANOS_CONF)
 
     got = probe_events_ts(spark, f"{encoded_dirs['micros_ntz']}/events.parquet")
@@ -188,7 +190,16 @@ def test_nanos_conf_scoped_to_probe(spark, encoded_dirs):
     assert spark.conf.get(_NANOS_CONF) == "true"  # must stay for execution
 
     # a prior explicit setting is restored verbatim on the non-nanos path
+    # (a cache hit here — the path was probed above — must behave the
+    # same: no conf mutation)
     spark.conf.set(_NANOS_CONF, "false")
     probe_events_ts(spark, f"{encoded_dirs['micros_ntz']}/events.parquet")
     assert spark.conf.get(_NANOS_CONF) == "false"
+
+    # a cache HIT on a nanos path must re-establish the conf: frames
+    # built after the hit still need it at execution time
+    spark.conf.unset(_NANOS_CONF)
+    got = probe_events_ts(spark, f"{encoded_dirs['nanos']}/events.parquet")
+    assert got == "bigint"
+    assert spark.conf.get(_NANOS_CONF) == "true"
     spark.conf.unset(_NANOS_CONF)
