@@ -286,3 +286,67 @@ def test_gate_streaming_query_runs_state_store(spark, oracle_sf_dir):
     q = run_to_memory(tumbling_counts(s), "state_probe_test", output_mode="complete")
     ops = [op for pr in q.recentProgress for op in (pr["stateOperators"] or [])]
     assert any(op["numRowsTotal"] > 0 for op in ops)
+
+
+def test_dedup_state_evicted_past_watermark(spark, tmp_path):
+    """The scale claim behind dropDuplicatesWithinWatermark ("state is
+    bounded by the watermark horizon, not stream length") asserted on
+    the state store itself, not just output rows: ids whose event time
+    falls behind the watermark must leave the state, and a re-arrival
+    of an evicted id is re-EMITTED (the honest semantic difference from
+    plain dropDuplicates, whose state — and dedup guarantee — is
+    unbounded)."""
+    import datetime as dt
+
+    ts = lambda h: dt.datetime(2024, 1, 1, h, 0)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    n_ids = 50
+    mk = lambda h, ids: [  # noqa: E731
+        (i, ts(h), 1, "a", 1.0, "{}") for i in ids
+    ]
+    # batch 1: hour 0, ids 0..49; batch 2: hour 10, ids 100..149
+    # (watermark after batch 2 = 08:00 -> hour-0 state evictable);
+    # batch 3: hour 20, ids 200..249 PLUS a re-arrival of id 0.
+    spark.createDataFrame(mk(0, range(n_ids)), schema).coalesce(1).write.parquet(
+        str(tmp_path / "f1")
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(tmp_path / "f*")
+    )
+    deduped = dedup_within_watermark(stream, watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_out")
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(mk(10, range(100, 100 + n_ids)), schema).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "f2"))
+    q.processAllAvailable()
+    rows3 = mk(20, range(200, 200 + n_ids)) + mk(20, [0])
+    spark.createDataFrame(rows3, schema).coalesce(1).write.parquet(
+        str(tmp_path / "f3")
+    )
+    q.processAllAvailable()
+    state_rows = [
+        op["numRowsTotal"]
+        for pr in q.recentProgress
+        for op in (pr["stateOperators"] or [])
+        if op["numRowsTotal"] > 0
+    ]
+    q.stop()
+    # 151 distinct arrivals (the re-arrived id 0 counts twice in output)
+    out = spark.sql("SELECT event_id FROM evict_out").collect()
+    assert len(out) == 3 * n_ids + 1, len(out)
+    assert sorted(r["event_id"] for r in out).count(0) == 2, (
+        "an id re-arriving AFTER its state was evicted must re-emit"
+    )
+    # state never holds all seen ids at once: the max resident rows
+    # must stay below the 151 distinct arrivals (hour-0 ids evicted
+    # once the watermark passed 02:00).
+    assert state_rows and max(state_rows) < 3 * n_ids + 1, state_rows
