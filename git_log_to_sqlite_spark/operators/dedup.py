@@ -179,36 +179,33 @@ def minhash_lsh_pairs(
     )
 
 
-def _quantile_cap(sh: DataFrame, q: float) -> DataFrame:
+def _quantile_cap(d_values: DataFrame, q: float) -> DataFrame:
     """1-row ``(_max_df)`` DataFrame: the smallest posting-list length
     d* such that at least fraction ``q`` of (length >= 2) posting lists
     have length <= d* — a discrete quantile of the shingle
     document-frequency distribution, computed INSIDE the plan (no
     driver collect, no corpus constant).
 
-    Takes the exploded ``(_id, shingle)`` table, NOT the built posting
-    lists. Trade-off (verified in the executed plan): the count-agg's
-    partial differs from the posting build's partial_collect_list, so
-    the two branches do NOT share an exchange — this branch re-scans
-    the (column-pruned) source and pays one map-side-combined count
-    shuffle, which is embarrassingly parallel and skew-free. The
-    alternatives are worse at corpus scale: deriving from ``postings``
-    shares the exchange but runs the wide collect_list merge — the
-    operator's most expensive aggregate — twice; persisting postings
-    materializes a corpus-sized intermediate.
+    Takes a ``(d)`` DataFrame with one row per length-{>=2} posting
+    list. Since round 6 the caller derives it as ``size(ids)`` over the
+    PERSISTED posting lists instead of a second count-aggregation over
+    the exploded ``(_id, shingle)`` table: the executed plan showed the
+    count-agg's partial differs from the posting build's
+    partial_collect_list, so the two branches never shared an exchange
+    and the whole corpus was scanned + shingle-exploded TWICE (half the
+    round-6 query's wall clock at sf0.1). The persisted set is exactly
+    the repeated-shingle posting lists — a subset of the one shuffle
+    output the pair explode consumes anyway, so it is never larger than
+    the re-scan it replaces, and in natural corpora (rare shingles
+    dominate) it is a small fraction of the corpus; MEMORY_AND_DISK
+    spills instead of evicting under pressure.
 
     The windows here are global but run over the df *histogram* (one
     row per distinct posting-list length — bounded by the longest
     posting list, thousands of rows at worst at corpus scale), not over
     data; same bounded-dimension exemption as build_repositories.
     """
-    hist = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= 2)
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
+    hist = d_values.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
     # Deliberately global windows: the boundedness argument above is
     # why one partition is fine. (WindowExec's single-partition warning
     # is suppressed at the logger in session.get_spark — a lit(0)
@@ -317,12 +314,20 @@ def ngram_jaccard_pairs(
         )
     cap = None
     if max_df_quantile is not None:
-        # 1-row broadcast: every posting row sees the derived cap (a
-        # BuildRight nested-loop join whose build side is ONE row — the
-        # broadcast-scalar plan, not a data x data nested loop). The
-        # histogram branch reuses the groupBy(shingle) exchange.
+        # The cap is a global statistic of the posting lists, so they
+        # are consumed twice (histogram, then pair explode): persist
+        # them once instead of recomputing scan+explode+groupBy per
+        # branch (see _quantile_cap's docstring for the measured cost
+        # and the size argument). Then 1-row broadcast: every posting
+        # row sees the derived cap (a BuildRight nested-loop join whose
+        # build side is ONE row — the broadcast-scalar plan, not a
+        # data x data nested loop).
+        from pyspark import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        d_values = postings.select(F.size("ids").cast("long").alias("d"))
         postings = postings.crossJoin(
-            F.broadcast(_quantile_cap(sh, max_df_quantile))
+            F.broadcast(_quantile_cap(d_values, max_df_quantile))
         )
         cap = F.col("_max_df")
     elif max_df is not None:
