@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -296,11 +297,18 @@ def ngram_jaccard_pairs(
         F.explode(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("shingle"),
     ).select("_id", F.xxhash64("shingle").alias("shingle"))
     # per-doc shingle count is a pure projection (shingles() dedups),
-    # NOT an aggregate over the exploded table — zero extra shuffles
+    # NOT an aggregate over the exploded table — zero extra shuffles.
+    # Persisted because BOTH sides of the final pair join consume it
+    # and neither static planning nor AQE reuses the identical
+    # broadcast subtree (verified on the executed plan: 0
+    # ReusedExchange) — without the cache the full text column is
+    # scanned and shingled twice more. The cached table is two machine
+    # words per DOCUMENT (not per shingle), the smallest frame in the
+    # operator; it spills via MEMORY_AND_DISK if even that binds.
     sizes = df.select(
         F.col(id_col).alias("_id"),
         F.size(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("n_sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     postings = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list("_id")).alias("ids")
     ).filter(F.size("ids") >= 2)
@@ -322,8 +330,6 @@ def ngram_jaccard_pairs(
         # row sees the derived cap (a BuildRight nested-loop join whose
         # build side is ONE row — the broadcast-scalar plan, not a
         # data x data nested loop).
-        from pyspark import StorageLevel
-
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
         d_values = postings.select(F.size("ids").cast("long").alias("d"))
         postings = postings.crossJoin(
