@@ -98,13 +98,26 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
     equi-join when it doesn't) -> per-doc ranking window [shuffle 3,
     partitioned by document so no global sort]. The corpus size N rides
     in as a crossJoined 1-row aggregate — no driver-side count() in the
-    plan.
+    plan (and the count scan itself reads only parquet footers).
+
+    ``tf`` is persisted: it feeds BOTH the docfreq aggregate and the
+    join's probe side, and Spark reuses neither branch (the round-6
+    jaccard finding — differing partials below the exchange block
+    ReusedExchange), so without the cache the corpus is scanned,
+    exploded, and tf-shuffled twice. The cached frame is the
+    post-aggregation (doc, term, count) table — strictly smaller than
+    the exploded term stream it replaces; MEMORY_AND_DISK spills under
+    pressure.
     """
+    from pyspark import StorageLevel
+
     terms = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
