@@ -354,3 +354,28 @@ def test_cohort_retention_single_data_exchange(spark, sf):
     assert len(exchanges) == 2, exchanges
     assert not any("Join" in l for l in node_lines), node_lines
     assert sum("Window" in l for l in node_lines) == 1
+
+
+def test_jaccard_single_corpus_pass_per_branch(spark, sf):
+    """Round-6 regression pins: the quantile-cap histogram must derive
+    from the persisted postings (InMemoryTableScan present) and the
+    per-doc sizes projection must be persisted — without the caches the
+    corpus is scanned + shingle-exploded twice more (the executed plan
+    showed 0 ReusedExchange even under AQE). Budget: 3 parquet scans
+    (postings build + two broadcast builds resolved from cache at
+    runtime), 2 Generates (shingle explode + pair explode)."""
+    plan = plan_of(plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf))
+    node_lines = [l for l in plan.splitlines() if l.startswith("(")]
+    assert sum("InMemoryTableScan" in l for l in node_lines) >= 2, node_lines
+    assert sum("Scan parquet" in l for l in node_lines) <= 3
+    assert sum(l.split(None, 1)[1].strip() == "Generate" for l in node_lines) == 2
+
+
+def test_tfidf_single_corpus_pass(spark, sf):
+    """tf feeds both docfreq and the join probe side; it must come from
+    the cache (InMemoryTableScan), leaving exactly two parquet scans:
+    the term explode and the footer-only n_docs count."""
+    plan = plan_of(plans.REGISTRY["text_tfidf_topk"].fn(spark, sf))
+    node_lines = [l for l in plan.splitlines() if l.startswith("(")]
+    assert sum("InMemoryTableScan" in l for l in node_lines) >= 2, node_lines
+    assert sum("Scan parquet" in l for l in node_lines) <= 2
