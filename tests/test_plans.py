@@ -363,7 +363,10 @@ def test_jaccard_single_corpus_pass_per_branch(spark, sf):
     corpus is scanned + shingle-exploded twice more (the executed plan
     showed 0 ReusedExchange even under AQE). Budget: 3 parquet scans
     (postings build + two broadcast builds resolved from cache at
-    runtime), 2 Generates (shingle explode + pair explode)."""
+    runtime), 2 Generates (shingle explode + pair explode). Cold-cache
+    plan: entries left by earlier tests change how InMemoryRelation
+    substitution renders, so clear first."""
+    spark.catalog.clearCache()
     plan = plan_of(plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf))
     node_lines = [l for l in plan.splitlines() if l.startswith("(")]
     assert sum("InMemoryTableScan" in l for l in node_lines) >= 2, node_lines
@@ -374,7 +377,9 @@ def test_jaccard_single_corpus_pass_per_branch(spark, sf):
 def test_tfidf_single_corpus_pass(spark, sf):
     """tf feeds both docfreq and the join probe side; it must come from
     the cache (InMemoryTableScan), leaving exactly two parquet scans:
-    the term explode and the footer-only n_docs count."""
+    the term explode and the footer-only n_docs count. Cold-cache plan
+    (see the jaccard pin above)."""
+    spark.catalog.clearCache()
     plan = plan_of(plans.REGISTRY["text_tfidf_topk"].fn(spark, sf))
     node_lines = [l for l in plan.splitlines() if l.startswith("(")]
     assert sum("InMemoryTableScan" in l for l in node_lines) >= 2, node_lines
