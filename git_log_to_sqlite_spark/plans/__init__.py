@@ -51,89 +51,73 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
     REGISTRY.update(ordered)
 
 
-# Round-6 rotation (executing the plan pre-staged in round 5):
-# text_chunk_overlap first (its newest driver row is round 3 — the
-# oldest in the corpus), then this round's 2 new gate queries
-# (etl_repos_skipped_parity — repositories dedup + R25 skipped-dirs
-# anti-join; stream_dedup_replay — dropDuplicatesWithinWatermark over
-# a doubled replay), then agg_pricing_summary + agg_percentiles
-# (round-4 rows), then the round-4-gated block in its standing order.
-# 5 + 45 = 50; two names spill past the prefix: fn_cast and fn_map
-# (round-4 rows; zero-shuffle scalar-fn projections with no ts/join
-# surface — the lowest-risk holdovers, mirroring round 5's precedent)
-# rotate back first in round 7.  The corpus is now 106 oracle queries
-# against a 2x50 gate — saturated; do NOT add more until the gate
-# grows.
-#
-# Pre-staged round-7 rotation: fn_cast + fn_map first, then the
-# round-5-gated block (the current post-prefix order: the four
-# repaired event/stream queries, etl_logs_parity,
-# stream_session_replay, the core relational/window/scalar-fn names,
-# sample_domain_mix, pipeline_curate_corpus, dedup_embedding_groups —
-# 48 names after the first two).  2 + 48 = 50 exactly; zero free
-# slots, so round 7 adds NO new oracle queries.
+# Round-7 rotation (executing the plan pre-staged in round 6):
+# fn_cast + fn_map first (round-4 rows — the oldest in the corpus
+# after round 6 re-gated everything else newer), then the
+# round-5-gated block in its standing post-prefix order.  The block
+# holds 50 names, so 2 + 48 = 50 means two of them spill past the
+# prefix: fn_math and fn_conditional (round-5 rows; pure zero-shuffle
+# arithmetic / CASE projections over lineitem with no ts, join, or
+# encoding surface — the lowest-risk holdovers, mirroring the
+# fn_cast/fn_map precedent from rounds 5-6).  They lead the
+# pre-staged round-8 rotation, followed by the round-6-gated block.
+# The corpus remains 106 oracle queries against a 2x50 gate —
+# saturated; do NOT add more until the gate grows.
 _prioritize(
     first=[
-        # --- oldest driver row in the corpus (round 3) ---
-        "text_chunk_overlap",
-        # --- round-6 additions (the 2 free slots) ---
-        "etl_repos_skipped_parity",
-        "stream_dedup_replay",
-        # --- round-4 holdovers that spilled past round 5's prefix ---
-        "agg_pricing_summary",
-        "agg_percentiles",
-        # --- round-4-gated block: aggregates + events ---
-        "agg_global",
-        "agg_distinct",
-        "agg_stats",
-        "events_window_tumbling",
-        "events_funnel_depth",
-        "events_window_sliding",
-        "events_top_paths",
-        # --- scalar fns (fn_cast / fn_map spill to round 7) ---
-        "fn_array",
-        "fn_explode",
-        # --- dedup family ---
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_group_assign",
-        "dedup_minhash_lsh",
-        "dedup_minhash_groups",
-        "dedup_simhash",
-        # --- text analysis ---
-        "text_langid",
-        "text_quality",
-        "text_tokens",
-        "text_fingerprint",
-        "mm_binary_meta",
-        "asof_event_value",
-        "text_pii_mask",
-        "text_topk_terms",
-        "text_tfidf_topk",
-        "text_pack_shards",
-        "text_clean",
-        "sample_weighted_reservoir",
-        # --- similarity ---
-        "sim_cosine_topk",
-        "sim_ann_bucketed",
-        "sim_pairs_threshold",
-        "dedup_embedding_cosine",
-        "sim_centroid_per_label",
-        "sim_ann_multiprobe",
-        # --- UDF surface ---
-        "udf_scalar_python",
-        "udf_pandas_vectorized",
-        "udf_grouped_map",
-        "udf_grouped_agg",
-        "udf_table_function",
-        "udf_native_udtf",
-        "udf_map_in_pandas",
-        # --- subqueries ---
-        "sql_correlated_exists",
-        "sql_not_exists",
-        "sql_scalar_subquery",
-        "sql_correlated_scalar_agg",
-        "sql_in_subquery",
+        # --- oldest driver rows in the corpus (round 4) ---
+        "fn_cast",
+        "fn_map",
+        # --- round-5-gated block, standing order (48 of 50 names;
+        #     fn_math + fn_conditional spill to round 8) ---
+        "agg_rollup",
+        "agg_cube",
+        "agg_collect_sorted",
+        "join_revenue_per_customer",
+        "join_region_revenue",
+        "join_left_outer",
+        "join_full_outer",
+        "join_right_outer",
+        "join_merge_hint",
+        "join_semi",
+        "join_anti",
+        "join_cross",
+        "join_self_nation_pairs",
+        "join_range_bands",
+        "join_asof_last_event",
+        "sort_topk_orders",
+        "sort_multikey_nulls",
+        "setop_union",
+        "setop_intersect",
+        "setop_except",
+        "setop_intersect_all",
+        "setop_except_all",
+        "agg_grouping_sets",
+        "dedup_dropduplicates_subset",
+        "agg_salted_skew",
+        "agg_pivot",
+        "win_topk_per_group",
+        "win_ranking_suite",
+        "win_lag_lead",
+        "win_running_frames",
+        "win_first_last_nth",
+        "win_range_between",
+        "win_time_bucket",
+        "events_sessionize",
+        "events_cohort_retention",
+        "fn_strings",
+        "fn_regex",
+        "fn_dates",
+        "fn_json",
+        "fn_from_json_struct",
+        "fn_higher_order",
+        "sample_domain_mix",
+        "pipeline_curate_corpus",
+        "dedup_embedding_groups",
+        "stream_tumbling_replay",
+        "stream_session_replay",
+        "stream_join_replay",
+        "etl_logs_parity",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /
