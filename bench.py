@@ -41,6 +41,35 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> list[float]:
+    """Fixed-cost contention sentinel: a constant-size shuffle+agg over
+    generated data (no parquet, no sf dependence) whose cost on this box
+    is known (~0.3 s idle; BASELINE.md records the reference band).
+
+    Round 6's driver bench artifact ran every query 1.5-2.5x slower than
+    two independent runs of the same code because the box was contended
+    — and nothing in the JSON made that detectable.  Emitting this
+    query's min-of-3 next to the suite number lets any reader normalize:
+    if ``calibration_s`` is far above its idle band, the suite number is
+    a contended sample, not a code regression.
+    """
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .groupBy((F.col("id") % 100_003).alias("k"))
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        runs.append(round(time.perf_counter() - t0, 3))
+    return runs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -52,7 +81,12 @@ def main() -> None:
         "noop"
     ).save()
 
+    # Contention sentinel, sampled before AND after the suite so
+    # mid-run load spikes are visible too.
+    calibration_pre = _calibrate(spark)
+
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = plans.REGISTRY[name].fn
@@ -67,8 +101,9 @@ def main() -> None:
             for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                runs.append(time.perf_counter() - t0)
+                runs.append(round(time.perf_counter() - t0, 3))
             timings[name] = round(min(runs), 3)
+            all_runs[name] = runs
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             # (str(...).splitlines() or [""]) — an empty exception
             # message must not IndexError out of the containment itself.
@@ -83,6 +118,8 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s (runs: {[f'{r:.2f}' for r in runs]})",
               file=sys.stderr)
 
+    calibration_post = _calibrate(spark)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_wall_clock",
@@ -90,6 +127,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Contention sentinel: fixed-cost generated-data shuffle+agg,
+        # ~0.3 s on this box when idle (band in BASELINE.md).  A value
+        # well above the band means the suite ran on a contended box and
+        # `value` is not comparable across rounds.
+        "calibration_s": round(min(calibration_pre + calibration_post), 3),
+        "calibration_runs": {"pre": calibration_pre, "post": calibration_post},
+        # Raw per-query runs (run 1 includes codegen/compile) so a
+        # reader can audit variance instead of trusting min-of-3.
+        "runs": all_runs,
     }
     if errors:
         # value covers only completed queries — flag the gap loudly.
