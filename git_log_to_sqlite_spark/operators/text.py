@@ -109,15 +109,13 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
     the exploded term stream it replaces; MEMORY_AND_DISK spills under
     pressure.
     """
-    from pyspark import StorageLevel
+    from .caching import pin
 
     terms = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    tf = pin(terms.groupBy("_id", "term").agg(F.count("*").alias("tf")))
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1

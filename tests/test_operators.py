@@ -629,3 +629,59 @@ def test_asof_join_matches_pandas_merge_asof_randomized(spark):
                 for r in want_df.itertuples()
             }
             assert got_map == want, (direction, tol)
+
+
+def test_operator_cache_lifecycle(spark, oracle_sf_dir):
+    """The pin() registry contract: a repeated invocation with the same
+    input must NOT re-persist (no "already cached" warning, no registry
+    growth — the planner substitutes the live InMemoryRelation by
+    sameResult), and release_caches() frees exactly the pinned frames."""
+    from git_log_to_sqlite_spark.operators import caching, release_caches
+    from git_log_to_sqlite_spark.operators.text import tfidf_topk
+
+    spark.catalog.clearCache()
+    release_caches()
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+
+    ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, max_df_quantile=0.92
+    ).count()
+    n_first = len(caching._LIVE)
+    assert n_first == 3  # per-doc sizes + per-shingle counts + postings
+    ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.2, max_df_quantile=0.92
+    ).count()
+    assert len(caching._LIVE) == n_first  # equivalent plan -> no new pin
+
+    minhash_lsh_pairs(docs, "doc_id", "text").count()
+    assert len(caching._LIVE) == n_first + 1  # + signature table
+    tfidf_topk(docs, "doc_id", "text", k=3).count()
+    assert len(caching._LIVE) == n_first + 2  # + tf table
+
+    assert release_caches() == n_first + 2
+    assert caching._LIVE == []
+    # everything unpersisted: the session cache is empty again
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
+
+
+def test_cache_scope_releases_only_inner_pins(spark, oracle_sf_dir):
+    """cache_scope() frees frames pinned inside the with-body while
+    leaving earlier pins (a caller's own operator results) live."""
+    from git_log_to_sqlite_spark.operators import cache_scope, caching, release_caches
+
+    spark.catalog.clearCache()
+    release_caches()
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+
+    minhash_lsh_pairs(docs, "doc_id", "text").count()
+    outer = list(caching._LIVE)
+    assert outer
+    with cache_scope():
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2, max_df_quantile=0.92
+        ).count()
+        assert len(caching._LIVE) > len(outer)
+    assert caching._LIVE == outer  # inner pins released, outer intact
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in outer)
+    release_caches()

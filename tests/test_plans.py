@@ -357,21 +357,28 @@ def test_cohort_retention_single_data_exchange(spark, sf):
 
 
 def test_jaccard_single_corpus_pass_per_branch(spark, sf):
-    """Round-6 regression pins: the quantile-cap histogram must derive
-    from the persisted postings (InMemoryTableScan present) and the
-    per-doc sizes projection must be persisted — without the caches the
-    corpus is scanned + shingle-exploded twice more (the executed plan
-    showed 0 ReusedExchange even under AQE). Budget: 3 parquet scans
-    (postings build + two broadcast builds resolved from cache at
-    runtime), 2 Generates (shingle explode + pair explode). Cold-cache
+    """Round-7 regression pins for the cap-before-collect shape: the
+    per-shingle count table must be persisted and serve BOTH the
+    quantile-cap histogram and the hot-set filter (2 InMemoryTableScans)
+    and the per-doc sizes projection must be persisted for both pair-
+    join sides (2 more) — without the caches each consumer re-scans +
+    re-explodes the corpus (0 ReusedExchange even under AQE). Budget:
+    3 parquet scans (counts build + postings build + sizes — the
+    bounded-aggregate design pays exactly one extra map pass over the
+    round-6 shape and in exchange no collect_list buffer can exceed the
+    cap), 3 Generates (shingle explode x2 + pair explode). Cold-cache
     plan: entries left by earlier tests change how InMemoryRelation
     substitution renders, so clear first."""
     spark.catalog.clearCache()
     plan = plan_of(plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf))
     node_lines = [l for l in plan.splitlines() if l.startswith("(")]
-    assert sum("InMemoryTableScan" in l for l in node_lines) >= 2, node_lines
+    assert sum("InMemoryTableScan" in l for l in node_lines) >= 4, node_lines
     assert sum("Scan parquet" in l for l in node_lines) <= 3
-    assert sum(l.split(None, 1)[1].strip() == "Generate" for l in node_lines) == 2
+    assert sum(l.split(None, 1)[1].strip() == "Generate" for l in node_lines) == 3
+    # the hot-shingle anti-join must sit BELOW the posting collect_list
+    # (that ordering is the whole point: no aggregation buffer ever
+    # holds an above-cap posting array)
+    assert "LeftAnti" in plan
 
 
 def test_tfidf_single_corpus_pass(spark, sf):
