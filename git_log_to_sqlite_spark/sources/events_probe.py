@@ -7,16 +7,40 @@ legacy-conf lifetime rule lives in exactly one place.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
-# path -> probed dtype. A physical-encoding switch only happens when the
-# producer regenerates the file between driver rounds (never mid
-# session), and every consumer builds a fresh session then — so one
-# probe per path per process is sound, and repeated table()/replay
-# calls in a bench or gate loop skip the extra footer listing+read.
-_PROBE_CACHE: dict[str, str | None] = {}
+# (path, file fingerprint) -> probed dtype. The fingerprint (size +
+# mtime of the parquet file(s), see _fingerprint) makes a regenerated
+# file invalidate its entry even inside one process lifetime — a
+# re-encoded events.parquet must never be served the stale dtype, which
+# would silently misdecode every ts by 1000x. Repeated table()/replay
+# calls on the unchanged file still skip the extra footer listing+read.
+_PROBE_CACHE: dict[tuple[str, tuple], str | None] = {}
+
+
+def _fingerprint(path: str) -> tuple:
+    """Cheap local-file identity for cache invalidation: (size,
+    mtime_ns) of the file, or of every top-level entry for a directory
+    of part files. Non-local / unstattable paths (object stores) return
+    a constant — those fall back to path-only caching, the pre-round-7
+    behavior, which is sound as long as the remote file is not
+    regenerated mid-process."""
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in os.scandir(path)
+                )
+            )
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return ("unstattable",)
 
 
 def probe_events_ts(spark: SparkSession, path: str) -> str | None:
@@ -35,12 +59,26 @@ def probe_events_ts(spark: SparkSession, path: str) -> str | None:
       its prior state — no session-wide side effect leaks, and a later
       batch read of some other table with a real TIMESTAMP(NANOS)
       column fails loudly instead of silently coming back as bigint;
+    * probe read THROWS (missing/corrupt path): restore the prior state
+      before re-raising — a failed probe must not leave the speculative
+      conf latched session-wide (the exact silent-bigint leak this
+      module exists to prevent);
     * file IS nanos-encoded: the conf stays set for the session, and
-      every parquet read of a nanos column returns bigint — the
-      invariant tests/test_event_time_encodings.py exercises.
+      every parquet read of ANY nanos column in that session returns
+      bigint — the invariant tests/test_event_time_encodings.py
+      exercises. This bakes in the single-nanos-table assumption:
+      ``events`` is the only nanos-candidate table in this engine's
+      data model, so no OTHER table's read can be silently widened by
+      the latched conf. A deployment adding a second
+      TIMESTAMP(NANOS)-encoded table must normalize it through the
+      same choke point (plans/registry.table) rather than reading it
+      raw while an events probe may have latched the conf —
+      tests/test_event_time_encodings.py::test_latched_nanos_conf_is_session_wide
+      pins the latched behavior so the assumption is explicit.
     """
-    if path in _PROBE_CACHE:
-        probed = _PROBE_CACHE[path]
+    key = (path, _fingerprint(path))
+    if key in _PROBE_CACHE:
+        probed = _PROBE_CACHE[key]
         if probed == "bigint":
             # cache hits must re-establish the invariant too: a nanos
             # frame built after the hit still needs the conf at
@@ -49,11 +87,18 @@ def probe_events_ts(spark: SparkSession, path: str) -> str | None:
         return probed
     prior = spark.conf.get(_NANOS_CONF, None)
     spark.conf.set(_NANOS_CONF, "true")
-    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    try:
+        probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    except Exception:
+        if prior is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prior)
+        raise
     if probed != "bigint":
         if prior is None:
             spark.conf.unset(_NANOS_CONF)
         else:
             spark.conf.set(_NANOS_CONF, prior)
-    _PROBE_CACHE[path] = probed
+    _PROBE_CACHE[key] = probed
     return probed

@@ -46,13 +46,9 @@ ENCODINGS = {
 }
 
 
-@pytest.fixture(scope="module")
-def encoded_dirs(tmp_path_factory):
-    """One sf_dir per physical ts encoding, same logical rows."""
-    dirs = {}
-    for name, ts_type in ENCODINGS.items():
-        d = tmp_path_factory.mktemp(f"enc_{name}")
-        arrays = {
+def _events_table(ts_type):
+    return pa.table(
+        {
             "event_id": pa.array([r["event_id"] for r in _ROWS], pa.int64()),
             "ts": pa.array([r["ts"] for r in _ROWS], ts_type),
             "user_id": pa.array([r["user_id"] for r in _ROWS], pa.int64()),
@@ -60,7 +56,16 @@ def encoded_dirs(tmp_path_factory):
             "value": pa.array([r["value"] for r in _ROWS], pa.float64()),
             "props": pa.array([r["props"] for r in _ROWS], pa.string()),
         }
-        pq.write_table(pa.table(arrays), str(d / "events.parquet"))
+    )
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    """One sf_dir per physical ts encoding, same logical rows."""
+    dirs = {}
+    for name, ts_type in ENCODINGS.items():
+        d = tmp_path_factory.mktemp(f"enc_{name}")
+        pq.write_table(_events_table(ts_type), str(d / "events.parquet"))
         dirs[name] = str(d)
     return dirs
 
@@ -202,4 +207,75 @@ def test_nanos_conf_scoped_to_probe(spark, encoded_dirs):
     got = probe_events_ts(spark, f"{encoded_dirs['nanos']}/events.parquet")
     assert got == "bigint"
     assert spark.conf.get(_NANOS_CONF) == "true"
+    spark.conf.unset(_NANOS_CONF)
+
+
+def test_failed_probe_restores_conf(spark, tmp_path):
+    """A probe that THROWS (missing/corrupt path) must restore the
+    speculative nanosAsLong conf before re-raising — a failed probe
+    leaving it latched is exactly the silent-bigint leak the module
+    exists to prevent."""
+    from git_log_to_sqlite_spark.sources.events_probe import (
+        _NANOS_CONF,
+        probe_events_ts,
+    )
+
+    spark.conf.unset(_NANOS_CONF)
+    with pytest.raises(Exception):
+        probe_events_ts(spark, str(tmp_path / "missing.parquet"))
+    assert spark.conf.get(_NANOS_CONF, None) is None  # restored (unset)
+
+    spark.conf.set(_NANOS_CONF, "false")
+    with pytest.raises(Exception):
+        probe_events_ts(spark, str(tmp_path / "missing.parquet"))
+    assert spark.conf.get(_NANOS_CONF) == "false"  # restored verbatim
+    spark.conf.unset(_NANOS_CONF)
+
+
+def test_probe_cache_invalidated_on_regeneration(spark, tmp_path):
+    """The probe cache is keyed on a file fingerprint (size + mtime),
+    so regenerating the parquet at the SAME path with a different ts
+    encoding mid-process must re-probe instead of serving the stale
+    dtype (which would misdecode every ts by 1000x)."""
+    import os
+
+    from git_log_to_sqlite_spark.sources.events_probe import (
+        _NANOS_CONF,
+        probe_events_ts,
+    )
+
+    p = str(tmp_path / "events.parquet")
+    pq.write_table(_events_table(pa.timestamp("us")), p)
+    assert probe_events_ts(spark, p) == "timestamp_ntz"
+    assert probe_events_ts(spark, p) == "timestamp_ntz"  # cache hit
+
+    pq.write_table(_events_table(pa.timestamp("ns")), p)
+    # same row count could mean same size; force a distinct mtime so the
+    # fingerprint can't collide even on coarse-grained filesystems
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert probe_events_ts(spark, p) == "bigint"  # NOT the stale entry
+    spark.conf.unset(_NANOS_CONF)
+
+
+def test_latched_nanos_conf_is_session_wide(spark, encoded_dirs, tmp_path):
+    """The single-nanos-table assumption, pinned as a negative test:
+    once a nanos events probe latches the conf (required at execution
+    time of the returned frames), a RAW read of any other
+    TIMESTAMP(NANOS) parquet in the same session comes back bigint —
+    intended here because events is this engine's only nanos candidate
+    and all event reads flow through the table() choke point, but a
+    deployment adding a second nanos table must normalize it through
+    that choke point too (see probe_events_ts docstring)."""
+    from git_log_to_sqlite_spark.sources.events_probe import (
+        _NANOS_CONF,
+        probe_events_ts,
+    )
+
+    assert probe_events_ts(spark, f"{encoded_dirs['nanos']}/events.parquet") == "bigint"
+    assert spark.conf.get(_NANOS_CONF) == "true"  # latched
+
+    other = str(tmp_path / "other_nanos.parquet")
+    pq.write_table(_events_table(pa.timestamp("ns")), other)
+    assert dict(spark.read.parquet(other).dtypes)["ts"] == "bigint"
     spark.conf.unset(_NANOS_CONF)
