@@ -165,3 +165,94 @@ def test_connected_components_converges_on_wide_graph(spark):
     }
     assert len(comp) == 5000
     assert all(comp[n] == (n // 100) * 100 for n in comp)
+
+
+def test_multiprobe_recall_at_bench_sf(spark):
+    """Multiprobe recall on the REAL embeddings table at the bench SF
+    (10x the oracle corpus, near-random vectors — the hard case for
+    LSH). The superset guarantee (multi-probe searches every single-
+    probe cell plus Hamming-1 neighbors) must hold on any data, and the
+    measured recall must clear a floor consistent with the probed
+    corpus fraction ((1+P)/2^P = 0.5 at P=3; measured 0.68/0.23
+    multi/single on this table)."""
+    import os
+
+    from git_log_to_sqlite_spark.operators import (
+        brute_force_topk,
+        bucketed_ann_topk,
+        lsh_bucket,
+        multiprobe_ann_topk,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eb = e.withColumn("lsh", lsh_bucket(F.col("embedding"), dims=64, num_planes=3))
+    q = eb.filter(F.col("vec_id") < 40)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bucketed_ann_topk(q, eb, "vec_id", "embedding", "lsh", k=10).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in multiprobe_ann_topk(
+            q, e, "vec_id", "embedding", dims=64, num_planes=3, k=10
+        ).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi > 0.45, f"multiprobe recall collapsed: {r_multi:.2f}"
+
+
+def test_cc_convergence_bound_on_embedding_graph(spark):
+    """The log-round convergence bound, extended from synthetic chains
+    to the EMBEDDING-similarity graph shape at the bench SF: the full
+    sf0.1 cosine>=0.3 pair graph (DuckDB generates the 15k-edge list so
+    the test measures components, not pair-gen), checked against an
+    exact union-find and the ceil(log2 n)+3 round budget from
+    test_graph.py."""
+    import math
+    import os
+
+    import duckdb
+
+    from git_log_to_sqlite_spark.operators import connected_components
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    edges = duckdb.sql(
+        f"""
+        SELECT a.vec_id ia, b.vec_id ib
+        FROM read_parquet('{sf_dir}/embeddings.parquet') a
+        JOIN read_parquet('{sf_dir}/embeddings.parquet') b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """
+    ).fetchall()
+    assert len(edges) > 1000  # the graph is non-trivial at this SF
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert got == want
+    bound = math.ceil(math.log2(len(want))) + 3
+    assert stats["rounds"] <= bound, (stats["rounds"], bound)
