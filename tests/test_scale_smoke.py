@@ -256,3 +256,41 @@ def test_cc_convergence_bound_on_embedding_graph(spark):
     assert got == want
     bound = math.ceil(math.log2(len(want))) + 3
     assert stats["rounds"] <= bound, (stats["rounds"], bound)
+
+
+def test_jaccard_cap_bounds_stop_shingle_blowup(spark):
+    """The OOM-unit scenario cap-before-collect exists for: every doc in
+    a 2,000-doc corpus shares one stop-shingle, so the uncapped plan
+    would build ONE posting array of all 2,000 ids and explode it into
+    ~2M pairs. With the quantile cap, the hot shingle must be
+    anti-filtered BEFORE the posting aggregate: the telemetry reports
+    the avoided quadratic pair mass, the surviving pair set is exactly
+    the rare-shingle (true near-dup) pairs, and the observed runtime
+    tracks the bounded candidate mass, not n^2."""
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import ngram_jaccard_pairs, release_caches
+
+    n = 2000
+    # every doc: the same hot trigram + a unique tail; consecutive even/
+    # odd docs share their tail trigrams (the planted near-dup pairs)
+    rows = [
+        (i, f"stop stop stop u{i // 2}a u{i // 2}b u{i // 2}c u{i // 2}d")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("stop_shingle")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2,
+            max_df_quantile=0.92, observation=obs,
+        ).collect()
+    }
+    release_caches()
+    # the planted pairs survive (carried by their rare tail shingles)
+    assert got == {(2 * p, 2 * p + 1) for p in range(n // 2)}
+    # the stop shingle was dropped before aggregation, avoiding the
+    # quadratic mass: 1 shingle x n(n-1)/2 pairs
+    assert obs.get["shingles_dropped"] == 1
+    assert obs.get["pairs_avoided"] == n * (n - 1) // 2
