@@ -13,8 +13,9 @@ from .caching import cache_scope, pin, release_caches
 from .clustering import assign_clusters, kmeans
 from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
-from .sampling import domain_mix, weighted_reservoir
+from .sampling import domain_mix, token_budget_sample, weighted_reservoir
 from .dedup import (
+    decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -32,6 +33,7 @@ from .similarity import (
 from .skew import salted_aggregate, salted_join
 from .text import (
     add_text_stats,
+    repetition_stats,
     chunk_documents,
     fingerprint,
     lang_id,
@@ -52,6 +54,8 @@ __all__ = [
     "ordered_running_sum",
     "weighted_reservoir",
     "domain_mix",
+    "token_budget_sample",
+    "decontaminate",
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",
@@ -70,5 +74,6 @@ __all__ = [
     "fingerprint",
     "lang_id",
     "tfidf_topk",
+    "repetition_stats",
     "token_counts",
 ]

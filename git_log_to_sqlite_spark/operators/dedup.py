@@ -446,3 +446,58 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_n: int = 4,
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any token ``ngram_n``-gram with a held-out benchmark/eval corpus —
+    the leakage filter every pre-training pipeline runs before a model
+    ever sees the data (the public recipe: n-gram overlap against the
+    eval suites, as in the GPT-3/PaLM appendices).
+
+    Returns one row per TRAIN document: ``(id, shared_ngrams,
+    contaminated)`` where ``shared_ngrams`` counts the distinct n-grams
+    the document shares with the benchmark (``shingles`` emits the
+    per-document distinct gram set, so the count needs no extra
+    distinct) and ``contaminated`` is the 0/1 gate. All train rows are
+    kept (left join) so the output is a drop-in annotation table.
+
+    Scale shape — the asymmetry IS the design: benchmarks are MBs while
+    the corpus is 100 TB, so the benchmark's distinct gram set is
+    broadcast (one small-side shuffle to distinct it, then a hash set
+    on every executor) and the train side filters its exploded gram
+    stream map-side via a broadcast LEFT SEMI join BEFORE any shuffle —
+    the only rows that ever reach the aggregation exchange are actual
+    hits, which are rare by construction. The final annotate join is an
+    id-only projection against the tiny hit table (AQE broadcasts it).
+    Never join two exploded 100-TB gram streams to find leakage.
+    """
+    grams = lambda d: F.explode(  # noqa: E731
+        shingles(F.split(F.col(text_col), " "), ngram_n)
+    )
+    bench_grams = benchmark.select(grams(benchmark).alias("gram")).distinct()
+    train_grams = _spread(train).select(
+        F.col(id_col).alias("_id"), grams(train).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+    shared = F.coalesce(F.col("shared_ngrams"), F.lit(0).cast("long"))
+    return (
+        train.select(id_col)
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            shared.alias("shared_ngrams"),
+            (shared > 0).cast("int").alias(flag_col),
+        )
+    )

@@ -116,3 +116,50 @@ def domain_mix(
         .filter(F.col(u_out) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    domain_col: str,
+    cum_out: str = "cum_before",
+) -> DataFrame:
+    """Greedy deterministic budget fill per domain — the corpus-mixing
+    step that answers "give me ~B tokens from every source": rows are
+    admitted in md5-random order until their domain's budget is
+    reached. A row is kept iff the weight already admitted BEFORE it is
+    under ``budget`` (so each domain overshoots by at most one row, and
+    at least one row per non-empty domain is always kept).
+
+    The admission order is the ``uniform_key`` md5 coin (id tie-break),
+    so the sample is a pure function of the data — reproducible across
+    runs, partitionings, and engines (hash-oracle-checkable), and
+    MONOTONE in the budget: the keep set for budget B is a subset of
+    the keep set for any B' >= B, which makes budget sweeps consistent
+    (no reshuffling of what was already admitted).
+
+    Plan: one projection for the coin, one shuffle on the domain key,
+    one running-sum window per domain (frame = UNBOUNDED PRECEDING to 1
+    PRECEDING), one filter. Each domain's window is a single partition;
+    domains are typically few-and-large, so when one domain outgrows a
+    partition, swap the window for ``operators.ordered.
+    ordered_running_sum`` (two-phase range-partitioned prefix sum) per
+    domain — the admission predicate depends only on the prefix sum, so
+    the semantics carry over unchanged.
+    """
+    keyed = df.withColumn("_u", uniform_key(F.col(id_col)))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("_u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(weight_col).over(w), F.lit(0).cast("long")
+    )
+    return (
+        keyed.withColumn(cum_out, cum_before)
+        .filter(F.col(cum_out) < budget)
+        .drop("_u")
+    )

@@ -185,3 +185,58 @@ def chunk_documents(
         F.array_join("_ctoks", " ").alias("chunk_text"),
         F.size("_ctoks").alias("chunk_tokens"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rule
+    family, adapted to token counts): per document,
+
+    * ``dup_token_frac`` — fraction of token occurrences that repeat an
+      earlier token (``(n - n_distinct) / n``);
+    * ``top_bigram_frac`` — fraction of all token bigrams taken by the
+      most frequent bigram;
+    * ``passes_repetition_gate`` — 1 iff ``top_bigram_frac <= 1/5`` and
+      ``dup_token_frac <= 7/10``. The gate compares in INTEGER
+      arithmetic (``top*5 <= n_bigrams``, ``(n-u)*10 <= 7*n``) so the
+      cut is exact — no float-rounding boundary can flip it between
+      engines or runs.
+
+    Looping text is the classic failure mode cheap length/stopword
+    filters miss; these two signals catch it. Pure Column expressions
+    (sequence -> transform bigrams, array_distinct + filter counting),
+    so the whole battery is one codegen projection with ZERO shuffle —
+    at 100 TB it runs at scan speed as a map-only stage. The per-row
+    top-bigram scan is O(distinct x total) on the token count; for
+    book-length inputs run it on chunked text (``chunk_documents``),
+    which a training pipeline does anyway.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    bigram = lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1))  # noqa: E731
+    grams = F.when(
+        n >= 2, F.transform(F.sequence(F.lit(0), n - 2), bigram)
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(grams)
+    top_cnt = F.when(
+        n_bigrams > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda d: F.size(F.filter(grams, lambda g: g == d)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    dup_frac = F.round((n - n_uniq).cast("double") / n, 6)
+    top_frac = F.when(
+        n_bigrams > 0, F.round(top_cnt.cast("double") / n_bigrams, 6)
+    ).otherwise(F.lit(0.0))
+    gate = (
+        (top_cnt * 5 <= n_bigrams) & ((n - n_uniq) * 10 <= 7 * n)
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        dup_frac.alias("dup_token_frac"),
+        top_frac.alias("top_bigram_frac"),
+        gate.alias("passes_repetition_gate"),
+    )

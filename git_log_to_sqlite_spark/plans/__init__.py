@@ -51,20 +51,28 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
     REGISTRY.update(ordered)
 
 
-# Round-7 rotation (executing the plan pre-staged in round 6):
-# fn_cast + fn_map first (round-4 rows — the oldest in the corpus
-# after round 6 re-gated everything else newer), then the
-# round-5-gated block in its standing post-prefix order.  The block
-# holds 50 names, so 2 + 48 = 50 means two of them spill past the
-# prefix: fn_math and fn_conditional (round-5 rows; pure zero-shuffle
-# arithmetic / CASE projections over lineitem with no ts, join, or
-# encoding surface — the lowest-risk holdovers, mirroring the
-# fn_cast/fn_map precedent from rounds 5-6).  They lead the
-# pre-staged round-8 rotation, followed by the round-6-gated block.
-# The corpus remains 106 oracle queries against a 2x50 gate —
-# saturated; do NOT add more until the gate grows.
+# Round-7 rotation (executing the plan pre-staged in round 6, then
+# amended mid-round): the three queries NEW this round lead (no driver
+# row yet — the rounds-5/6 precedent for new gate queries), then
+# fn_cast + fn_map (round-4 rows — the oldest in the corpus after
+# round 6 re-gated everything else newer), then the round-5-gated
+# block in its standing post-prefix order.  3 + 2 + 48 names against a
+# 50-slot prefix means five round-5 rows spill to round 8: fn_math,
+# fn_conditional, fn_strings, fn_regex, fn_dates (pure zero-shuffle
+# scalar projections with no ts, join, or encoding surface — the
+# lowest-risk holdovers, mirroring the fn_cast/fn_map precedent from
+# rounds 5-6; the three are moved to the list tail below so the spill
+# hits them, not the streaming-replay rows).  They lead the pre-staged
+# round-8 rotation, followed by the round-6-gated block.  The corpus
+# is 109 oracle queries against a 2x50 gate — a 9-name overhang, so
+# the freshness cycle is ~2.2 rounds; grow the corpus further only if
+# the gate grows.
 _prioritize(
     first=[
+        # --- new this round (no driver row yet) ---
+        "dedup_decontaminate",
+        "text_repetition",
+        "sample_token_budget",
         # --- oldest driver rows in the corpus (round 4) ---
         "fn_cast",
         "fn_map",
@@ -105,9 +113,6 @@ _prioritize(
         "win_time_bucket",
         "events_sessionize",
         "events_cohort_retention",
-        "fn_strings",
-        "fn_regex",
-        "fn_dates",
         "fn_json",
         "fn_from_json_struct",
         "fn_higher_order",
@@ -118,6 +123,10 @@ _prioritize(
         "stream_session_replay",
         "stream_join_replay",
         "etl_logs_parity",
+        # --- spill past slot 50 → lead the round-8 rotation ---
+        "fn_strings",
+        "fn_regex",
+        "fn_dates",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

@@ -899,3 +899,123 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions={"en": 0.5, "es": 0.2, "de": 0.1}, seed=42).select(
         "doc_id", "lang"
     )
+
+
+# ----------------------------------------------------------------------
+# Round 7: decontamination, repetition quality, token-budget mixing
+# ----------------------------------------------------------------------
+
+# Benchmark membership for the decontamination query: every 29th doc
+# plays the held-out eval set (~3.4% of the corpus — the realistic
+# asymmetry: benchmarks are tiny next to the training corpus).
+_DECON_MOD = 29
+_DECON_N = 4  # token 4-grams, distinct from jaccard's 3-gram shingles
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - {_DECON_N - 1}),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+      FROM toks),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_MOD} = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS shared_ngrams
+      FROM grams g JOIN ev USING (gram)
+      WHERE g.doc_id % {_DECON_MOD} <> 0
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.shared_ngrams, 0) AS BIGINT) AS shared_ngrams,
+           CAST(COALESCE(h.shared_ngrams, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {_DECON_MOD} <> 0
+    """,
+    doc="Benchmark decontamination (operators.dedup.decontaminate): "
+    "flag train docs sharing any token 4-gram with the held-out eval "
+    "slice — the leakage filter every pre-training pipeline runs. The "
+    "small benchmark gram set is broadcast and the 100-TB train gram "
+    "stream filters against it map-side (broadcast LEFT SEMI) BEFORE "
+    "any shuffle: only actual hits ever reach an exchange.",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    return dd.decontaminate(train, bench, "doc_id", "text", ngram_n=_DECON_N)
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS n_uniq,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1]) AS grams
+      FROM toks
+    ), cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM base) g
+      GROUP BY doc_id, gram
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id,
+           ROUND(CAST(b.n - b.n_uniq AS DOUBLE) / b.n, 6) AS dup_token_frac,
+           CASE WHEN COALESCE(t.n_bigrams, 0) > 0
+                THEN ROUND(CAST(t.top_cnt AS DOUBLE) / t.n_bigrams, 6)
+                ELSE 0.0 END AS top_bigram_frac,
+           CAST(COALESCE(t.top_cnt, 0) * 5 <= COALESCE(t.n_bigrams, 0)
+                AND (b.n - b.n_uniq) * 10 <= 7 * b.n AS INT)
+             AS passes_repetition_gate
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+    doc="Repetition-quality battery (operators.text.repetition_stats): "
+    "duplicate-token fraction + top-bigram fraction + integer-exact "
+    "pass/fail gate — the Gopher-style looping-text filter cheap "
+    "length checks miss. Pure codegen projection, ZERO shuffle: runs "
+    "at scan speed as a map-only stage at any corpus size.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.repetition_stats(d, "doc_id", "text")
+
+
+@register(
+    "sample_token_budget",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+               / 1152921504606846976.0 AS u
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM keyed)
+    SELECT doc_id, source, n_chars, cum_before
+    FROM c WHERE cum_before < 2000
+    """,
+    doc="Per-domain token-budget fill (operators.sampling."
+    "token_budget_sample): admit docs in md5-random order until each "
+    "source has ~2000 chars — the 'B tokens from every source' "
+    "corpus-mixing step, exactly reproducible (hash-oracle-checked) "
+    "and monotone in the budget. One shuffle on the domain key + one "
+    "per-domain running-sum window; at mega-domain scale the prefix "
+    "sum swaps to the two-phase ordered_running_sum unchanged.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample
+
+    d = table(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        d, "doc_id", "n_chars", budget=2000, domain_col="source"
+    )
+    return out.select("doc_id", "source", "n_chars", "cum_before")

@@ -685,3 +685,98 @@ def test_cache_scope_releases_only_inner_pins(spark, oracle_sf_dir):
     assert caching._LIVE == outer  # inner pins released, outer intact
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in outer)
     release_caches()
+
+
+# ----------------------------------------------------------------------
+# Round 7: decontamination, repetition quality, token-budget sampling
+# ----------------------------------------------------------------------
+
+
+def test_decontaminate_planted_leak(spark):
+    from git_log_to_sqlite_spark.operators import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains bench 4-grams "alpha beta gamma delta" and
+            # "beta gamma delta epsilon" verbatim -> 2 shared grams
+            (1, "xx alpha beta gamma delta epsilon yy"),
+            # clean: shares tokens but no 4-gram
+            (2, "alpha beta xx gamma delta yy epsilon zeta"),
+            # too short for any 4-gram
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}, "every train row must be annotated"
+    assert out[1]["contaminated"] == 1 and out[1]["shared_ngrams"] == 2
+    assert out[2]["contaminated"] == 0 and out[2]["shared_ngrams"] == 0
+    assert out[3]["contaminated"] == 0 and out[3]["shared_ngrams"] == 0
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    """A train doc repeating the same leaked 4-gram counts it ONCE
+    (shingles are per-document distinct)."""
+    from git_log_to_sqlite_spark.operators import decontaminate
+
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "a b c d x a b c d")], "doc_id long, text string"
+    )
+    row = decontaminate(train, bench, "doc_id", "text").collect()[0]
+    assert row["shared_ngrams"] == 1 and row["contaminated"] == 1
+
+
+def test_repetition_stats_hand_computed(spark):
+    from git_log_to_sqlite_spark.operators import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),  # dup 2/4; bigrams [a a, a a, a b] top 2/3
+            (2, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # all distinct
+            (3, "solo"),  # 1 token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["dup_token_frac"] == 0.5
+    assert out[1]["top_bigram_frac"] == round(2 / 3, 6)
+    assert out[1]["passes_repetition_gate"] == 0  # top 2/3 > 1/5
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == round(1 / 9, 6)
+    assert out[2]["passes_repetition_gate"] == 1
+    assert out[3]["dup_token_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["passes_repetition_gate"] == 1
+
+
+def test_token_budget_monotone_deterministic_and_bounded(spark):
+    from git_log_to_sqlite_spark.operators import token_budget_sample
+
+    random.seed(7)
+    rows = [
+        (i, f"dom{i % 3}", random.randint(50, 400)) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, dom string, w long")
+
+    def keep_ids(budget):
+        out = token_budget_sample(df, "id", "w", budget, domain_col="dom")
+        return {r["id"]: r["cum_before"] for r in out.collect()}
+
+    small, big = keep_ids(1000), keep_ids(4000)
+    assert set(small) <= set(big), "budget fill must be monotone in the budget"
+    assert small == keep_ids(1000), "md5 coin: exactly reproducible"
+    # admission bound: everything admitted started under budget, and
+    # every non-empty domain admits at least its first row
+    assert all(c < 1000 for c in small.values())
+    doms = {r["dom"] for r in df.select("dom").distinct().collect()}
+    kept_doms = {
+        r["dom"]
+        for r in token_budget_sample(df, "id", "w", 1, domain_col="dom")
+        .select("dom").distinct().collect()
+    }
+    assert kept_doms == doms, "budget 1 still admits one row per domain"

@@ -391,3 +391,36 @@ def test_tfidf_single_corpus_pass(spark, sf):
     node_lines = [l for l in plan.splitlines() if l.startswith("(")]
     assert sum("InMemoryTableScan" in l for l in node_lines) >= 2, node_lines
     assert sum("Scan parquet" in l for l in node_lines) <= 2
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf):
+    """The repetition battery is a pure codegen projection: at 100 TB
+    it must run at scan speed as a map-only stage — zero exchanges."""
+    plan = plan_of(plans.REGISTRY["text_repetition"].fn(spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "ReadSchema" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_semi_join(spark, sf):
+    """The benchmark gram set (small by nature) must broadcast and the
+    train gram stream must filter against it map-side: a LEFT SEMI
+    BroadcastHashJoin, never a SortMergeJoin of two exploded gram
+    streams — the join whose shuffle would carry the whole corpus."""
+    plan = plan_of(plans.REGISTRY["dedup_decontaminate"].fn(spark, sf))
+    assert "BroadcastHashJoin LeftSemi" in plan
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin LeftSemi" not in tree
+
+
+def test_token_budget_single_domain_exchange(spark, sf):
+    """Budget fill is ONE data-sized shuffle (hash on the domain key)
+    feeding the per-domain running-sum window; no join, no global
+    sort, no second pass over the corpus."""
+    import re
+
+    plan = plan_of(plans.REGISTRY["sample_token_budget"].fn(spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Exchange", tree)) == 1
+    assert "hashpartitioning(source" in plan
+    assert len(re.findall(r"\bWindow\b", tree)) == 1
