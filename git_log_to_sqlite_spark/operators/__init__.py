@@ -17,6 +17,7 @@ from .sampling import domain_mix, token_budget_sample, weighted_reservoir
 from .dedup import (
     decontaminate,
     exact_dedup,
+    incremental_minhash_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -57,6 +58,7 @@ __all__ = [
     "token_budget_sample",
     "decontaminate",
     "exact_dedup",
+    "incremental_minhash_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",

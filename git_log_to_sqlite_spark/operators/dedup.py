@@ -98,6 +98,32 @@ def minhash_signatures(
     return sh.groupBy("_id").agg(*mins).withColumnRenamed("_id", id_col)
 
 
+def _band_keys(
+    mh: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """Project wide signatures to (id, band, band_key) rows — a pure
+    codegen fan-out (array of structs + explode), no aggregate."""
+    n_bands = num_hashes // rows_per_band
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mh.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
+        id_col, F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -123,25 +149,7 @@ def minhash_lsh_pairs(
     # Signatures are K x 8 bytes/doc — tiny relative to the corpus.
     # pin() registers the cache for release_caches()/cache_scope().
     mh = pin(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
-    n_bands = num_hashes // rows_per_band
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = mh.select(
-        F.col(id_col), F.explode(band_entries).alias("e")
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key"))
+    bands = _band_keys(mh, id_col, num_hashes, rows_per_band)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -499,5 +507,88 @@ def decontaminate(
             id_col,
             shared.alias("shared_ngrams"),
             (shared > 0).cast("int").alias(flag_col),
+        )
+    )
+
+
+def incremental_minhash_dedup(
+    history: DataFrame,
+    increment: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    min_agree: float = 0.25,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a new batch against the historical corpus WITHOUT
+    re-pairing history with itself — the daily-ingest shape of fuzzy
+    dedup: 100 TB of history is already deduped; only the increment
+    needs checking, and only against history (+ itself is a separate
+    ``minhash_lsh_pairs`` call on the small increment).
+
+    Returns one row per INCREMENT document: ``(id, dup_of, best_est,
+    is_new)`` — ``dup_of`` is the smallest history id among matches
+    with signature agreement >= ``min_agree`` (deterministic pick),
+    ``best_est`` the highest agreement estimate, ``is_new`` = 1 when no
+    history match clears the bar. All increment rows are kept.
+
+    Scale shape: history contributes ONLY its signature table (K x 8
+    bytes/doc — in production a persisted/bucketed table maintained
+    across ingests, so the 100-TB text is never re-scanned; here it is
+    derived and pinned). The band equi-join is increment-bands x
+    history-bands — candidate mass tracks collisions, never
+    |history| x |increment| — and the agreement estimate compares the
+    two signature rows per candidate. History never self-joins: the
+    only quadratic-risk surface is band-key skew, the same surface the
+    batch operator carries.
+    """
+    mh_h = pin(minhash_signatures(history, id_col, text_col, num_hashes, shingle_n))
+    mh_i = pin(minhash_signatures(increment, id_col, text_col, num_hashes, shingle_n))
+    bands_h = _band_keys(mh_h, id_col, num_hashes, rows_per_band)
+    bands_i = _band_keys(mh_i, id_col, num_hashes, rows_per_band)
+    cand = (
+        bands_i.alias("i")
+        .join(
+            bands_h.alias("h"),
+            (F.col("i.band") == F.col("h.band"))
+            & (F.col("i.band_key") == F.col("h.band_key")),
+        )
+        .select(
+            F.col(f"i.{id_col}").alias("_inc"), F.col(f"h.{id_col}").alias("_hist")
+        )
+        .distinct()
+    )
+    mi = mh_i.select(
+        F.col(id_col).alias("_inc"),
+        *[F.col(f"mh_{j}").alias(f"i_{j}") for j in range(num_hashes)],
+    )
+    mht = mh_h.select(
+        F.col(id_col).alias("_hist"),
+        *[F.col(f"mh_{j}").alias(f"h_{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"i_{j}") == F.col(f"h_{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
+    )
+    matches = (
+        cand.join(mi, "_inc")
+        .join(mht, "_hist")
+        .withColumn("est", agree.cast("double") / num_hashes)
+        .filter(F.col("est") >= min_agree)
+        .groupBy("_inc")
+        .agg(
+            F.min("_hist").alias("dup_of"),
+            F.max("est").alias("best_est"),
+        )
+    )
+    return (
+        increment.select(id_col)
+        .join(matches.withColumnRenamed("_inc", id_col), id_col, "left")
+        .select(
+            id_col,
+            "dup_of",
+            "best_est",
+            F.col("dup_of").isNull().cast("int").alias("is_new"),
         )
     )

@@ -52,27 +52,28 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 # Round-7 rotation (executing the plan pre-staged in round 6, then
-# amended mid-round): the three queries NEW this round lead (no driver
+# amended mid-round): the four queries NEW this round lead (no driver
 # row yet — the rounds-5/6 precedent for new gate queries), then
 # fn_cast + fn_map (round-4 rows — the oldest in the corpus after
 # round 6 re-gated everything else newer), then the round-5-gated
-# block in its standing post-prefix order.  3 + 2 + 48 names against a
-# 50-slot prefix means five round-5 rows spill to round 8: fn_math,
-# fn_conditional, fn_strings, fn_regex, fn_dates (pure zero-shuffle
-# scalar projections with no ts, join, or encoding surface — the
-# lowest-risk holdovers, mirroring the fn_cast/fn_map precedent from
-# rounds 5-6; the three are moved to the list tail below so the spill
-# hits them, not the streaming-replay rows).  They lead the pre-staged
-# round-8 rotation, followed by the round-6-gated block.  The corpus
-# is 109 oracle queries against a 2x50 gate — a 9-name overhang, so
-# the freshness cycle is ~2.2 rounds; grow the corpus further only if
-# the gate grows.
+# block in its standing post-prefix order.  4 + 2 + 48 names against a
+# 50-slot prefix means six round-5 rows spill to round 8: fn_math,
+# fn_conditional, fn_strings, fn_regex, fn_dates, fn_json (pure
+# zero-shuffle scalar projections with no ts, join, or encoding
+# surface — the lowest-risk holdovers, mirroring the fn_cast/fn_map
+# precedent from rounds 5-6; the four below are moved to the list tail
+# so the spill hits them, not the streaming-replay or ETL-parity
+# rows).  They lead the pre-staged round-8 rotation, followed by the
+# round-6-gated block.  The corpus is 110 oracle queries against a
+# 2x50 gate — a 10-name overhang, so the freshness cycle is ~2.2
+# rounds; grow the corpus further only if the gate grows.
 _prioritize(
     first=[
         # --- new this round (no driver row yet) ---
         "dedup_decontaminate",
         "text_repetition",
         "sample_token_budget",
+        "dedup_incremental_lsh",
         # --- oldest driver rows in the corpus (round 4) ---
         "fn_cast",
         "fn_map",
@@ -113,7 +114,6 @@ _prioritize(
         "win_time_bucket",
         "events_sessionize",
         "events_cohort_retention",
-        "fn_json",
         "fn_from_json_struct",
         "fn_higher_order",
         "sample_domain_mix",
@@ -127,6 +127,7 @@ _prioritize(
         "fn_strings",
         "fn_regex",
         "fn_dates",
+        "fn_json",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

@@ -1019,3 +1019,62 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "n_chars", budget=2000, domain_col="source"
     )
     return out.select("doc_id", "source", "n_chars", "cum_before")
+
+
+# Increment membership for the incremental-dedup query: every 5th doc
+# plays the "daily batch"; the rest are the already-ingested history.
+_INC_MOD = 5
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    mh AS (
+      SELECT doc_id, j,
+             MIN({_SQL_MD5_LONG.format(x="j::VARCHAR || ':' || shingle", n=15)}) AS minh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS j) perms
+      GROUP BY doc_id, j),
+    bands AS (
+      SELECT doc_id, j // 2 AS band,
+             string_agg(minh::VARCHAR, ',' ORDER BY j) AS band_key
+      FROM mh GROUP BY doc_id, j // 2),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+      FROM bands i JOIN bands h
+        ON i.band = h.band AND i.band_key = h.band_key
+      WHERE i.doc_id % {_INC_MOD} = 0 AND h.doc_id % {_INC_MOD} <> 0),
+    agreed AS (
+      SELECT inc_id, hist_id,
+             CAST(SUM(CASE WHEN mi.minh = mhh.minh THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_MINHASH_K} AS est
+      FROM cand
+      JOIN mh mi ON mi.doc_id = inc_id
+      JOIN mh mhh ON mhh.doc_id = hist_id AND mi.j = mhh.j
+      GROUP BY inc_id, hist_id
+      HAVING SUM(CASE WHEN mi.minh = mhh.minh THEN 1 ELSE 0 END)
+             >= {_MINHASH_K} * 0.25),
+    best AS (
+      SELECT inc_id, MIN(hist_id) AS dup_of, MAX(est) AS best_est
+      FROM agreed GROUP BY inc_id)
+    SELECT d.doc_id, b.dup_of, b.best_est,
+           CAST(b.dup_of IS NULL AS INT) AS is_new
+    FROM documents d LEFT JOIN best b ON b.inc_id = d.doc_id
+    WHERE d.doc_id % {_INC_MOD} = 0
+    """,
+    doc="Incremental fuzzy dedup (operators.dedup."
+    "incremental_minhash_dedup): dedup the daily batch against the "
+    "historical corpus via a band equi-join of increment signatures "
+    "against the persisted history signature table — history text is "
+    "never re-scanned and never self-joins; candidate mass tracks "
+    "band collisions, not |history| x |increment|. Deterministic "
+    "survivor pick (min history id among matches).",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % _INC_MOD != 0)
+    increment = d.filter(F.col("doc_id") % _INC_MOD == 0)
+    return dd.incremental_minhash_dedup(
+        history, increment, "doc_id", "text",
+        num_hashes=_MINHASH_K, rows_per_band=2, min_agree=0.25,
+    )

@@ -780,3 +780,78 @@ def test_token_budget_monotone_deterministic_and_bounded(spark):
         .select("dom").distinct().collect()
     }
     assert kept_doms == doms, "budget 1 still admits one row per domain"
+
+
+def test_incremental_dedup_planted_near_dup(spark):
+    """A near-dup of a history doc in the increment must resolve to
+    that history doc; a novel doc must come back is_new=1; history
+    docs that duplicate EACH OTHER must not surface (history never
+    self-joins)."""
+    from git_log_to_sqlite_spark.operators import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    history = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base),  # exact dup INSIDE history — must stay invisible
+            (12, "an entirely different historical document about engines"),
+        ],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (100, base),  # exact dup of history 10/11
+            (101, "completely novel content that matches nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            history, increment, "doc_id", "text"
+        ).collect()
+    }
+    assert set(out) == {100, 101}, "one row per increment doc, nothing else"
+    assert out[100]["is_new"] == 0 and out[100]["dup_of"] == 10  # min hist id
+    assert out[100]["best_est"] == 1.0
+    assert out[101]["is_new"] == 1 and out[101]["dup_of"] is None
+
+
+def test_incremental_dedup_agrees_with_batch_pairs(spark, oracle_sf_dir):
+    """Cross-validation on the real corpus: the incremental result must
+    be exactly the per-increment-doc reduction of the BATCH operator's
+    cross-side pairs — same banding, same agreement estimate, so for
+    every increment doc: is_new=0 iff some batch pair links it to
+    history, dup_of = min such history id, best_est = max agreement."""
+    from git_log_to_sqlite_spark.operators import incremental_minhash_dedup
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+
+    inc_rows = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            history, increment, "doc_id", "text"
+        ).collect()
+    }
+    batch = minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    cross: dict[int, list] = {}
+    for r in batch:
+        a, b = r["id_a"], r["id_b"]
+        if a % 5 == 0 and b % 5 != 0:
+            cross.setdefault(a, []).append((b, r["est_jaccard"]))
+        elif b % 5 == 0 and a % 5 != 0:
+            cross.setdefault(b, []).append((a, r["est_jaccard"]))
+
+    assert set(inc_rows) == {r["doc_id"] for r in increment.collect()}
+    for doc_id, row in inc_rows.items():
+        if doc_id in cross:
+            hist_ids = [h for h, _ in cross[doc_id]]
+            ests = [e for _, e in cross[doc_id]]
+            assert row["is_new"] == 0, doc_id
+            assert row["dup_of"] == min(hist_ids), doc_id
+            assert row["best_est"] == max(ests), doc_id
+        else:
+            assert row["is_new"] == 1 and row["dup_of"] is None, doc_id
+    assert any(r["is_new"] == 0 for r in inc_rows.values())  # non-vacuous

@@ -424,3 +424,17 @@ def test_token_budget_single_domain_exchange(spark, sf):
     assert len(re.findall(r"Exchange", tree)) == 1
     assert "hashpartitioning(source" in plan
     assert len(re.findall(r"\bWindow\b", tree)) == 1
+
+
+def test_incremental_lsh_no_cartesian_and_cached_signatures(spark, sf):
+    """The increment x history candidate stage must be an equi-join on
+    (band, band_key) — never a nested-loop/cartesian — and both
+    signature tables must come from cache (history signatures stand in
+    for the persisted signature table a production ingest maintains,
+    so the history text is scanned once, not once per reference)."""
+    plan = plan_of(plans.REGISTRY["dedup_incremental_lsh"].fn(spark, sf))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    node_lines = [l for l in plan.splitlines() if l.startswith("(")]
+    assert sum("InMemoryTableScan" in l for l in node_lines) >= 2

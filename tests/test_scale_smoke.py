@@ -294,3 +294,73 @@ def test_jaccard_cap_bounds_stop_shingle_blowup(spark):
     # quadratic mass: 1 shingle x n(n-1)/2 pairs
     assert obs.get["shingles_dropped"] == 1
     assert obs.get["pairs_avoided"] == n * (n - 1) // 2
+
+
+def test_decontaminate_scales_multiplicatively(spark, oracle_sf_dir):
+    """Replicating the TRAIN side 8x (fresh ids, same text) against a
+    FIXED benchmark must reproduce the base annotation on every copy:
+    contamination is a per-document property of (doc text, benchmark
+    gram set), so nothing about corpus size may change it. This is the
+    scale contract of the broadcast-semi design — the benchmark side is
+    constant, the train side streams through map-side."""
+    from git_log_to_sqlite_spark.operators import decontaminate
+
+    docs = table(spark, oracle_sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    base = {
+        r["doc_id"]: r["shared_ngrams"]
+        for r in decontaminate(train, bench, "doc_id", "text").collect()
+    }
+    k = 8
+    copies = [
+        train.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(k)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    got = {
+        r["doc_id"]: r["shared_ngrams"]
+        for r in decontaminate(big, bench, "doc_id", "text").collect()
+    }
+    assert len(got) == k * len(base)
+    for i in range(k):
+        for doc_id, shared in base.items():
+            assert got[doc_id + i * 1_000_000] == shared, (i, doc_id)
+
+
+def test_token_budget_domain_isolation_under_replication(spark, oracle_sf_dir):
+    """Unioning 8x more rows under NEW domain names must leave the
+    original domains' kept set byte-identical: the budget fill is
+    per-domain local (one hash partition per domain), so foreign
+    domains can never perturb admission order or prefix sums — the
+    property that lets a 100-TB corpus add sources without re-sampling
+    the old ones."""
+    from git_log_to_sqlite_spark.operators import token_budget_sample
+
+    docs = table(spark, oracle_sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = {
+        (r["doc_id"], r["source"]): r["cum_before"]
+        for r in token_budget_sample(
+            docs, "doc_id", "n_chars", 2000, domain_col="source"
+        ).collect()
+    }
+    extra = [
+        docs.withColumn("source", F.concat(F.col("source"), F.lit(f"_rep{i}")))
+        .withColumn("doc_id", F.col("doc_id") + F.lit((i + 1) * 1_000_000))
+        for i in range(8)
+    ]
+    big = docs
+    for c in extra:
+        big = big.unionByName(c)
+    kept_big = token_budget_sample(
+        big, "doc_id", "n_chars", 2000, domain_col="source"
+    )
+    got = {
+        (r["doc_id"], r["source"]): r["cum_before"]
+        for r in kept_big.filter(~F.col("source").contains("_rep")).collect()
+    }
+    assert got == base
