@@ -215,3 +215,108 @@ def test_gitlog_parse_blocks_roundtrip(commits):
             )
         )
     assert got == expected
+
+
+# ----------------------------------------------------------------------
+# Round 7: decontamination / repetition / token-budget vs pure-Python
+# reference implementations (any input, not just the golden corpus)
+# ----------------------------------------------------------------------
+
+_doc_text = st.text(alphabet="abc ", min_size=0, max_size=40)
+
+
+def _ref_grams(text: str, n: int) -> set[str]:
+    t = text.split(" ")
+    if len(t) < n:
+        return set()
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+@given(
+    bench=st.lists(_doc_text, min_size=1, max_size=4),
+    train=st.lists(_doc_text, min_size=1, max_size=8),
+    n=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_decontaminate_matches_python_reference(sess, bench, train, n):
+    from git_log_to_sqlite_spark.operators.dedup import decontaminate
+
+    bdf = sess.createDataFrame(
+        [(i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    tdf = sess.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    bench_grams = set().union(*(_ref_grams(t, n) for t in bench))
+    want = {
+        100 + i: len(_ref_grams(t, n) & bench_grams) for i, t in enumerate(train)
+    }
+    got = {
+        r["doc_id"]: r["shared_ngrams"]
+        for r in decontaminate(tdf, bdf, "doc_id", "text", ngram_n=n).collect()
+    }
+    assert got == want
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_repetition_stats_matches_python_reference(sess, texts):
+    from git_log_to_sqlite_spark.operators.text import repetition_stats
+
+    df = sess.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n, u = len(toks), len(set(toks))
+        grams = [" ".join(toks[j : j + 2]) for j in range(n - 1)]
+        top = max((grams.count(g) for g in set(grams)), default=0)
+        assert got[i]["dup_token_frac"] == round((n - u) / n, 6), t
+        want_top = round(top / len(grams), 6) if grams else 0.0
+        assert got[i]["top_bigram_frac"] == want_top, t
+        want_gate = int(top * 5 <= len(grams) and (n - u) * 10 <= 7 * n)
+        assert got[i]["passes_repetition_gate"] == want_gate, t
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["d0", "d1", "d2"]), st.integers(1, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    budget=st.integers(1, 120),
+)
+@settings(**_SETTINGS)
+def test_token_budget_matches_python_reference(sess, rows, budget):
+    import hashlib
+
+    from git_log_to_sqlite_spark.operators.sampling import token_budget_sample
+
+    df = sess.createDataFrame(
+        [(i, d, w) for i, (d, w) in enumerate(rows)],
+        "id long, dom string, w long",
+    )
+
+    def u_of(i: int) -> float:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return (h + 1.0) / float(1 << 60)
+
+    want = {}
+    by_dom: dict[str, list[int]] = {}
+    for i, (d, _) in enumerate(rows):
+        by_dom.setdefault(d, []).append(i)
+    for d, ids in by_dom.items():
+        cum = 0
+        for i in sorted(ids, key=lambda i: (u_of(i), i)):
+            if cum < budget:
+                want[i] = cum
+            cum += rows[i][1]
+    got = {
+        r["id"]: r["cum_before"]
+        for r in token_budget_sample(df, "id", "w", budget, domain_col="dom").collect()
+    }
+    assert got == want
