@@ -17,9 +17,14 @@ from git_log_to_sqlite_spark import plans
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: TPC-H Q1-shape pricing
-    summary (filtered scan -> multi-agg hash aggregate)."""
-    return plans.REGISTRY["agg_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the end-to-end
+    pre-training data pipeline (repetition+length quality gate ->
+    benchmark decontamination -> exact dedup -> per-domain token-budget
+    mix -> two-phase shard packing) as ONE declarative plan —
+    ``pipeline_pretrain_corpus``, oracle-gated at sf0.01/sf0.1."""
+    return plans.REGISTRY["pipeline_pretrain_corpus"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -210,7 +210,28 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     book-length inputs run it on chunked text (``chunk_documents``),
     which a training pipeline does anyway.
     """
-    toks = F.split(F.col(text_col), " ")
+    n, n_uniq, n_bigrams, top_cnt = repetition_parts(F.col(text_col))
+    dup_frac = F.round((n - n_uniq).cast("double") / n, 6)
+    top_frac = F.when(
+        n_bigrams > 0, F.round(top_cnt.cast("double") / n_bigrams, 6)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        dup_frac.alias("dup_token_frac"),
+        top_frac.alias("top_bigram_frac"),
+        repetition_gate(F.col(text_col)).cast("int").alias(
+            "passes_repetition_gate"
+        ),
+    )
+
+
+def repetition_parts(text: Column) -> tuple[Column, Column, Column, Column]:
+    """The repetition battery's building blocks as Columns:
+    ``(n_tokens, n_unique_tokens, n_bigrams, top_bigram_count)`` — the
+    ONE definition both ``repetition_stats`` and composite pipelines
+    (``pipeline_pretrain_corpus``) gate on, so the two can never
+    disagree."""
+    toks = F.split(text, " ")
     n = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     bigram = lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1))  # noqa: E731
@@ -227,16 +248,12 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         ),
     ).otherwise(F.lit(0))
-    dup_frac = F.round((n - n_uniq).cast("double") / n, 6)
-    top_frac = F.when(
-        n_bigrams > 0, F.round(top_cnt.cast("double") / n_bigrams, 6)
-    ).otherwise(F.lit(0.0))
-    gate = (
-        (top_cnt * 5 <= n_bigrams) & ((n - n_uniq) * 10 <= 7 * n)
-    ).cast("int")
-    return df.select(
-        F.col(id_col),
-        dup_frac.alias("dup_token_frac"),
-        top_frac.alias("top_bigram_frac"),
-        gate.alias("passes_repetition_gate"),
-    )
+    return n, n_uniq, n_bigrams, top_cnt
+
+
+def repetition_gate(text: Column) -> Column:
+    """Boolean pass/fail of the repetition gate in INTEGER arithmetic
+    (``top*5 <= n_bigrams`` and ``(n-u)*10 <= 7*n``) — exact, so no
+    float-rounding boundary can flip it between engines or runs."""
+    n, n_uniq, n_bigrams, top_cnt = repetition_parts(text)
+    return (top_cnt * 5 <= n_bigrams) & ((n - n_uniq) * 10 <= 7 * n)

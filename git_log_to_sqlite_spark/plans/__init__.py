@@ -52,24 +52,27 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 # Round-7 rotation (executing the plan pre-staged in round 6, then
-# amended mid-round): the four queries NEW this round lead (no driver
-# row yet — the rounds-5/6 precedent for new gate queries), then
-# fn_cast + fn_map (round-4 rows — the oldest in the corpus after
-# round 6 re-gated everything else newer), then the round-5-gated
-# block in its standing post-prefix order.  4 + 2 + 48 names against a
-# 50-slot prefix means six round-5 rows spill to round 8: fn_math,
-# fn_conditional, fn_strings, fn_regex, fn_dates, fn_json (pure
-# zero-shuffle scalar projections with no ts, join, or encoding
-# surface — the lowest-risk holdovers, mirroring the fn_cast/fn_map
-# precedent from rounds 5-6; the four below are moved to the list tail
-# so the spill hits them, not the streaming-replay or ETL-parity
-# rows).  They lead the pre-staged round-8 rotation, followed by the
-# round-6-gated block.  The corpus is 110 oracle queries against a
-# 2x50 gate — a 10-name overhang, so the freshness cycle is ~2.2
-# rounds; grow the corpus further only if the gate grows.
+# amended mid-round): the five queries NEW this round lead (no driver
+# row yet — the rounds-5/6 precedent for new gate queries; the
+# pretrain composite first, as the round's flagship), then fn_cast +
+# fn_map (round-4 rows — the oldest in the corpus after round 6
+# re-gated everything else newer), then the round-5-gated block in its
+# standing post-prefix order.  5 + 2 + 48 names against a 50-slot
+# prefix means seven round-5 rows spill to round 8: fn_math,
+# fn_conditional, fn_strings, fn_regex, fn_dates, fn_json,
+# fn_from_json_struct (pure zero-shuffle scalar projections with no
+# ts, join, or encoding surface — the lowest-risk holdovers, mirroring
+# the fn_cast/fn_map precedent from rounds 5-6; the five below are
+# moved to the list tail so the spill hits them, not the
+# streaming-replay or ETL-parity rows).  They lead the pre-staged
+# round-8 rotation, followed by the round-6-gated block.  The corpus
+# is 111 oracle queries against a 2x50 gate — an 11-name overhang, so
+# the freshness cycle is ~2.2 rounds; grow the corpus further only if
+# the gate grows.
 _prioritize(
     first=[
         # --- new this round (no driver row yet) ---
+        "pipeline_pretrain_corpus",
         "dedup_decontaminate",
         "text_repetition",
         "sample_token_budget",
@@ -114,7 +117,6 @@ _prioritize(
         "win_time_bucket",
         "events_sessionize",
         "events_cohort_retention",
-        "fn_from_json_struct",
         "fn_higher_order",
         "sample_domain_mix",
         "pipeline_curate_corpus",
@@ -128,6 +130,7 @@ _prioritize(
         "fn_regex",
         "fn_dates",
         "fn_json",
+        "fn_from_json_struct",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

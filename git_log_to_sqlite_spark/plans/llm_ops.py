@@ -1078,3 +1078,158 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         history, increment, "doc_id", "text",
         num_hashes=_MINHASH_K, rows_per_band=2, min_agree=0.25,
     )
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars, text, string_split(text, ' ') AS t
+      FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks WHERE doc_id % {_DECON_MOD} <> 0),
+    bcnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY doc_id, gram),
+    rep AS (SELECT doc_id, MAX(c) AS top_cnt, CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM bcnt GROUP BY doc_id),
+    quality AS (
+      SELECT k.doc_id, k.source, k.n_chars, k.text
+      FROM toks k LEFT JOIN rep r USING (doc_id)
+      WHERE k.doc_id % {_DECON_MOD} <> 0
+        AND COALESCE(r.top_cnt, 0) * 5 <= COALESCE(r.n_bigrams, 0)
+        AND (len(k.t) - len(list_distinct(k.t))) * 10 <= 7 * len(k.t)
+        AND k.n_chars BETWEEN 50 AND 20000),
+    g4 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+      FROM toks),
+    ev AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % {_DECON_MOD} = 0),
+    hits AS (
+      SELECT DISTINCT g.doc_id FROM g4 g JOIN ev USING (gram)
+      WHERE g.doc_id % {_DECON_MOD} <> 0),
+    clean AS (
+      SELECT q.* FROM quality q LEFT JOIN hits h USING (doc_id)
+      WHERE h.doc_id IS NULL),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+             MIN(n_chars) AS n_chars
+      FROM clean GROUP BY md5(text)),
+    mix AS (
+      SELECT doc_id, source, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                          + 1.0) / 1152921504606846976.0, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM surv),
+    kept AS (SELECT doc_id, source, n_chars FROM mix WHERE cum_before < 4000),
+    packed AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+      FROM kept)
+    SELECT doc_id, source, n_chars,
+           CAST(FLOOR((cum - 1) / 2000) AS INT) AS shard_id
+    FROM packed
+    """,
+    doc="END-TO-END pre-training data pipeline as ONE declarative plan "
+    "— the round-7 flagship composition: repetition + length quality "
+    "gate (zero-shuffle codegen battery) -> benchmark decontamination "
+    "(broadcast-semi 4-gram overlap vs the held-out eval slice, "
+    "dropping contaminated docs) -> exact dedup (md5 shuffle, "
+    "min-id survivor via min_by) -> per-domain token-budget mix "
+    "(md5-coin admission, 4000 chars/source) -> shard packing via the "
+    "two-phase prefix sum. Catalyst sees the whole pipeline at once: "
+    "column pruning reaches the scan, the eval gram set broadcasts, "
+    "and no single-reducer window appears anywhere.",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return pretrain_corpus(corpus, bench)
+
+
+def pretrain_corpus(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    telemetry: dict | None = None,
+    char_budget_per_source: int = 4000,
+    shard_chars: int = 2000,
+) -> DataFrame:
+    """The composition behind ``pipeline_pretrain_corpus`` — quality
+    gate -> decontaminate -> exact dedup -> token-budget mix -> shard
+    pack, reusing the operator library's single definitions
+    (``repetition_gate``, ``shingles``, ``uniform_key``,
+    ``ordered_running_sum``) so the composite can never drift from the
+    standalone operators. ``telemetry`` collects per-stage retention
+    Observations inside the one execution (same contract as
+    ``curate_corpus``; no metrics directly below the range-partitioned
+    prefix sum — its sampling job would double-fire them)."""
+    from pyspark.sql import Observation
+
+    from ..operators.dedup import shingles
+    from ..operators.sampling import uniform_key
+    from ..operators.text import repetition_gate
+
+    def _observe(df: DataFrame, name: str, *metrics) -> DataFrame:
+        if telemetry is None:
+            return df
+        obs = Observation(name)
+        telemetry[name] = obs
+        return df.observe(obs, *metrics)
+
+    corpus = _observe(corpus, "input", F.count(F.lit(1)).alias("rows"))
+    quality = corpus.filter(
+        repetition_gate(F.col("text")) & F.col("n_chars").between(50, 20000)
+    ).select("doc_id", "source", "n_chars", "text")
+    quality = _observe(quality, "post_quality", F.count(F.lit(1)).alias("rows"))
+
+    grams = lambda d: F.explode(  # noqa: E731
+        shingles(F.split(F.col("text"), " "), 4)
+    )
+    ev = benchmark.select(grams(benchmark).alias("gram")).distinct()
+    hit_ids = (
+        quality.select("doc_id", grams(quality).alias("gram"))
+        .join(F.broadcast(ev), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = quality.join(hit_ids, "doc_id", "left_anti")
+    clean = _observe(clean, "post_decontam", F.count(F.lit(1)).alias("rows"))
+
+    surv = (
+        clean.groupBy(F.md5("text").alias("_fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(source, doc_id)").alias("source"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("_fp")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("_u").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        surv.withColumn("_u", uniform_key(F.col("doc_id")))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0).cast("long")),
+        )
+        .filter(F.col("cum_before") < char_budget_per_source)
+        .select("doc_id", "source", "n_chars")
+    )
+    packed = ordered_running_sum(kept, ["doc_id"], "n_chars", out_col="cum")
+    out = packed.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor((F.col("cum") - 1) / shard_chars).cast("int").alias("shard_id"),
+    )
+    return _observe(out, "post_mix", F.count(F.lit(1)).alias("rows"))

@@ -855,3 +855,52 @@ def test_incremental_dedup_agrees_with_batch_pairs(spark, oracle_sf_dir):
         else:
             assert row["is_new"] == 1 and row["dup_of"] is None, doc_id
     assert any(r["is_new"] == 0 for r in inc_rows.values())  # non-vacuous
+
+
+def test_pretrain_corpus_retention_telemetry(spark, oracle_sf_dir):
+    """The pre-training pipeline's Observation funnel (input ->
+    post_quality -> post_decontam -> post_mix) must equal
+    independently recomputed stage counts from the standalone
+    operators — one execution, no stage re-runs."""
+    from git_log_to_sqlite_spark.operators import (
+        decontaminate,
+        token_budget_sample,
+    )
+    from git_log_to_sqlite_spark.operators.text import repetition_gate
+    from git_log_to_sqlite_spark.plans.llm_ops import pretrain_corpus
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    d = table(spark, oracle_sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+
+    telemetry = {}
+    out = pretrain_corpus(corpus, bench, telemetry=telemetry)
+    packed_rows = out.count()  # the one action; metrics ride along
+    got = {name: obs.get for name, obs in telemetry.items()}
+    assert set(got) == {"input", "post_quality", "post_decontam", "post_mix"}
+
+    quality = corpus.filter(
+        repetition_gate(F.col("text")) & F.col("n_chars").between(50, 20000)
+    )
+    n_quality = quality.count()
+    clean = (
+        decontaminate(quality, bench, "doc_id", "text", ngram_n=4)
+        .filter("contaminated = 0")
+        .join(quality, "doc_id")
+    )
+    n_clean = clean.count()
+    surv = clean.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(source, doc_id)").alias("source"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    n_mix = token_budget_sample(
+        surv, "doc_id", "n_chars", 4000, domain_col="source"
+    ).count()
+
+    assert got["input"]["rows"] == corpus.count()
+    assert got["post_quality"]["rows"] == n_quality
+    assert got["post_decontam"]["rows"] == n_clean
+    assert got["post_mix"]["rows"] == n_mix == packed_rows
+    assert corpus.count() >= n_quality >= n_clean >= n_mix > 0

@@ -438,3 +438,19 @@ def test_incremental_lsh_no_cartesian_and_cached_signatures(spark, sf):
     assert "BroadcastNestedLoopJoin" not in tree
     node_lines = [l for l in plan.splitlines() if l.startswith("(")]
     assert sum("InMemoryTableScan" in l for l in node_lines) >= 2
+
+
+def test_pretrain_pipeline_plan_shape(spark, sf):
+    """Flagship-composite scale pins on the FINAL plan: shard packing
+    is the two-phase prefix sum (pid-partitioned local window over the
+    checkpoint-frozen range partitioning — the localCheckpoint hides
+    the upstream stages from this explain; their shapes are pinned by
+    test_decontaminate_broadcasts_benchmark_semi_join and
+    test_token_budget_single_domain_exchange on the standalone
+    queries, which the pipeline builds from the same library code)."""
+    plan = plan_of(plans.REGISTRY["pipeline_pretrain_corpus"].fn(spark, sf))
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
+    assert any("__ordered_pid" in s for s in specs)
+    assert "existingrdd" in plan.lower()
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
