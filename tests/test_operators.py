@@ -904,3 +904,40 @@ def test_pretrain_corpus_retention_telemetry(spark, oracle_sf_dir):
     assert got["post_decontam"]["rows"] == n_clean
     assert got["post_mix"]["rows"] == n_mix == packed_rows
     assert corpus.count() >= n_quality >= n_clean >= n_mix > 0
+
+
+def test_decontaminate_empty_benchmark_flags_nothing(spark):
+    """An empty benchmark (or one with only too-short docs) must yield
+    zero contamination — not an error — since its gram set is empty."""
+    from git_log_to_sqlite_spark.operators import decontaminate
+
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    out = decontaminate(train, bench, "doc_id", "text").collect()
+    assert {r["doc_id"]: r["contaminated"] for r in out} == {1: 0, 2: 0}
+
+
+def test_incremental_dedup_empty_sides(spark):
+    """Empty increment -> empty result; empty history -> every
+    increment doc is new. Both must run, not error."""
+    from git_log_to_sqlite_spark.operators import incremental_minhash_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert incremental_minhash_dedup(docs, empty, "doc_id", "text").count() == 0
+    out = incremental_minhash_dedup(empty, docs, "doc_id", "text").collect()
+    assert len(out) == 2 and all(r["is_new"] == 1 for r in out)
+
+
+def test_token_budget_empty_and_single_row(spark):
+    from git_log_to_sqlite_spark.operators import token_budget_sample
+
+    empty = spark.createDataFrame([], "id long, dom string, w long")
+    assert token_budget_sample(empty, "id", "w", 100, domain_col="dom").count() == 0
+    one = spark.createDataFrame([(1, "d", 999)], "id long, dom string, w long")
+    rows = token_budget_sample(one, "id", "w", 1, domain_col="dom").collect()
+    assert len(rows) == 1 and rows[0]["cum_before"] == 0
