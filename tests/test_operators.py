@@ -941,3 +941,25 @@ def test_token_budget_empty_and_single_row(spark):
     one = spark.createDataFrame([(1, "d", 999)], "id long, dom string, w long")
     rows = token_budget_sample(one, "id", "w", 1, domain_col="dom").collect()
     assert len(rows) == 1 and rows[0]["cum_before"] == 0
+
+
+def test_repetition_stats_routes_agree(spark, oracle_sf_dir):
+    """The zero-shuffle array route and the explode/aggregate scale
+    route (for book-length docs) must produce byte-identical results on
+    the real corpus AND on crafted edge docs."""
+    from git_log_to_sqlite_spark.operators.text import repetition_stats
+
+    edge = spark.createDataFrame(
+        [(1, "a a a b"), (2, "solo"), (3, ""), (4, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    corpus = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    for df in (edge, corpus):
+        a = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+        b = {
+            r["doc_id"]: r
+            for r in repetition_stats(df, "doc_id", "text", via="explode").collect()
+        }
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k] == b[k], (k, a[k], b[k])
