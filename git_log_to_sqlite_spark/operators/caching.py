@@ -88,13 +88,20 @@ def release_caches() -> int:
 @contextmanager
 def cache_scope() -> Iterator[None]:
     """Release exactly the frames pinned inside the ``with`` body,
-    leaving earlier pins (and caller-owned caches) untouched."""
-    mark = len(_LIVE)
+    leaving earlier pins (and caller-owned caches) untouched.
+
+    Membership is tracked by object IDENTITY, not a list-length mark:
+    ``pin()`` prunes dead entries on every call, so an index captured
+    before the body could point below where the body's pins land (e.g.
+    after an external ``clearCache()`` removed stale pre-scope entries)
+    and a length-mark would leak those pins past scope exit."""
+    before = {id(d) for d in _LIVE}
     try:
         yield
     finally:
-        tail, _LIVE[mark:] = _LIVE[mark:], []
-        for df in tail:
+        inner = [d for d in _LIVE if id(d) not in before]
+        _LIVE[:] = [d for d in _LIVE if id(d) in before]
+        for df in inner:
             try:
                 df.unpersist()
             except Exception:

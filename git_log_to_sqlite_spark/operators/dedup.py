@@ -39,6 +39,14 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def exploded_shingles(text_col: str, n: int) -> Column:
+    """One-row-per-distinct-n-gram explode expression over a text
+    column. A Column, not a per-frame closure: it resolves against
+    whatever frame selects it (both sides of decontaminate, the
+    pretrain pipeline's corpus and benchmark) by column NAME."""
+    return F.explode(shingles(F.split(F.col(text_col), " "), n))
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure the input has at least default-parallelism partitions
     before a compute-heavy explode: a single-file scan arrives as ONE
@@ -339,8 +347,7 @@ def ngram_jaccard_pairs(
         # operator at scale. Instead: (1) a map-combinable count per
         # shingle (partial counts combine map-side, so the shuffle
         # carries one (shingle, n) pair per shingle per map task —
-        # skew-free by construction); (2) the above-cap shingle-hash
-        # set — tiny by the cap's own definition — broadcasts back and
+        # skew-free by construction); (2) the above-cap shingle set
         # anti-filters the exploded stream BEFORE collect_list, so no
         # aggregation buffer ever exceeds cap ids. Costs one extra
         # scan+shingle map pass over the corpus; persisting the
@@ -384,7 +391,17 @@ def ngram_jaccard_pairs(
                 .alias("pairs_avoided"),
             )
         hot = hot.filter(F.col("d").cast("long") > cap).select("shingle")
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # No broadcast HINT on the anti-join: the hot set is the top
+        # (1-q) fraction of distinct repeated shingles, which grows
+        # LINEARLY with corpus size — at the 100-TB design point a
+        # forced broadcast would be multi-GB and fail outright. Left
+        # unhinted, AQE broadcasts from runtime size whenever the set
+        # actually is small (the common case — keeping the map-side
+        # drop of hot rows before the shuffle) and degrades to a
+        # shuffle-side anti-join on the shingle key when it is not; the
+        # collect_list shuffle that follows partitions on the same key,
+        # so the fallback adds no extra data-sized exchange.
+        sh = sh.join(hot, "shingle", "left_anti")
     postings = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list("_id")).alias("ids")
     ).filter(F.size("ids") >= 2)
@@ -487,12 +504,10 @@ def decontaminate(
     id-only projection against the tiny hit table (AQE broadcasts it).
     Never join two exploded 100-TB gram streams to find leakage.
     """
-    grams = lambda d: F.explode(  # noqa: E731
-        shingles(F.split(F.col(text_col), " "), ngram_n)
-    )
-    bench_grams = benchmark.select(grams(benchmark).alias("gram")).distinct()
+    gram = exploded_shingles(text_col, ngram_n)
+    bench_grams = benchmark.select(gram.alias("gram")).distinct()
     train_grams = _spread(train).select(
-        F.col(id_col).alias("_id"), grams(train).alias("gram")
+        F.col(id_col).alias("_id"), gram.alias("gram")
     )
     hits = (
         train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")

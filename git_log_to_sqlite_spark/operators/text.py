@@ -219,6 +219,8 @@ def repetition_stats(
       quadratic per-row scan would stall a task, at the price of
       shuffling the bigram stream.
     """
+    if via not in ("array", "explode"):
+        raise ValueError(f"via must be 'array' or 'explode', got {via!r}")
     if via == "explode":
         toks = F.split(F.col(text_col), " ")
         base = df.select(

@@ -1172,7 +1172,7 @@ def pretrain_corpus(
     prefix sum — its sampling job would double-fire them)."""
     from pyspark.sql import Observation
 
-    from ..operators.dedup import shingles
+    from ..operators.dedup import exploded_shingles
     from ..operators.sampling import uniform_key
     from ..operators.text import repetition_gate
 
@@ -1189,12 +1189,10 @@ def pretrain_corpus(
     ).select("doc_id", "source", "n_chars", "text")
     quality = _observe(quality, "post_quality", F.count(F.lit(1)).alias("rows"))
 
-    grams = lambda d: F.explode(  # noqa: E731
-        shingles(F.split(F.col("text"), " "), 4)
-    )
-    ev = benchmark.select(grams(benchmark).alias("gram")).distinct()
+    gram = exploded_shingles("text", 4)
+    ev = benchmark.select(gram.alias("gram")).distinct()
     hit_ids = (
-        quality.select("doc_id", grams(quality).alias("gram"))
+        quality.select("doc_id", gram.alias("gram"))
         .join(F.broadcast(ev), "gram", "left_semi")
         .select("doc_id")
         .distinct()

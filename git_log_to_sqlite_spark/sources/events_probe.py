@@ -24,20 +24,27 @@ _PROBE_CACHE: dict[tuple[str, tuple], str | None] = {}
 
 def _fingerprint(path: str) -> tuple:
     """Cheap local-file identity for cache invalidation: (size,
-    mtime_ns) of the file, or of every top-level entry for a directory
-    of part files. Non-local / unstattable paths (object stores) return
-    a constant — those fall back to path-only caching, the pre-round-7
-    behavior, which is sound as long as the remote file is not
-    regenerated mid-process."""
+    mtime_ns) of the file, or of every FILE under a directory of part
+    files, walked recursively — partitioned layouts nest part files
+    one level down (``date=.../part-*.parquet``), and a directory's
+    own mtime does NOT change when a child file is rewritten in place,
+    so a top-level-only listing would serve a stale dtype for exactly
+    the in-place re-encode this cache key exists to catch. Non-local /
+    unstattable paths (object stores) return a constant — those fall
+    back to path-only caching, the pre-round-7 behavior, which is
+    sound as long as the remote file is not regenerated mid-process."""
     try:
         st = os.stat(path)
         if os.path.isdir(path):
-            return tuple(
-                sorted(
-                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                    for e in os.scandir(path)
-                )
-            )
+            entries = []
+            for root, _dirs, files in os.walk(path):
+                rel = os.path.relpath(root, path)
+                for name in files:
+                    fst = os.stat(os.path.join(root, name))
+                    entries.append(
+                        (os.path.join(rel, name), fst.st_size, fst.st_mtime_ns)
+                    )
+            return tuple(sorted(entries))
         return (st.st_size, st.st_mtime_ns)
     except OSError:
         return ("unstattable",)

@@ -279,3 +279,28 @@ def test_latched_nanos_conf_is_session_wide(spark, encoded_dirs, tmp_path):
     pq.write_table(_events_table(pa.timestamp("ns")), other)
     assert dict(spark.read.parquet(other).dtypes)["ts"] == "bigint"
     spark.conf.unset(_NANOS_CONF)
+
+
+def test_probe_fingerprint_sees_nested_part_rewrite(tmp_path):
+    """Round-7 review fix: the cache fingerprint walks the directory
+    RECURSIVELY — a part file rewritten in place inside a partition
+    subdirectory (date=.../part-0.parquet) must change the fingerprint
+    even though the top-level directory entry's name/size/mtime do not."""
+    import os
+    import time
+
+    from git_log_to_sqlite_spark.sources.events_probe import _fingerprint
+
+    root = tmp_path / "events.parquet"
+    sub = root / "date=2024"
+    sub.mkdir(parents=True)
+    part = sub / "part-00000.parquet"
+    part.write_bytes(b"v1-payload")
+    dir_mtime = os.stat(sub).st_mtime_ns
+    fp1 = _fingerprint(str(root))
+    time.sleep(0.01)
+    part.write_bytes(b"v2-payload")  # same name, same length? no: force same size
+    part.write_bytes(b"v2-payload"[: len(b"v1-payload")])
+    os.utime(sub, ns=(dir_mtime, dir_mtime))  # directory looks untouched
+    fp2 = _fingerprint(str(root))
+    assert fp1 != fp2, "in-place nested rewrite must invalidate the probe cache"

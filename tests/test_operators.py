@@ -963,3 +963,37 @@ def test_repetition_stats_routes_agree(spark, oracle_sf_dir):
         assert set(a) == set(b)
         for k in a:
             assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_cache_scope_survives_external_clearcache(spark):
+    """Round-7 review fix: cache_scope tracks membership by identity,
+    not a list-length mark — after an external clearCache() pruned dead
+    pre-scope entries, frames pinned INSIDE the scope must still be
+    released at scope exit (an index mark pointed below them and leaked
+    the pins)."""
+    from git_log_to_sqlite_spark.operators import cache_scope, pin, release_caches
+    from git_log_to_sqlite_spark.operators import caching
+
+    release_caches()
+    a = pin(spark.range(10).selectExpr("id * 2 AS v"))
+    a.count()
+    spark.catalog.clearCache()  # a is now dead but still registered
+    with cache_scope():
+        b = pin(spark.range(10).selectExpr("id * 3 AS w"))
+        b.count()
+        assert b.storageLevel.useMemory or b.storageLevel.useDisk
+    assert not (b.storageLevel.useMemory or b.storageLevel.useDisk), (
+        "inner pin must be released at scope exit even after external clearCache"
+    )
+    assert all(id(d) != id(b) for d in caching._LIVE)
+    release_caches()
+
+
+def test_repetition_stats_rejects_unknown_route(spark):
+    from git_log_to_sqlite_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="via"):
+        repetition_stats(df, "doc_id", "text", via="exploded")
