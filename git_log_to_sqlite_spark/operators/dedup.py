@@ -395,12 +395,16 @@ def ngram_jaccard_pairs(
         # (1-q) fraction of distinct repeated shingles, which grows
         # LINEARLY with corpus size — at the 100-TB design point a
         # forced broadcast would be multi-GB and fail outright. Left
-        # unhinted, AQE broadcasts from runtime size whenever the set
-        # actually is small (the common case — keeping the map-side
-        # drop of hot rows before the shuffle) and degrades to a
-        # shuffle-side anti-join on the shingle key when it is not; the
-        # collect_list shuffle that follows partitions on the same key,
-        # so the fallback adds no extra data-sized exchange.
+        # unhinted, the planner broadcasts from its size estimate while
+        # the set is small (verified: the static plan at bench SF still
+        # compiles a BroadcastHashJoin LeftAnti, keeping the map-side
+        # drop of hot rows before the shuffle — this matters because
+        # the join sits below the postings cache boundary, where AQE
+        # does not replan) and degrades to a shuffle-side anti-join
+        # when the estimate outgrows the threshold. The fallback is
+        # memory-safe (sorted streams), AQE-skew-splittable, and
+        # shuffles on the same shingle key the collect_list aggregate
+        # needs anyway.
         sh = sh.join(hot, "shingle", "left_anti")
     postings = sh.groupBy("shingle").agg(
         F.array_sort(F.collect_list("_id")).alias("ids")
