@@ -118,6 +118,29 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s (runs: {[f'{r:.2f}' for r in runs]})",
               file=sys.stderr)
 
+    # Round-7 additions, timed OUTSIDE the headline total: the 15-query
+    # headline set is frozen so `value` stays comparable against the
+    # reference baseline and earlier rounds; these ride along in a
+    # separate field for per-round visibility.
+    extra: dict[str, float] = {}
+    for name in ("pipeline_pretrain_corpus", "dedup_incremental_lsh",
+                 "dedup_decontaminate"):
+        try:
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                plans.REGISTRY[name].fn(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            extra[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 — extras never gate
+            errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
+        finally:
+            spark.catalog.clearCache()
+        if name in extra:
+            print(f"  [extra] {name}: {extra[name]:.3f}s", file=sys.stderr)
+
     calibration_post = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
@@ -136,6 +159,9 @@ def main() -> None:
         # Raw per-query runs (run 1 includes codegen/compile) so a
         # reader can audit variance instead of trusting min-of-3.
         "runs": all_runs,
+        # Non-headline round-7 queries (excluded from `value` so the
+        # suite total stays comparable across rounds / vs baseline).
+        "extra": extra,
     }
     if errors:
         # value covers only completed queries — flag the gap loudly.
