@@ -162,8 +162,19 @@ def chunk_documents(
     token (the final chunk may be shorter than ``chunk_size``; every
     token is covered at least once and no chunk is a strict subset of
     its predecessor — the standard text-splitter convention).
+
+    The token array is BOUND through a projection before the slicing
+    transform: the slice lambda references it per start position, and
+    an array referenced from inside a HOF lambda is re-evaluated per
+    element (the O(n^2) finding in operators.dedup.shingles) — binding
+    makes it an attribute read. CollapseProject leaves the binding
+    projection intact because inlining would duplicate a non-cheap
+    expression across its many references.
     """
-    toks = F.split(F.col(text_col), " ")
+    bound = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # last start = smallest multiple of stride covering the tail:
     # ceil((n - chunk_size) / stride) * stride, clamped to >= 0.
@@ -176,7 +187,7 @@ def chunk_documents(
     ).cast("int")
     starts = F.sequence(F.lit(0), last, F.lit(stride))
     chunk_arr = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
-    return df.select(
+    return bound.select(
         F.col(id_col),
         F.posexplode(chunk_arr).alias("chunk_id", "_ctoks"),
     ).select(
@@ -228,15 +239,18 @@ def repetition_stats(
             F.size(toks).alias("_n"),
             F.size(F.array_distinct(toks)).alias("_u"),
         )
-        bigram = lambda i: F.concat_ws(  # noqa: E731
-            " ", F.get(toks, i), F.get(toks, i + 1)
-        )
+        # zip_with over shifted slices (not an index lambda) — see the
+        # repetition_parts perf note.
         grams = df.select(
             F.col(id_col),
             F.explode(
                 F.when(
                     F.size(toks) >= 2,
-                    F.transform(F.sequence(F.lit(0), F.size(toks) - 2), bigram),
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("_gram"),
         )
@@ -310,9 +324,16 @@ def repetition_parts(text: Column) -> tuple[Column, Column, Column, Column]:
     toks = F.split(text, " ")
     n = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
-    bigram = lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1))  # noqa: E731
+    # zip_with over shifted slices, NOT an index lambda over sequence():
+    # an array referenced from inside a HOF lambda is re-evaluated per
+    # element (same finding as operators.dedup.shingles — O(n^2)).
     grams = F.when(
-        n >= 2, F.transform(F.sequence(F.lit(0), n - 2), bigram)
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
     ).otherwise(F.array().cast("array<string>"))
     n_bigrams = F.size(grams)
     top_cnt = F.aggregate(
