@@ -70,6 +70,12 @@ def _calibrate(spark) -> list[float]:
     return runs
 
 
+def _fmt_exc(exc: Exception) -> str:
+    """One-line error record; the `or [""]` guards an empty message
+    from IndexError-ing out of the containment itself."""
+    return f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -105,10 +111,7 @@ def main() -> None:
             timings[name] = round(min(runs), 3)
             all_runs[name] = runs
         except Exception as exc:  # noqa: BLE001 — record, keep benching
-            # (str(...).splitlines() or [""]) — an empty exception
-            # message must not IndexError out of the containment itself.
-            first_line = (str(exc).splitlines() or [""])[0][:200]
-            errors[name] = f"{type(exc).__name__}: {first_line}"
+            errors[name] = _fmt_exc(exc)
             print(f"  {name}: FAILED ({errors[name]})", file=sys.stderr)
             continue
         finally:
@@ -123,6 +126,7 @@ def main() -> None:
     # reference baseline and earlier rounds; these ride along in a
     # separate field for per-round visibility.
     extra: dict[str, float] = {}
+    extra_errors: dict[str, str] = {}
     for name in ("pipeline_pretrain_corpus", "dedup_incremental_lsh",
                  "dedup_decontaminate"):
         try:
@@ -134,8 +138,13 @@ def main() -> None:
                 ).format("noop").save()
                 runs.append(round(time.perf_counter() - t0, 3))
             extra[name] = round(min(runs), 3)
-        except Exception as exc:  # noqa: BLE001 — extras never gate
-            errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
+        except Exception as exc:  # noqa: BLE001 — extras never gate:
+            # a failed extra must NOT set `incomplete` or join `errors`
+            # (both describe the frozen headline set whose total is
+            # `value`); it gets its own field and a loud stderr line.
+            extra_errors[name] = _fmt_exc(exc)
+            print(f"  [extra] {name}: FAILED ({extra_errors[name]})",
+                  file=sys.stderr)
         finally:
             spark.catalog.clearCache()
         if name in extra:
@@ -163,6 +172,8 @@ def main() -> None:
         # suite total stays comparable across rounds / vs baseline).
         "extra": extra,
     }
+    if extra_errors:
+        out["extra_errors"] = extra_errors
     if errors:
         # value covers only completed queries — flag the gap loudly.
         out["errors"] = errors

@@ -94,13 +94,18 @@ def cache_scope() -> Iterator[None]:
     ``pin()`` prunes dead entries on every call, so an index captured
     before the body could point below where the body's pins land (e.g.
     after an external ``clearCache()`` removed stale pre-scope entries)
-    and a length-mark would leak those pins past scope exit."""
-    before = {id(d) for d in _LIVE}
+    and a length-mark would leak those pins past scope exit. The
+    snapshot holds STRONG references (a plain list, membership via
+    ``is``), not bare ``id()`` integers: a pre-scope frame pruned and
+    garbage-collected during the body could otherwise donate its
+    reused address to a frame pinned inside the scope, which would
+    then masquerade as pre-existing and leak."""
+    before = list(_LIVE)
     try:
         yield
     finally:
-        inner = [d for d in _LIVE if id(d) not in before]
-        _LIVE[:] = [d for d in _LIVE if id(d) in before]
+        inner = [d for d in _LIVE if not any(d is x for x in before)]
+        _LIVE[:] = [d for d in _LIVE if any(d is x for x in before)]
         for df in inner:
             try:
                 df.unpersist()

@@ -109,7 +109,7 @@ def minhash_signatures(
     df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("shingle"),
+        exploded_shingles(text_col, shingle_n).alias("shingle"),
     )
     mins = [
         F.min(md5_long(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
@@ -326,7 +326,7 @@ def ngram_jaccard_pairs(
     # CORPUS, and a single collision perturbs one pair count by 1.
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("shingle"),
+        exploded_shingles(text_col, shingle_n).alias("shingle"),
     ).select("_id", F.xxhash64("shingle").alias("shingle"))
     # per-doc shingle count is a pure projection (shingles() dedups),
     # NOT an aggregate over the exploded table — zero extra shuffles.

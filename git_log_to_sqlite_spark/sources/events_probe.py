@@ -33,11 +33,19 @@ def _fingerprint(path: str) -> tuple:
     unstattable paths (object stores) return a constant — those fall
     back to path-only caching, the pre-round-7 behavior, which is
     sound as long as the remote file is not regenerated mid-process."""
+    def _raise(err: OSError) -> None:
+        # os.walk's default is to silently SKIP unlistable directories,
+        # which would return a fingerprint that omits their part files
+        # — a later in-place rewrite there would not change the cache
+        # key. Re-raise so the except below falls back to the safe
+        # "unstattable" constant (= path-only caching) instead.
+        raise err
+
     try:
         st = os.stat(path)
         if os.path.isdir(path):
             entries = []
-            for root, _dirs, files in os.walk(path):
+            for root, _dirs, files in os.walk(path, onerror=_raise):
                 rel = os.path.relpath(root, path)
                 for name in files:
                     fst = os.stat(os.path.join(root, name))

@@ -287,7 +287,6 @@ def test_probe_fingerprint_sees_nested_part_rewrite(tmp_path):
     subdirectory (date=.../part-0.parquet) must change the fingerprint
     even though the top-level directory entry's name/size/mtime do not."""
     import os
-    import time
 
     from git_log_to_sqlite_spark.sources.events_probe import _fingerprint
 
@@ -298,9 +297,12 @@ def test_probe_fingerprint_sees_nested_part_rewrite(tmp_path):
     part.write_bytes(b"v1-payload")
     dir_mtime = os.stat(sub).st_mtime_ns
     fp1 = _fingerprint(str(root))
-    time.sleep(0.01)
-    part.write_bytes(b"v2-payload")  # same name, same length? no: force same size
-    part.write_bytes(b"v2-payload"[: len(b"v1-payload")])
+    # In-place rewrite: same name, same SIZE — only the part file's
+    # mtime moves. Bump it deterministically with utime (a sleep-based
+    # bump flakes on coarse-mtime filesystems).
+    part.write_bytes(b"v2-payload")
+    pst = os.stat(part)
+    os.utime(part, ns=(pst.st_atime_ns, pst.st_mtime_ns + 1_000_000_000))
     os.utime(sub, ns=(dir_mtime, dir_mtime))  # directory looks untouched
     fp2 = _fingerprint(str(root))
     assert fp1 != fp2, "in-place nested rewrite must invalidate the probe cache"
