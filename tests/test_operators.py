@@ -997,3 +997,27 @@ def test_repetition_stats_rejects_unknown_route(spark):
 
     with _pytest.raises(ValueError, match="via"):
         repetition_stats(df, "doc_id", "text", via="exploded")
+
+
+def test_token_hofs_stay_capture_free(spark):
+    """Regression guard for the round-7 O(n^2) finding: shingles() and
+    the repetition bigram builder must stay zip_with-over-slices (array
+    ARGUMENTS evaluate once) — an index-lambda over sequence() that
+    references the tokens construction from inside the lambda re-runs
+    it per element. The expression tree is inspected symbolically; a
+    reintroduction of transform(sequence...) with a captured array
+    flips this before it costs anyone a 60x slowdown."""
+    from pyspark.sql import functions as F
+
+    from git_log_to_sqlite_spark.operators.dedup import shingles
+    from git_log_to_sqlite_spark.operators.text import repetition_parts
+
+    sh_expr = str(shingles(F.split(F.col("t"), " "), 3)._jc).lower()
+    assert "zip_with" in sh_expr
+    # the index-lambda form contained "transform(sequence("
+    assert "transform(sequence(" not in sh_expr.replace(" ", "")
+
+    _, _, _, top = repetition_parts(F.col("t"))
+    top_expr = str(top._jc).lower().replace(" ", "")
+    assert "transform(sequence(" not in top_expr
+    assert "aggregate(sort_array" in top_expr or "aggregate(sortarray" in top_expr
