@@ -350,3 +350,95 @@ def test_dedup_state_evicted_past_watermark(spark, tmp_path):
     # must stay below the 151 distinct arrivals (hour-0 ids evicted
     # once the watermark passed 02:00).
     assert state_rows and max(state_rows) < 3 * n_ids + 1, state_rows
+
+
+def test_foreachbatch_incremental_dedup_against_static_history(
+    spark, oracle_sf_dir, tmp_path
+):
+    """The daily-ingest loop as a STREAM: document micro-batches arrive
+    via readStream and every batch is deduped against the STATIC
+    history signature corpus inside foreachBatch (the production
+    pattern for batch-operator reuse on a stream — stream-static work
+    per micro-batch, no streaming-state rewrite of the operator). The
+    union of per-batch annotations must equal the one-shot batch
+    operator on the full increment: micro-batch boundaries cannot
+    change what is a duplicate of HISTORY."""
+    from git_log_to_sqlite_spark.operators import incremental_minhash_dedup
+    from git_log_to_sqlite_spark.plans.registry import table as t
+
+    docs = t(spark, oracle_sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # Two parquet files -> two micro-batches (maxFilesPerTrigger=1).
+    inc_dir = str(tmp_path / "inc")
+    increment.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        inc_dir + "/f0"
+    )
+    increment.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.parquet(
+        inc_dir + "/f1"
+    )
+
+    seen: list = []
+
+    def _dedupe_batch(batch_df, batch_id):
+        seen.append(
+            (batch_id,
+             incremental_minhash_dedup(history, batch_df, "doc_id", "text")
+             .collect())
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(inc_dir)
+    )
+    q = stream.writeStream.foreachBatch(_dedupe_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    assert len(seen) >= 2, "expected one micro-batch per file"
+    got = {r["doc_id"]: (r["dup_of"], r["is_new"]) for _, rows in seen for r in rows}
+    want = {
+        r["doc_id"]: (r["dup_of"], r["is_new"])
+        for r in incremental_minhash_dedup(
+            history, increment, "doc_id", "text"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, oracle_sf_dir, replay_dir):
+    """Stream-static join: the replayed events stream enriched against
+    a STATIC dimension (user segment) — the standard streaming
+    enrichment shape. The static side needs no watermark and is
+    re-planned per micro-batch (broadcastable when small); the result
+    must equal the batch twin exactly."""
+    from git_log_to_sqlite_spark.plans.registry import table as t
+    from git_log_to_sqlite_spark.streaming.replay import read_events_stream
+
+    events = t(spark, oracle_sf_dir, "events")
+    segments = (
+        events.select("user_id").distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 3))
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(segments), "user_id")
+            .groupBy("segment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+
+    batch = enrich(events)
+    stream = enrich(read_events_stream(spark, replay_dir))
+    run_to_memory(stream, "out_stream_static", output_mode="complete")
+    got = _rows(spark.sql("SELECT * FROM out_stream_static"))
+    assert got == _rows(batch)
