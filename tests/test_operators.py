@@ -1021,3 +1021,37 @@ def test_token_hofs_stay_capture_free(spark):
     top_expr = str(top._jc).lower().replace(" ", "")
     assert "transform(sequence(" not in top_expr
     assert "aggregate(sort_array" in top_expr or "aggregate(sortarray" in top_expr
+
+
+def test_token_budget_two_phase_route_agrees(spark, oracle_sf_dir):
+    """The mega-domain two-phase route (global ordered prefix sum +
+    per-domain offsets, no single-task-per-domain window) must produce
+    the identical keep set and cum_before values as the window route,
+    on the real corpus and on a skewed synthetic (one giant domain)."""
+    from git_log_to_sqlite_spark.operators import token_budget_sample
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    random.seed(13)
+    skewed = spark.createDataFrame(
+        [(i, "big" if i % 10 else f"small{i % 7}", random.randint(10, 99))
+         for i in range(400)],
+        "doc_id long, source string, n_chars long",
+    ).repartition(16)
+
+    for df, budget in ((docs, 2000), (skewed, 500)):
+        a = {
+            r["doc_id"]: r["cum_before"]
+            for r in token_budget_sample(
+                df, "doc_id", "n_chars", budget, domain_col="source"
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r["cum_before"]
+            for r in token_budget_sample(
+                df, "doc_id", "n_chars", budget, domain_col="source",
+                via="two_phase",
+            ).collect()
+        }
+        assert a == b
