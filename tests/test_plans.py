@@ -454,3 +454,15 @@ def test_pretrain_pipeline_plan_shape(spark, sf):
     assert "existingrdd" in plan.lower()
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
+
+
+def test_weighted_reservoir_map_side_topk_prune(spark, sf):
+    """The per-stratum reservoir ranking must carry WindowGroupLimit in
+    BOTH positions (map-side partial + final): each map task keeps only
+    its local top-k per stratum before the shuffle, so the reducer
+    merges P x k candidate rows per stratum instead of the stratum's
+    full row set — the property that makes the single window form
+    scale-safe without a hand-rolled two-phase top-k."""
+    plan = plan_of(plans.REGISTRY["sample_weighted_reservoir"].fn(spark, sf))
+    node_lines = [l for l in plan.splitlines() if l.startswith("(")]
+    assert sum("WindowGroupLimit" in l for l in node_lines) >= 2, node_lines
