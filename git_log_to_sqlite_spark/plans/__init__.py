@@ -51,86 +51,86 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
     REGISTRY.update(ordered)
 
 
-# Round-7 rotation (executing the plan pre-staged in round 6, then
-# amended mid-round): the five queries NEW this round lead (no driver
-# row yet — the rounds-5/6 precedent for new gate queries; the
-# pretrain composite first, as the round's flagship), then fn_cast +
-# fn_map (round-4 rows — the oldest in the corpus after round 6
-# re-gated everything else newer), then the round-5-gated block in its
-# standing post-prefix order.  5 + 2 + 48 names against a 50-slot
-# prefix means seven round-5 rows spill to round 8: fn_math,
-# fn_conditional, fn_strings, fn_regex, fn_dates, fn_json,
-# fn_from_json_struct (pure zero-shuffle scalar projections with no
-# ts, join, or encoding surface — the lowest-risk holdovers, mirroring
-# the fn_cast/fn_map precedent from rounds 5-6; the five below are
-# moved to the list tail so the spill hits them, not the
-# streaming-replay or ETL-parity rows).  They lead the pre-staged
-# round-8 rotation, followed by the round-6-gated block.  The corpus
-# is 111 oracle queries against a 2x50 gate — an 11-name overhang, so
-# the freshness cycle is ~2.2 rounds; grow the corpus further only if
-# the gate grows.
+
+# Round-8 rotation (executing the plan pre-staged in round 7): the
+# seven round-5 scalar holdovers that spilled past round 7's slot 50
+# lead (oldest driver rows in the corpus — round 5), then the
+# round-6-gated block in its standing gate order.  7 + 50 names
+# against a 50-slot prefix means seven round-6 rows spill to round 9;
+# per the standing precedent the spill is steered onto pure
+# zero-shuffle per-row projections (fn_array, fn_explode, text_langid,
+# text_quality, text_tokens, text_fingerprint, mm_binary_meta — no
+# timestamp, join, shuffle, or encoding surface), never onto the
+# streaming-replay or ETL-parity rows, so those seven are moved to the
+# list tail and lead the pre-staged round-9 rotation.  The corpus is
+# 111 oracle queries against a 2x50 gate — an 11-name overhang, so the
+# freshness cycle is ~2.2 rounds; grow the corpus further only if the
+# gate grows.
 _prioritize(
     first=[
-        # --- new this round (no driver row yet) ---
-        "pipeline_pretrain_corpus",
-        "dedup_decontaminate",
-        "text_repetition",
-        "sample_token_budget",
-        "dedup_incremental_lsh",
-        # --- oldest driver rows in the corpus (round 4) ---
-        "fn_cast",
-        "fn_map",
-        # --- round-5-gated block, standing order (48 of 50 names;
-        #     fn_math + fn_conditional spill to round 8) ---
-        "agg_rollup",
-        "agg_cube",
-        "agg_collect_sorted",
-        "join_revenue_per_customer",
-        "join_region_revenue",
-        "join_left_outer",
-        "join_full_outer",
-        "join_right_outer",
-        "join_merge_hint",
-        "join_semi",
-        "join_anti",
-        "join_cross",
-        "join_self_nation_pairs",
-        "join_range_bands",
-        "join_asof_last_event",
-        "sort_topk_orders",
-        "sort_multikey_nulls",
-        "setop_union",
-        "setop_intersect",
-        "setop_except",
-        "setop_intersect_all",
-        "setop_except_all",
-        "agg_grouping_sets",
-        "dedup_dropduplicates_subset",
-        "agg_salted_skew",
-        "agg_pivot",
-        "win_topk_per_group",
-        "win_ranking_suite",
-        "win_lag_lead",
-        "win_running_frames",
-        "win_first_last_nth",
-        "win_range_between",
-        "win_time_bucket",
-        "events_sessionize",
-        "events_cohort_retention",
-        "fn_higher_order",
-        "sample_domain_mix",
-        "pipeline_curate_corpus",
-        "dedup_embedding_groups",
-        "stream_tumbling_replay",
-        "stream_session_replay",
-        "stream_join_replay",
-        "etl_logs_parity",
-        # --- spill past slot 50 → lead the round-8 rotation ---
+        # --- round-5 holdovers (oldest driver rows; spilled past
+        #     round 7's slot 50) ---
+        "fn_math",
+        "fn_conditional",
         "fn_strings",
         "fn_regex",
         "fn_dates",
         "fn_json",
         "fn_from_json_struct",
+        # --- round-6-gated block, standing gate order (43 of 50
+        #     names; the seven zero-shuffle projections below spill
+        #     to round 9) ---
+        "text_chunk_overlap",
+        "etl_repos_skipped_parity",
+        "stream_dedup_replay",
+        "agg_pricing_summary",
+        "agg_percentiles",
+        "agg_global",
+        "agg_distinct",
+        "agg_stats",
+        "events_window_tumbling",
+        "events_funnel_depth",
+        "events_window_sliding",
+        "events_top_paths",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_group_assign",
+        "dedup_minhash_lsh",
+        "dedup_minhash_groups",
+        "dedup_simhash",
+        "asof_event_value",
+        "text_pii_mask",
+        "text_topk_terms",
+        "text_tfidf_topk",
+        "text_pack_shards",
+        "text_clean",
+        "sample_weighted_reservoir",
+        "sim_cosine_topk",
+        "sim_ann_bucketed",
+        "sim_pairs_threshold",
+        "dedup_embedding_cosine",
+        "sim_centroid_per_label",
+        "sim_ann_multiprobe",
+        "udf_scalar_python",
+        "udf_pandas_vectorized",
+        "udf_grouped_map",
+        "udf_grouped_agg",
+        "udf_table_function",
+        "udf_native_udtf",
+        "udf_map_in_pandas",
+        "sql_correlated_exists",
+        "sql_not_exists",
+        "sql_scalar_subquery",
+        "sql_correlated_scalar_agg",
+        "sql_in_subquery",
+        # --- spill past slot 50 → lead the round-9 rotation ---
+        "fn_array",
+        "fn_explode",
+        "text_langid",
+        "text_quality",
+        "text_tokens",
+        "text_fingerprint",
+        "mm_binary_meta",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /
