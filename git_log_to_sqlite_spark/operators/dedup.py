@@ -144,6 +144,106 @@ def _band_keys(
     )
 
 
+def _capped_bands(
+    bands: DataFrame,
+    max_band_size: int | None,
+    band_size_quantile: float | None,
+    observation: "Observation | None" = None,
+    quantile_headroom: int = 10,
+) -> DataFrame:
+    """Hot-band skew valve: anti-filter degenerate band buckets out of
+    an (id, band, band_key) table BEFORE it feeds a band equi-join.
+
+    A band bucket with d documents emits d(d-1)/2 candidate pairs —
+    quadratic in the hottest key, exactly the blowup a stop-shingle
+    causes in the jaccard inverted index. Degenerate band keys are a
+    real corpus pathology: near-empty documents all minhash to the
+    same few values, and templated boilerplate collapses whole shards
+    onto one band key. The valve is the same two-phase shape as the
+    jaccard df cap: (1) a map-combinable count per (band, band_key) —
+    partial counts combine map-side, so the count shuffle is skew-free
+    by construction; (2) the above-cap bucket set anti-filters the
+    bands table before the self/probe join, so the join never sees a
+    hot key and candidate mass stays bounded by cap x buckets.
+
+    The quantile route is a SPREAD guard, not a tail cut: cap =
+    ``quantile_headroom`` x the q-quantile of the repeated-bucket-size
+    distribution (:func:`_quantile_cap`). Two reasons it differs from
+    the jaccard cap's direct quantile. (a) Each LSH band carries
+    rows_per_band/num_hashes of the whole signature, so buckets
+    moderately past the bulk DO witness unique true pairs (measured at
+    sf0.1: the one d=13 bucket against a p92 of 3 carries 77 pairs no
+    other band re-finds) — a direct tail quantile would shed recall.
+    (b) A degenerate bucket inflates its own histogram's tail, so as
+    q -> 1 the derived cap converges to the degenerate size and the
+    valve never fires — the failure mode it exists for. Anchoring at
+    the bulk (p92) and granting an order-of-magnitude headroom keeps
+    every naturally-sized bucket (natural max / p92 stays within one
+    magnitude — zipfian band keys are exactly what minhashing
+    destroys) while any degenerate key, which lands orders of
+    magnitude out, is dropped no matter how it skews the tail.
+
+    The anti-join is deliberately unhinted, mirroring the jaccard
+    hot-set join: the hot bucket set is tiny in natural corpora (the
+    planner broadcasts it from size estimates) but grows with corpus
+    pathology, where the planner degrades to a memory-safe shuffle
+    anti-join on the same (band, band_key) key the candidate join
+    shuffles on anyway.
+
+    ``max_band_size`` (absolute, applied as-is) and
+    ``band_size_quantile`` (the spread guard above) are mutually
+    exclusive; with neither, the bands pass through unfiltered (and
+    ``observation`` — which reports ``bands_dropped`` /
+    ``pairs_avoided`` telemetry — would never attach, so it raises).
+    """
+    if max_band_size is not None and band_size_quantile is not None:
+        raise ValueError("max_band_size and band_size_quantile are mutually exclusive")
+    if max_band_size is None and band_size_quantile is None:
+        if observation is not None:
+            raise ValueError(
+                "observation requires a cap (max_band_size or "
+                "band_size_quantile); without one it would never be "
+                "attached and Observation.get would block/raise far "
+                "from the cause"
+            )
+        return bands
+    counts = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    if band_size_quantile is not None:
+        # consumed twice (histogram, then hot-bucket filter): persist —
+        # one row per repeated (band, band_key), the smallest aggregate
+        # in the operator. pin() registers it for release_caches().
+        counts = pin(counts)
+        hot = counts.crossJoin(
+            F.broadcast(
+                _quantile_cap(
+                    counts.select(F.col("d").cast("long").alias("d")),
+                    band_size_quantile,
+                )
+            )
+        )
+        # integer multiply — the SQL oracle twin applies the same
+        # factor, so the two engines cannot diverge by a rounding ulp
+        cap = F.col("_max_df") * F.lit(quantile_headroom)
+    else:
+        hot = counts
+        cap = F.lit(max_band_size)
+    if observation is not None:
+        d = F.col("d").cast("long")
+        hot = hot.observe(
+            observation,
+            F.sum((d > cap).cast("long")).alias("bands_dropped"),
+            F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0))
+            .cast("long")
+            .alias("pairs_avoided"),
+        )
+    hot = hot.filter(F.col("d").cast("long") > cap).select("band", "band_key")
+    return bands.join(hot, ["band", "band_key"], "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -152,6 +252,9 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     min_agree: float = 0.25,
     shingle_n: int = 3,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation: "Observation | None" = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -162,6 +265,13 @@ def minhash_lsh_pairs(
     band keys are a projection (no extra aggregate) and the agreement
     estimate is a column comparison on a single joined row per pair
     (no K-row re-join).
+
+    ``max_band_size`` / ``band_size_quantile`` engage the hot-band
+    skew valve (:func:`_capped_bands`): degenerate band buckets — the
+    one quadratic-risk surface of the band join — are anti-filtered
+    before the self-join, bounding candidate mass by cap x buckets.
+    Pass an :class:`~pyspark.sql.Observation` to receive
+    ``bands_dropped`` / ``pairs_avoided`` telemetry.
     """
     # The signature table is referenced 4x downstream (both band-join
     # branches + both agreement joins); without persisting, Spark
@@ -169,7 +279,12 @@ def minhash_lsh_pairs(
     # Signatures are K x 8 bytes/doc — tiny relative to the corpus.
     # pin() registers the cache for release_caches()/cache_scope().
     mh = pin(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n))
-    bands = _band_keys(mh, id_col, num_hashes, rows_per_band)
+    bands = _capped_bands(
+        _band_keys(mh, id_col, num_hashes, rows_per_band),
+        max_band_size,
+        band_size_quantile,
+        observation,
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -551,6 +666,9 @@ def incremental_minhash_dedup(
     rows_per_band: int = 2,
     min_agree: float = 0.25,
     shingle_n: int = 3,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation: "Observation | None" = None,
 ) -> DataFrame:
     """Dedup a new batch against the historical corpus WITHOUT
     re-pairing history with itself — the daily-ingest shape of fuzzy
@@ -571,12 +689,24 @@ def incremental_minhash_dedup(
     history-bands — candidate mass tracks collisions, never
     |history| x |increment| — and the agreement estimate compares the
     two signature rows per candidate. History never self-joins: the
-    only quadratic-risk surface is band-key skew, the same surface the
-    batch operator carries.
+    only quadratic-risk surface is band-key skew — closed by the same
+    hot-band valve the batch operator carries (``max_band_size`` /
+    ``band_size_quantile``, :func:`_capped_bands`). The valve counts
+    and filters the HISTORY side only: candidates per band key are
+    |increment bucket| x |history bucket|, so capping the history
+    bucket bounds every key's candidate mass at |increment| x cap —
+    linear in the (small) increment even when the increment itself
+    carries a degenerate key, while removing a hot history bucket
+    removes the key from the join outright.
     """
     mh_h = pin(minhash_signatures(history, id_col, text_col, num_hashes, shingle_n))
     mh_i = pin(minhash_signatures(increment, id_col, text_col, num_hashes, shingle_n))
-    bands_h = _band_keys(mh_h, id_col, num_hashes, rows_per_band)
+    bands_h = _capped_bands(
+        _band_keys(mh_h, id_col, num_hashes, rows_per_band),
+        max_band_size,
+        band_size_quantile,
+        observation,
+    )
     bands_i = _band_keys(mh_i, id_col, num_hashes, rows_per_band)
     cand = (
         bands_i.alias("i")

@@ -68,20 +68,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_DF_Q = 0.92
 
 # DuckDB twin of operators.dedup._quantile_cap: smallest d* with
-# cum-count(d <= d*) >= q * total over posting lists of length >= 2.
-# The compare is the same integer arithmetic as the Spark side
-# (cum * den >= num * tot, q = num/den from q's decimal digits) so the
-# two engines can never diverge by a double-rounding ulp. Expects a
-# CTE named dfreq(shingle, d) in scope.
+# cum-count(d <= d*) >= q * total over length-{>=2} groups of the
+# ``d`` column of CTE ``src``. The compare is the same integer
+# arithmetic as the Spark side (cum * den >= num * tot, q = num/den
+# from q's decimal digits) so the two engines can never diverge by a
+# double-rounding ulp.
 from fractions import Fraction as _Fraction
 
-_Q_FRAC = _Fraction(str(_JACCARD_DF_Q))
-_SQL_DF_CAP = f"""
+
+def _sql_quantile_cap(src: str, q: float) -> str:
+    frac = _Fraction(str(q))
+    return f"""
       SELECT MIN(d) AS max_df FROM (
         SELECT d, SUM(n_sh) OVER (ORDER BY d) AS cum,
                SUM(n_sh) OVER () AS tot
-        FROM (SELECT d, COUNT(*) AS n_sh FROM dfreq WHERE d >= 2 GROUP BY d) h) c
-      WHERE cum * {_Q_FRAC.denominator} >= {_Q_FRAC.numerator} * tot"""
+        FROM (SELECT d, COUNT(*) AS n_sh FROM {src} WHERE d >= 2 GROUP BY d) h) c
+      WHERE cum * {frac.denominator} >= {frac.numerator} * tot"""
+
+
+_SQL_DF_CAP = _sql_quantile_cap("dfreq", _JACCARD_DF_Q)
 
 
 @register(
@@ -182,6 +187,26 @@ def dedup_group_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_K = 8  # hash functions; bands of 2 -> 4 LSH bands
 
+# Hot-band valve for the LSH gate queries: cap = 10 x the p92 of the
+# repeated-band-bucket-size distribution, derived in-plan (see
+# operators.dedup._capped_bands for why a spread guard and not a
+# direct tail quantile — a degenerate bucket inflates its own tail,
+# and near-tail buckets carry unique true pairs). At 10 x p92 the
+# pair set is verified identical to uncapped at both test SFs
+# (test_minhash_band_cap_preserves_pairs) while a degenerate key
+# (thousands of near-empty docs) lands past the cap and is dropped
+# before the band join (test_minhash_band_cap_bounds_degenerate_key).
+_BAND_Q = 0.92
+_BAND_HEADROOM = 10
+
+# Shared CTE tail: per-bucket sizes + the derived cap. Expects a CTE
+# named bands(doc_id, band, band_key) in scope.
+_SQL_BAND_CAP = f"""
+    bfreq AS (SELECT band, band_key, COUNT(*) AS d
+              FROM bands GROUP BY band, band_key),
+    bcaps AS ({_sql_quantile_cap("bfreq", _BAND_Q)})"""
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -195,10 +220,13 @@ _MINHASH_K = 8  # hash functions; bands of 2 -> 4 LSH bands
       SELECT doc_id, j // 2 AS band,
              string_agg(minh::VARCHAR, ',' ORDER BY j) AS band_key
       FROM mh GROUP BY doc_id, j // 2),
+    {_SQL_BAND_CAP},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN bfreq f ON f.band = a.band AND f.band_key = a.band_key
+      JOIN bcaps ON f.d <= bcaps.max_df * {_BAND_HEADROOM})
     SELECT doc_a, doc_b,
            CAST(SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS DOUBLE)
              / {_MINHASH_K} AS est_jaccard
@@ -212,12 +240,17 @@ _MINHASH_K = 8  # hash functions; bands of 2 -> 4 LSH bands
     "the scale path for fuzzy dedup: md5-keyed minhashes -> band keys "
     "-> candidate pairs via band equi-join (never n^2) -> signature-"
     "agreement estimate. Signature size (K x 8 bytes) is independent "
-    "of document length.",
+    "of document length. The hot-band valve (10 x p92 bucket-size "
+    "spread guard, derived in-plan) drops degenerate band buckets — "
+    "the d(d-1)/2 skew amplifier — before the join; at this cap the "
+    "pair set is verified identical to uncapped at both test SFs, and "
+    "the oracle derives the same cap.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=_MINHASH_K, rows_per_band=2, min_agree=0.25
+        d, "doc_id", "text", num_hashes=_MINHASH_K, rows_per_band=2, min_agree=0.25,
+        band_size_quantile=_BAND_Q,
     ).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
@@ -238,10 +271,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, j // 2 AS band,
              string_agg(minh::VARCHAR, ',' ORDER BY j) AS band_key
       FROM mh GROUP BY doc_id, j // 2),
+    {_SQL_BAND_CAP},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN bfreq f ON f.band = a.band AND f.band_key = a.band_key
+      JOIN bcaps ON f.d <= bcaps.max_df * {_BAND_HEADROOM}),
     near AS (
       SELECT doc_a, doc_b FROM cand
       JOIN mh ma ON ma.doc_id = doc_a
@@ -275,7 +311,8 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=_MINHASH_K, rows_per_band=2, min_agree=0.25
+        d, "doc_id", "text", num_hashes=_MINHASH_K, rows_per_band=2, min_agree=0.25,
+        band_size_quantile=_BAND_Q,
     )
     out = assign_dedup_groups(d, pairs, "doc_id")
     return out.select(
@@ -1039,10 +1076,16 @@ _INC_MOD = 5
       SELECT doc_id, j // 2 AS band,
              string_agg(minh::VARCHAR, ',' ORDER BY j) AS band_key
       FROM mh GROUP BY doc_id, j // 2),
+    hfreq AS (SELECT band, band_key, COUNT(*) AS d
+              FROM bands WHERE doc_id % {_INC_MOD} <> 0
+              GROUP BY band, band_key),
+    hcaps AS ({_sql_quantile_cap("hfreq", _BAND_Q)}),
     cand AS (
       SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
       FROM bands i JOIN bands h
         ON i.band = h.band AND i.band_key = h.band_key
+      JOIN hfreq f ON f.band = h.band AND f.band_key = h.band_key
+      JOIN hcaps ON f.d <= hcaps.max_df * {_BAND_HEADROOM}
       WHERE i.doc_id % {_INC_MOD} = 0 AND h.doc_id % {_INC_MOD} <> 0),
     agreed AS (
       SELECT inc_id, hist_id,
@@ -1068,7 +1111,11 @@ _INC_MOD = 5
     "against the persisted history signature table — history text is "
     "never re-scanned and never self-joins; candidate mass tracks "
     "band collisions, not |history| x |increment|. Deterministic "
-    "survivor pick (min history id among matches).",
+    "survivor pick (min history id among matches). The hot-band valve "
+    "(10 x p92 spread guard over HISTORY-side bucket sizes, derived "
+    "in-plan) bounds every band key's candidate mass at "
+    "|increment| x cap; result verified identical to uncapped at both "
+    "test SFs, and the oracle derives the same cap.",
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -1077,6 +1124,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_minhash_dedup(
         history, increment, "doc_id", "text",
         num_hashes=_MINHASH_K, rows_per_band=2, min_agree=0.25,
+        band_size_quantile=_BAND_Q,
     )
 
 

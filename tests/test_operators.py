@@ -152,6 +152,62 @@ def test_minhash_exact_dup_has_full_agreement(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_band_cap_preserves_pairs(spark, oracle_sf_dir):
+    """The headline guarantee behind dedup_minhash_lsh's hot-band
+    valve: at 10 x p92 of the bucket-size distribution the pair SET on
+    the real corpus is identical to uncapped (natural max / bulk stays
+    within one order of magnitude; only DEGENERATE keys land past the
+    cap). The same must hold for the incremental operator's
+    history-side valve."""
+    from git_log_to_sqlite_spark.operators import incremental_minhash_dedup
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", band_size_quantile=0.92
+        ).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
+
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    inc_un = {
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            history, increment, "doc_id", "text"
+        ).collect()
+    }
+    inc_cap = {
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            history, increment, "doc_id", "text", band_size_quantile=0.92
+        ).collect()
+    }
+    assert inc_cap == inc_un and len(inc_un) > 0
+
+
+def test_minhash_band_cap_validation(spark):
+    """The two cap spellings are mutually exclusive, and telemetry
+    without a cap raises eagerly instead of blocking in
+    Observation.get far from the cause."""
+    from pyspark.sql import Observation
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", max_band_size=5, band_size_quantile=0.9
+        )
+    with pytest.raises(ValueError, match="observation requires a cap"):
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", observation=Observation("x")
+        )
+
+
 def test_simhash_similar_docs_close(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -98,9 +99,20 @@ def test_asof_join_single_shuffle_no_range_join(spark, sf):
 
 
 def test_minhash_no_cartesian(spark, sf):
-    plan = plan_of(plans.REGISTRY["dedup_minhash_lsh"].fn(spark, sf))
+    """The band candidate stage must stay an equi-join. The only
+    permitted nested-loop nodes are the broadcast of the 1-row derived
+    band-size cap (a scalar attach, identified by its _max_df
+    condition; the self-join renders one per alias branch) — anything
+    else nested-looping here is a real regression."""
+    df = plans.REGISTRY["dedup_minhash_lsh"].fn(spark, sf)
+    plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    bnlj_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj_ids) <= 2
+    if bnlj_ids:
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        bnlj = [l for l in executed.splitlines() if "BroadcastNestedLoopJoin" in l]
+        assert bnlj and all("_max_df" in l for l in bnlj)
 
 
 def test_subqueries_decorrelate_to_joins(spark, sf):
@@ -381,6 +393,39 @@ def test_jaccard_single_corpus_pass_per_branch(spark, sf):
     assert "LeftAnti" in plan
 
 
+def test_minhash_band_cap_filters_before_band_join(spark, sf):
+    """Round-8 pin for the hot-band valve: the above-cap bucket set
+    must anti-filter the bands table BEFORE the band self-join — that
+    ordering is the whole point (the join never sees a degenerate key,
+    so candidate mass stays bounded by cap x buckets). The bucket
+    count table is persisted and serves both the quantile histogram
+    and the hot-bucket filter; with the signature cache that is >= 2
+    InMemoryTableScans. Both self-join sides consume the SAME
+    anti-filtered bands subtree — 2 LeftAnti nodes in the rendered
+    plan (one per alias), each sitting below the band equi-join."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = plan_of(plans.REGISTRY["dedup_minhash_lsh"].fn(spark, sf))
+    node_lines = [l for l in plan.splitlines() if l.startswith("(")]
+    assert sum("InMemoryTableScan" in l for l in node_lines) >= 2, node_lines
+    # formatted-explain detail blocks: "(id) NodeName" followed by the
+    # node's attributes (join type, keys)
+    blocks = re.split(r"^\((\d+)\) ", plan, flags=re.M)[1:]
+    nodes = {int(blocks[i]): blocks[i + 1] for i in range(0, len(blocks), 2)}
+    anti = [i for i, b in nodes.items() if "Join type: LeftAnti" in b]
+    band_inner = [
+        i
+        for i, b in nodes.items()
+        if "Join type: Inner" in b and "band_key" in b.split("Right keys")[0]
+    ]
+    assert len(anti) == 2, sorted(nodes)  # one per self-join alias
+    assert band_inner, sorted(nodes)
+    # operator ids are assigned children-first, so "anti-filter BELOW
+    # the band join" = every LeftAnti id precedes the band join's id
+    assert max(anti) < min(band_inner), (anti, band_inner)
+
+
 def test_tfidf_single_corpus_pass(spark, sf):
     """tf feeds both docfreq and the join probe side; it must come from
     the cache (InMemoryTableScan), leaving exactly two parquet scans:
@@ -431,11 +476,20 @@ def test_incremental_lsh_no_cartesian_and_cached_signatures(spark, sf):
     (band, band_key) — never a nested-loop/cartesian — and both
     signature tables must come from cache (history signatures stand in
     for the persisted signature table a production ingest maintains,
-    so the history text is scanned once, not once per reference)."""
-    plan = plan_of(plans.REGISTRY["dedup_incremental_lsh"].fn(spark, sf))
+    so the history text is scanned once, not once per reference). The
+    only permitted nested-loop node is the broadcast of the 1-row
+    derived history-side band cap (identified by its _max_df
+    condition)."""
+    df = plans.REGISTRY["dedup_incremental_lsh"].fn(spark, sf)
+    plan = plan_of(df)
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
-    assert "BroadcastNestedLoopJoin" not in tree
+    bnlj_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj_ids) <= 1
+    if bnlj_ids:
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        bnlj = [l for l in executed.splitlines() if "BroadcastNestedLoopJoin" in l]
+        assert bnlj and all("_max_df" in l for l in bnlj)
     node_lines = [l for l in plan.splitlines() if l.startswith("(")]
     assert sum("InMemoryTableScan" in l for l in node_lines) >= 2
 

@@ -296,6 +296,85 @@ def test_jaccard_cap_bounds_stop_shingle_blowup(spark):
     assert obs.get["pairs_avoided"] == n * (n - 1) // 2
 
 
+def test_minhash_band_cap_bounds_degenerate_key(spark):
+    """The LSH analog of the stop-shingle scenario: 2,000 near-empty
+    documents with IDENTICAL text all minhash to the same signature,
+    so every band holds one bucket of d=2,000 — the band self-join
+    would emit 4 x ~2M candidate pairs. The spread-guard cap (10 x
+    p92 of the bucket histogram, which the 200 planted d=2 buckets
+    anchor at 2 -> cap 20) must anti-filter those buckets BEFORE the
+    join: telemetry reports the avoided quadratic mass, the planted
+    rare pairs all survive, and no degenerate doc emits a pair (the
+    documented trade — pathological boilerplate belongs to exact
+    dedup, which groups identical text in one shuffle)."""
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import minhash_lsh_pairs, release_caches
+
+    n = 2000
+    rows = [(i, "boiler plate stub") for i in range(n)]
+    rows += [
+        (100_000 + 2 * p + s, f"p{p}a p{p}b p{p}c p{p}d")
+        for p in range(100)
+        for s in (0, 1)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("degenerate_band")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", band_size_quantile=0.92, observation=obs
+        ).collect()
+    }
+    release_caches()
+    assert got == {(100_000 + 2 * p, 100_001 + 2 * p) for p in range(100)}
+    # 4 bands x one degenerate bucket each, n(n-1)/2 pairs avoided per
+    # bucket (the planted d=2 buckets sit far below the cap)
+    assert obs.get["bands_dropped"] == 4
+    assert obs.get["pairs_avoided"] == 4 * n * (n - 1) // 2
+
+
+def test_incremental_band_cap_bounds_degenerate_history(spark):
+    """Incremental twin: the valve counts HISTORY-side buckets, so a
+    degenerate history key (2,000 identical near-empty docs) is
+    removed from the probe join outright — an increment doc carrying
+    that text matches nothing (is_new=1, the documented trade), while
+    an increment near-dup of a NORMAL history doc still resolves."""
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import (
+        incremental_minhash_dedup,
+        release_caches,
+    )
+
+    n = 2000
+    hist_rows = [(i, "boiler plate stub") for i in range(n)]
+    hist_rows += [
+        (100_000 + 2 * p + s, f"p{p}a p{p}b p{p}c p{p}d")
+        for p in range(100)
+        for s in (0, 1)
+    ]
+    history = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    increment = spark.createDataFrame(
+        [(500_000, "boiler plate stub"), (500_001, "p7a p7b p7c p7d")],
+        "doc_id long, text string",
+    )
+    obs = Observation("degenerate_hist_band")
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            history, increment, "doc_id", "text",
+            band_size_quantile=0.92, observation=obs,
+        ).collect()
+    }
+    release_caches()
+    assert out[500_000]["is_new"] == 1 and out[500_000]["dup_of"] is None
+    assert out[500_001]["is_new"] == 0
+    assert out[500_001]["dup_of"] == 100_014  # min id of the planted pair
+    assert obs.get["bands_dropped"] == 4
+    assert obs.get["pairs_avoided"] == 4 * n * (n - 1) // 2
+
+
 def test_decontaminate_scales_multiplicatively(spark, oracle_sf_dir):
     """Replicating the TRAIN side 8x (fresh ids, same text) against a
     FIXED benchmark must reproduce the base annotation on every copy:
