@@ -29,8 +29,32 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+as_double = _as_double  # public: cast an embedding column once, in a side projection
+dot = _dot  # public: raw dot fold — expects double arrays (as_double first)
+
+
+def vnorm(arr: Column) -> Column:
+    """L2 norm of an array column (casts to double, JVM-side fold).
+
+    Compute this ONCE PER VECTOR in each side's projection (aliased
+    next to the cast vector) and divide the pair dot by the two norm
+    COLUMNS — never call :func:`cosine` on joined rows: a pairwise
+    cosine re-folds both self-norms per candidate, tripling the
+    per-pair arithmetic (3 O(dims) folds instead of 1) on the
+    operator's hottest path. Same expression tree per value, so the
+    result is bit-identical either way.
+    """
+    v = _as_double(arr)
+    return F.sqrt(_dot(v, v))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array columns (JVM-side fold)."""
+    """Cosine similarity of two array columns (JVM-side fold).
+
+    For one-shot row-local use. In a pair JOIN, precompute
+    :func:`vnorm` per side instead (see its docstring) — this form
+    re-evaluates both self-norms for every joined pair.
+    """
     a, b = _as_double(a), _as_double(b)
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
@@ -48,12 +72,18 @@ def brute_force_topk(
     streams through one pass. ``round_to`` rounds the similarity BEFORE
     ranking (deterministic cross-engine tie behavior)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        vnorm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        vnorm(F.col(vec_col)).alias("_cn"),
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    # norms fold once per VECTOR (side projections); the pair stage
+    # pays one O(dims) dot, not three
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy("query_id").orderBy(
@@ -125,14 +155,16 @@ def multiprobe_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         bucket.alias("_cb"),
         _as_double(F.col(vec_col)).alias("_cv"),
+        vnorm(F.col(vec_col)).alias("_cn"),
     )
     probes = F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)])
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(probes).alias("_qb"),
         _as_double(F.col(vec_col)).alias("_qv"),
+        vnorm(F.col(vec_col)).alias("_qn"),
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy("query_id").orderBy(
@@ -164,13 +196,15 @@ def bucketed_ann_topk(
         F.col(id_col).alias("query_id"),
         F.col(bucket_col).alias("_qb"),
         _as_double(F.col(vec_col)).alias("_qv"),
+        vnorm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(bucket_col).alias("_cb"),
         _as_double(F.col(vec_col)).alias("_cv"),
+        vnorm(F.col(vec_col)).alias("_cn"),
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy("query_id").orderBy(

@@ -91,9 +91,19 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("av"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("bv"))
-    s = sim.cosine(F.col("av"), F.col("bv"))
+    # norms fold once per vector in the side projections (see
+    # operators.similarity.vnorm) — the pair stage pays one dot
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        sim.as_double(F.col("embedding")).alias("av"),
+        sim.vnorm(F.col("embedding")).alias("an"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        sim.as_double(F.col("embedding")).alias("bv"),
+        sim.vnorm(F.col("embedding")).alias("bn"),
+    )
+    s = sim.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(s >= 0.8)
@@ -121,11 +131,20 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 512)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("av"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("bv"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        sim.as_double(F.col("embedding")).alias("av"),
+        sim.vnorm(F.col("embedding")).alias("an"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        sim.as_double(F.col("embedding")).alias("bv"),
+        sim.vnorm(F.col("embedding")).alias("bn"),
+    )
+    s = sim.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     dup_ids = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(sim.cosine(F.col("av"), F.col("bv")) >= 0.95)
+        .filter(s >= 0.95)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
@@ -285,11 +304,19 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import assign_dedup_groups
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 256)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("av"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("bv"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        sim.as_double(F.col("embedding")).alias("av"),
+        sim.vnorm(F.col("embedding")).alias("an"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        sim.as_double(F.col("embedding")).alias("bv"),
+        sim.vnorm(F.col("embedding")).alias("bn"),
+    )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(sim.cosine(F.col("av"), F.col("bv")) >= 0.3)
+        .filter(sim.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")) >= 0.3)
         .select("id_a", "id_b")
     )
     out = assign_dedup_groups(e.select("vec_id"), pairs, "vec_id")
