@@ -179,13 +179,16 @@ def token_budget_sample(
             F.coalesce(F.sum("_dtotal").over(off_w), F.lit(0).cast("long"))
             .alias("_doffset"),
         )
+        # No cast: cum_out keeps the natural summed type, matching the
+        # window route exactly (long for integral weights, double for
+        # fractional — where the two routes may still differ by a
+        # float-summation ulp, as any re-associated double sum does;
+        # route equivalence is exact for integral weights).
         return (
             g.join(F.broadcast(offsets), domain_col)
             .withColumn(
                 cum_out,
-                (F.col("_gcum") - F.col(weight_col) - F.col("_doffset")).cast(
-                    "long"
-                ),
+                F.col("_gcum") - F.col(weight_col) - F.col("_doffset"),
             )
             .filter(F.col(cum_out) < budget)
             .drop("_u", "_gcum", "_doffset")

@@ -1208,20 +1208,26 @@ def pretrain_corpus(
     telemetry: dict | None = None,
     char_budget_per_source: int = 4000,
     shard_chars: int = 2000,
+    mix_via: str = "window",
 ) -> DataFrame:
     """The composition behind ``pipeline_pretrain_corpus`` — quality
     gate -> decontaminate -> exact dedup -> token-budget mix -> shard
     pack, reusing the operator library's single definitions
-    (``repetition_gate``, ``shingles``, ``uniform_key``,
+    (``repetition_gate``, ``shingles``, ``token_budget_sample``,
     ``ordered_running_sum``) so the composite can never drift from the
-    standalone operators. ``telemetry`` collects per-stage retention
+    standalone operators. ``mix_via`` threads straight through to
+    ``token_budget_sample``: ``"window"`` (default — one single-task
+    window per source) or ``"two_phase"`` (the mega-domain route; when
+    one source alone outweighs an executor, the global prefix sum
+    keeps the composite safe end-to-end — equivalence-tested on the
+    skewed synthetic). ``telemetry`` collects per-stage retention
     Observations inside the one execution (same contract as
     ``curate_corpus``; no metrics directly below the range-partitioned
     prefix sum — its sampling job would double-fire them)."""
     from pyspark.sql import Observation
 
     from ..operators.dedup import exploded_shingles
-    from ..operators.sampling import uniform_key
+    from ..operators.sampling import token_budget_sample
     from ..operators.text import repetition_gate
 
     def _observe(df: DataFrame, name: str, *metrics) -> DataFrame:
@@ -1257,20 +1263,14 @@ def pretrain_corpus(
         )
         .drop("_fp")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("_u").asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    kept = (
-        surv.withColumn("_u", uniform_key(F.col("doc_id")))
-        .withColumn(
-            "cum_before",
-            F.coalesce(F.sum("n_chars").over(w), F.lit(0).cast("long")),
-        )
-        .filter(F.col("cum_before") < char_budget_per_source)
-        .select("doc_id", "source", "n_chars")
-    )
+    kept = token_budget_sample(
+        surv,
+        "doc_id",
+        "n_chars",
+        char_budget_per_source,
+        domain_col="source",
+        via=mix_via,
+    ).select("doc_id", "source", "n_chars")
     packed = ordered_running_sum(kept, ["doc_id"], "n_chars", out_col="cum")
     out = packed.select(
         "doc_id",

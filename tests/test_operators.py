@@ -913,6 +913,48 @@ def test_incremental_dedup_agrees_with_batch_pairs(spark, oracle_sf_dir):
     assert any(r["is_new"] == 0 for r in inc_rows.values())  # non-vacuous
 
 
+def test_pretrain_corpus_two_phase_mix_agrees(spark, oracle_sf_dir):
+    """mix_via='two_phase' must reproduce the default composite output
+    byte-for-byte — on the real corpus AND on a mega-domain synthetic
+    (90% of docs in one source, the shape where the per-source window
+    would funnel one task) — so the flagship is mega-domain-safe end
+    to end without forking the admission logic."""
+    import random as _random
+
+    from git_log_to_sqlite_spark.plans.llm_ops import pretrain_corpus
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    d = table(spark, oracle_sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+
+    _random.seed(31)
+    # vocabulary wide enough that random 60-token docs pass the
+    # distinct-token quality gate (needs >= 30% distinct tokens)
+    words = [f"w{j}" for j in range(400)]
+    rows = [
+        (
+            i,
+            "mega" if i % 10 else f"tail{i % 7}",
+            " ".join(_random.choice(words) for _ in range(60)),
+        )
+        for i in range(500)
+    ]
+    skewed = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).withColumn("n_chars", F.length("text"))
+    skew_bench = skewed.filter(F.col("doc_id") % 97 == 0)
+    skew_corpus = skewed.filter(F.col("doc_id") % 97 != 0)
+
+    for c, b in ((corpus, bench), (skew_corpus, skew_bench)):
+        base = {tuple(r) for r in pretrain_corpus(c, b).collect()}
+        two = {
+            tuple(r)
+            for r in pretrain_corpus(c, b, mix_via="two_phase").collect()
+        }
+        assert two == base and len(base) > 0
+
+
 def test_pretrain_corpus_retention_telemetry(spark, oracle_sf_dir):
     """The pre-training pipeline's Observation funnel (input ->
     post_quality -> post_decontam -> post_mix) must equal
@@ -1111,3 +1153,29 @@ def test_token_budget_two_phase_route_agrees(spark, oracle_sf_dir):
             ).collect()
         }
         assert a == b
+
+
+def test_token_budget_routes_agree_on_fractional_weights(spark):
+    """Fractional (double) weights: both routes must return the SAME
+    cum_before type (double — neither route may cast) and values equal
+    to float-sum tolerance (the two-phase global sum re-associates the
+    additions, so exact equality is only guaranteed for integral
+    weights; the admission SET must still match away from ulp-sized
+    budget boundaries)."""
+    from git_log_to_sqlite_spark.operators import token_budget_sample
+
+    random.seed(29)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}", random.uniform(0.5, 9.5)) for i in range(300)],
+        "doc_id long, source string, w double",
+    ).repartition(8)
+    win = token_budget_sample(df, "doc_id", "w", 50, domain_col="source")
+    two = token_budget_sample(
+        df, "doc_id", "w", 50, domain_col="source", via="two_phase"
+    )
+    assert dict(win.dtypes)["cum_before"] == "double"
+    assert dict(two.dtypes)["cum_before"] == "double"
+    a = {r["doc_id"]: r["cum_before"] for r in win.collect()}
+    b = {r["doc_id"]: r["cum_before"] for r in two.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
