@@ -95,17 +95,22 @@ def cache_scope() -> Iterator[None]:
     before the body could point below where the body's pins land (e.g.
     after an external ``clearCache()`` removed stale pre-scope entries)
     and a length-mark would leak those pins past scope exit. The
-    snapshot holds STRONG references (a plain list, membership via
-    ``is``), not bare ``id()`` integers: a pre-scope frame pruned and
-    garbage-collected during the body could otherwise donate its
-    reused address to a frame pinned inside the scope, which would
-    then masquerade as pre-existing and leak."""
-    before = list(_LIVE)
+    snapshot is a dict keyed by ``id()`` whose VALUES hold strong
+    references to the frames for the body's duration: the refs prevent
+    a pre-scope frame from being garbage-collected mid-body and
+    donating its reused address to a frame pinned inside the scope
+    (which would then masquerade as pre-existing and leak), while the
+    dict gives O(1) membership instead of an O(n) identity scan per
+    frame. Holding those refs does keep otherwise-collectable
+    pre-scope frames alive until scope exit — bounded by the snapshot
+    and the body's length, and the frames' cached blocks are governed
+    by the registry/CacheManager, not the Python wrapper."""
+    before = {id(d): d for d in _LIVE}
     try:
         yield
     finally:
-        inner = [d for d in _LIVE if not any(d is x for x in before)]
-        _LIVE[:] = [d for d in _LIVE if any(d is x for x in before)]
+        inner = [d for d in _LIVE if id(d) not in before]
+        _LIVE[:] = [d for d in _LIVE if id(d) in before]
         for df in inner:
             try:
                 df.unpersist()

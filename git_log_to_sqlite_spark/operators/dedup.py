@@ -634,6 +634,17 @@ def decontaminate(
     hits, which are rare by construction. The final annotate join is an
     id-only projection against the tiny hit table (AQE broadcasts it).
     Never join two exploded 100-TB gram streams to find leakage.
+
+    HARD CONTRACT on the ``benchmark`` side: the broadcast is FORCED
+    (the hint is what guarantees the map-side filter; unhinted, a bad
+    size estimate on the post-distinct aggregate could silently plan a
+    corpus-wide shuffle semi-join), so the distinct gram set must fit
+    a broadcast — it scales with total benchmark tokens, and an
+    executor holds one copy (~32 B/gram hashed-set overhead: a 1M-gram
+    eval suite is tens of MB — fine; a "benchmark" of GBs is not).
+    Callers decontaminating against something corpus-sized are using
+    the wrong operator: that is corpus-vs-corpus overlap, i.e.
+    :func:`ngram_jaccard_pairs` / :func:`minhash_lsh_pairs` territory.
     """
     gram = exploded_shingles(text_col, ngram_n)
     bench_grams = benchmark.select(gram.alias("gram")).distinct()
