@@ -15,6 +15,7 @@ from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
 from .sampling import domain_mix, token_budget_sample, weighted_reservoir
 from .dedup import (
+    SignatureStore,
     decontaminate,
     exact_dedup,
     incremental_minhash_dedup,
@@ -56,6 +57,7 @@ __all__ = [
     "weighted_reservoir",
     "domain_mix",
     "token_budget_sample",
+    "SignatureStore",
     "decontaminate",
     "exact_dedup",
     "incremental_minhash_dedup",

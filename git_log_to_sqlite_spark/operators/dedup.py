@@ -669,7 +669,7 @@ def decontaminate(
 
 
 def incremental_minhash_dedup(
-    history: DataFrame,
+    history: DataFrame | None,
     increment: DataFrame,
     id_col: str,
     text_col: str,
@@ -680,6 +680,7 @@ def incremental_minhash_dedup(
     max_band_size: int | None = None,
     band_size_quantile: float | None = None,
     observation: "Observation | None" = None,
+    history_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a new batch against the historical corpus WITHOUT
     re-pairing history with itself — the daily-ingest shape of fuzzy
@@ -709,8 +710,32 @@ def incremental_minhash_dedup(
     linear in the (small) increment even when the increment itself
     carries a degenerate key, while removing a hot history bucket
     removes the key from the join outright.
+
+    Pass ``history_signatures`` (a wide ``(id, mh_0..mh_{K-1})`` table,
+    e.g. :meth:`SignatureStore.read`) INSTEAD of ``history`` to run
+    against a persisted signature table — the production ingest shape.
+    A provided table is deliberately NOT pinned: at scale it is a
+    parquet scan (K x 8 B/doc, column-pruned) and its two consumers
+    (band projection, agreement join) each re-scan more cheaply than a
+    100-TB-history cache could ever be held; derived-from-text
+    signatures keep the pin since deriving them re-shingles the
+    corpus.
     """
-    mh_h = pin(minhash_signatures(history, id_col, text_col, num_hashes, shingle_n))
+    if (history is None) == (history_signatures is None):
+        raise ValueError(
+            "exactly one of history / history_signatures is required"
+        )
+    if history_signatures is not None:
+        missing = {id_col, *(f"mh_{j}" for j in range(num_hashes))} - set(
+            history_signatures.columns
+        )
+        if missing:
+            raise ValueError(f"history_signatures missing columns: {sorted(missing)}")
+        mh_h = history_signatures
+    else:
+        mh_h = pin(
+            minhash_signatures(history, id_col, text_col, num_hashes, shingle_n)
+        )
     mh_i = pin(minhash_signatures(increment, id_col, text_col, num_hashes, shingle_n))
     bands_h = _capped_bands(
         _band_keys(mh_h, id_col, num_hashes, rows_per_band),
@@ -764,3 +789,97 @@ def incremental_minhash_dedup(
             F.col("dup_of").isNull().cast("int").alias("is_new"),
         )
     )
+
+
+class SignatureStore:
+    """Persisted MinHash signature table maintained across daily
+    ingests — the production contract :func:`incremental_minhash_dedup`
+    promises: the 100-TB history TEXT is never re-scanned, only its
+    K x 8 B/doc signature table is, and each day's novel documents
+    append their signatures so tomorrow's batch dedups against them.
+
+    Layout: plain parquet, wide signatures ``(id, mh_0..mh_{K-1})``,
+    one appended file-set per ingest. Deliberately NOT bucketed: with
+    the increment orders of magnitude smaller than history, both
+    consuming joins build/broadcast on the INCREMENT side (band probe
+    and agreement join), so history is scanned map-side and never
+    shuffled — a shape no bucketing improves — and band keys cannot
+    pre-bucket the wide table anyway (each row projects to
+    num_hashes/rows_per_band band keys). Compact the file count
+    offline if ingest cadence makes small files dominate; content is
+    append-only so compaction is a rewrite-identical operation.
+
+    :meth:`ingest` is the daily loop body: annotate the batch against
+    the store, then append the novel documents' signatures. The
+    annotation is materialized (``localCheckpoint``) BEFORE the append
+    so the returned frame can never lazily re-read the store post-
+    append and see the batch's own signatures as "history".
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        num_hashes: int = 8,
+        shingle_n: int = 3,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.shingle_n = shingle_n
+
+    def exists(self) -> bool:
+        try:
+            self.spark.read.parquet(self.path).schema
+            return True
+        except Exception:
+            return False
+
+    def signatures_for(self, df: DataFrame, text_col: str) -> DataFrame:
+        """Wide signatures of ``df`` under the store's parameters."""
+        return minhash_signatures(
+            df, self.id_col, text_col, self.num_hashes, self.shingle_n
+        )
+
+    def bootstrap(self, corpus: DataFrame, text_col: str) -> None:
+        """Initialize (overwrite) the store from a deduped corpus."""
+        self.signatures_for(corpus, text_col).write.mode("overwrite").parquet(
+            self.path
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def ingest(
+        self,
+        batch: DataFrame,
+        text_col: str,
+        rows_per_band: int = 2,
+        min_agree: float = 0.25,
+        max_band_size: int | None = None,
+        band_size_quantile: float | None = None,
+    ) -> DataFrame:
+        """Dedup ``batch`` against the store and append the novel
+        documents' signatures. Returns the materialized per-batch
+        annotation ``(id, dup_of, best_est, is_new)``."""
+        sigs = pin(self.signatures_for(batch, text_col))
+        res = incremental_minhash_dedup(
+            None,
+            batch,
+            self.id_col,
+            text_col,
+            num_hashes=self.num_hashes,
+            rows_per_band=rows_per_band,
+            min_agree=min_agree,
+            shingle_n=self.shingle_n,
+            max_band_size=max_band_size,
+            band_size_quantile=band_size_quantile,
+            history_signatures=self.read(),
+        ).localCheckpoint(eager=True)
+        new_ids = res.filter(F.col("is_new") == 1).select(self.id_col)
+        sigs.join(new_ids, self.id_col, "left_semi").write.mode("append").parquet(
+            self.path
+        )
+        return res

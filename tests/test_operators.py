@@ -838,6 +838,49 @@ def test_token_budget_monotone_deterministic_and_bounded(spark):
     assert kept_doms == doms, "budget 1 still admits one row per domain"
 
 
+def test_incremental_dedup_history_signatures_equivalent(spark, oracle_sf_dir):
+    """Passing the precomputed signature table (the SignatureStore
+    read shape) must reproduce the text-derived result exactly, and
+    the history/history_signatures arguments are mutually exclusive
+    and jointly required."""
+    from git_log_to_sqlite_spark.operators import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    base = {
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            history, increment, "doc_id", "text"
+        ).collect()
+    }
+    sigs = minhash_signatures(history, "doc_id", "text")
+    got = {
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            None, increment, "doc_id", "text", history_signatures=sigs
+        ).collect()
+    }
+    assert got == base and len(base) > 0
+
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_minhash_dedup(None, increment, "doc_id", "text")
+    with pytest.raises(ValueError, match="exactly one"):
+        incremental_minhash_dedup(
+            history, increment, "doc_id", "text", history_signatures=sigs
+        )
+    with pytest.raises(ValueError, match="missing columns"):
+        incremental_minhash_dedup(
+            None, increment, "doc_id", "text",
+            history_signatures=sigs.drop("mh_3"),
+        )
+
+
 def test_incremental_dedup_planted_near_dup(spark):
     """A near-dup of a history doc in the increment must resolve to
     that history doc; a novel doc must come back is_new=1; history

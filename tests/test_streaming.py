@@ -410,6 +410,120 @@ def test_foreachbatch_incremental_dedup_against_static_history(
     assert got == want
 
 
+def test_signature_store_multi_day_ingest(spark, oracle_sf_dir, tmp_path):
+    """The PRODUCTION daily-ingest loop: the history signature table
+    lives as parquet (SignatureStore), every micro-batch dedups
+    against the STORE (history text never re-read) and appends its
+    novel documents' signatures, so day N sees day N-1's novelties.
+    Three simulated days through foreachBatch must (a) reproduce an
+    in-memory sequential reference loop exactly — the persistence
+    layer is faithful; (b) catch a planted day-2/day-3 near-dup of a
+    day-1 NOVEL doc — the append is live, which the static-history
+    test structurally cannot show; (c) agree with the one-shot batch
+    operator on day 1 and only ever catch MORE than it later (growing
+    history is monotone); (d) grow the store by exactly the novel
+    rows."""
+    import os
+    import time
+
+    from git_log_to_sqlite_spark.operators import (
+        SignatureStore,
+        incremental_minhash_dedup,
+        release_caches,
+    )
+    from git_log_to_sqlite_spark.plans.registry import table as t
+
+    docs = t(spark, oracle_sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+
+    planted_text = "entirely novel sentinel prose planted for the multi day loop"
+    planted = {
+        0: [(10_000_001, planted_text)],        # day 1: novel
+        1: [(10_000_002, planted_text)],        # day 2: dup of day-1 novelty
+        2: [(10_000_003, planted_text)],        # day 3: still resolves to day 1
+    }
+    days = [
+        increment.filter((F.col("doc_id") / 5).cast("long") % 3 == d).unionByName(
+            spark.createDataFrame(planted[d], "doc_id long, text string")
+        )
+        for d in range(3)
+    ]
+
+    store = SignatureStore(spark, str(tmp_path / "sigstore"), id_col="doc_id")
+    assert not store.exists()
+    store.bootstrap(history, "text")
+    n_hist = store.read().count()
+    assert store.exists()
+
+    # three parquet "days"; mtimes force micro-batch order
+    inc_dir = str(tmp_path / "inc")
+    for d, day in enumerate(days):
+        p = f"{inc_dir}/day{d}"
+        day.coalesce(1).write.parquet(p)
+        stamp = time.time() - 300 + d * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    got: dict[int, tuple] = {}
+
+    def _ingest(batch_df, batch_id):
+        for r in store.ingest(batch_df, "text").collect():
+            got[r["doc_id"]] = (r["dup_of"], r["is_new"])
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("latestFirst", "false")
+        .parquet(inc_dir)
+        .writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    release_caches()
+
+    # (b) the planted chain resolves across batch boundaries
+    assert got[10_000_001] == (None, 1)
+    assert got[10_000_002] == (10_000_001, 0)
+    assert got[10_000_003] == (10_000_001, 0)
+
+    # (a) parquet-store loop == in-memory sequential reference
+    ref_sigs = store.signatures_for(history, "text").localCheckpoint()
+    ref: dict[int, tuple] = {}
+    for day in days:
+        res = incremental_minhash_dedup(
+            None, day, "doc_id", "text", history_signatures=ref_sigs
+        ).localCheckpoint()
+        for r in res.collect():
+            ref[r["doc_id"]] = (r["dup_of"], r["is_new"])
+        new_sigs = store.signatures_for(day, "text").join(
+            res.filter(F.col("is_new") == 1).select("doc_id"), "doc_id", "left_semi"
+        )
+        ref_sigs = ref_sigs.unionByName(new_sigs).localCheckpoint()
+    release_caches()
+    assert got == ref
+
+    # (c) vs the one-shot batch operator on the ORIGINAL history:
+    # growing history can only catch more, never less
+    oneshot = {
+        r["doc_id"]: (r["dup_of"], r["is_new"])
+        for r in incremental_minhash_dedup(
+            history, increment, "doc_id", "text"
+        ).collect()
+    }
+    release_caches()
+    for doc_id, (dup_of, is_new) in oneshot.items():
+        if is_new == 0:
+            assert got[doc_id][1] == 0, doc_id
+
+    # (d) the store grew by exactly the novel rows
+    n_new = sum(1 for v in got.values() if v[1] == 1)
+    assert store.read().count() == n_hist + n_new
+
+
 def test_stream_static_join_equals_batch(spark, oracle_sf_dir, replay_dir):
     """Stream-static join: the replayed events stream enriched against
     a STATIC dimension (user segment) — the standard streaming
