@@ -29,6 +29,7 @@ from .similarity import (
     brute_force_topk,
     bucketed_ann_topk,
     cosine,
+    ivf_ann_topk,
     lsh_bucket,
     multiprobe_ann_topk,
 )
@@ -69,6 +70,7 @@ __all__ = [
     "brute_force_topk",
     "bucketed_ann_topk",
     "cosine",
+    "ivf_ann_topk",
     "lsh_bucket",
     "multiprobe_ann_topk",
     "salted_aggregate",

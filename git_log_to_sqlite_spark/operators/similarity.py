@@ -180,6 +180,77 @@ def multiprobe_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    k: int = 5,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF ANN with a FITTED coarse quantizer — the production index
+    shape: ``centroids`` come from :func:`~git_log_to_sqlite_spark.
+    operators.clustering.kmeans` (data-adaptive Voronoi cells), each
+    corpus vector lives in its nearest-centroid cell, and each query
+    probes its ``n_probe`` nearest cells. Candidate mass per query is
+    ~``n_probe/k_cells`` of the corpus, but unlike random hyperplanes
+    the cells follow the data's density, so the same scanned fraction
+    buys more recall (asserted vs sign-LSH multiprobe at the bench SF).
+
+    Scale shape: centroids are MODEL STATE (k x dims doubles inlined
+    as literals — the same contract as ``assign_clusters``), so both
+    cell assignments are pure codegen projections; the probe fan-out
+    multiplies only the QUERY side (broadcast), the corpus keeps one
+    row per vector and is never re-shuffled; norms fold once per
+    vector per side. In a persisted deployment the corpus side
+    (cell, vector, norm) is written once at index-build time and
+    every query batch is an equi-join against it.
+    """
+    from .clustering import _sq_dist, assign_clusters
+
+    c = assign_clusters(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("_cv"),
+            vnorm(F.col(vec_col)).alias("_cn"),
+        ),
+        "_cv",
+        centroids,
+    ).withColumnRenamed("cluster", "_cc")
+    dists = F.array(
+        *[
+            F.struct(_sq_dist("_qv", cen).alias("d"), F.lit(j).alias("c"))
+            for j, cen in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["c"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        vnorm(F.col(vec_col)).alias("_qn"),
+    ).select(
+        "query_id", F.explode(probes).alias("_qc"), "_qv", "_qn"
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("_qc") == F.col("_cc")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def bucketed_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

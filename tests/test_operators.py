@@ -255,6 +255,34 @@ def test_ann_recall_on_clustered_data(clustered_vectors):
     assert recall > 0.9, f"bucketed ANN recall too low on tight clusters: {recall:.2f}"
 
 
+def test_ivf_ann_recall_on_clustered_data(clustered_vectors):
+    """IVF with a FITTED k-means quantizer on planted tight clusters:
+    single-probe recall must be near-exact (each cluster maps onto one
+    Voronoi cell), and results must be deterministic across runs."""
+    from git_log_to_sqlite_spark.operators import ivf_ann_topk, kmeans
+
+    e = clustered_vectors
+    # interleaved init ids: one lowest-k seed per planted cluster (the
+    # same init-quality control test_kmeans_recovers_planted_clusters
+    # documents — callers order ids to pick seeds)
+    fit = e.withColumn("kid", (F.col("vec_id") % 25) * 4 + F.col("cluster"))
+    _, centroids = kmeans(fit, "kid", "embedding", k=4, max_iter=10)
+    q = e.filter(F.col("vec_id") < 12)
+    exact = brute_force_topk(q, e, "vec_id", "embedding", k=5)
+    ivf = ivf_ann_topk(q, e, "vec_id", "embedding", centroids, n_probe=1, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    iv = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(ex & iv) / len(ex)
+    assert recall > 0.9, f"IVF single-probe recall on tight clusters: {recall:.2f}"
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(
+            q, e, "vec_id", "embedding", centroids, n_probe=1, k=5
+        ).collect()
+    }
+    assert again == iv
+
+
 def test_lsh_bucket_keeps_clusters_together(clustered_vectors):
     from git_log_to_sqlite_spark.operators import lsh_bucket
 

@@ -207,6 +207,23 @@ def test_multiprobe_recall_at_bench_sf(spark):
     assert r_multi >= r_single, (r_multi, r_single)
     assert r_multi > 0.45, f"multiprobe recall collapsed: {r_multi:.2f}"
 
+    # K-MEANS-QUANTIZER IVF: fitted Voronoi cells + nearest-m probes
+    # must buy at least the sign-LSH multiprobe recall at a comparable
+    # scanned fraction (8 cells x 4 probes ~ the (1+3)/2^3 = 0.5
+    # multiprobe fraction) — data-adaptive cells are the upgrade from
+    # random hyperplanes that makes this the production IVF shape.
+    from git_log_to_sqlite_spark.operators import ivf_ann_topk, kmeans
+
+    _, centroids = kmeans(e, "vec_id", "embedding", k=8, max_iter=5)
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(
+            q, e, "vec_id", "embedding", centroids, n_probe=4, k=10
+        ).collect()
+    }
+    r_ivf = len(exact & ivf) / len(exact)
+    assert r_ivf >= r_multi, (r_ivf, r_multi)
+
 
 def test_cc_convergence_bound_on_embedding_graph(spark):
     """The log-round convergence bound, extended from synthetic chains
