@@ -140,6 +140,7 @@ _prioritize(
         "agg_approx_percentile",
         "sample_stratified",
         "sim_kmeans_groups",
+        "sim_ann_ivf",
     ],
 )
 

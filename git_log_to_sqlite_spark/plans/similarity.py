@@ -271,6 +271,36 @@ def sim_kmeans_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf",
+    oracle=None,  # the quantizer is iterative k-means (no single-
+    # statement SQL twin); the driver records a rows/schema check and
+    # pytest asserts recall >= sign-LSH multiprobe at the bench SF
+    # plus planted-cluster near-exact recall and determinism
+    doc="K-means-quantizer IVF ANN (operators.similarity.ivf_ann_topk "
+    "+ operators.clustering.kmeans): fitted Voronoi cells quantize the "
+    "corpus (codegen assignment, centroids are driver-held model "
+    "state), each query probes its n_probe nearest cells via a "
+    "broadcast equi-join — the corpus is never re-shuffled. The "
+    "production upgrade from random sign-hyperplanes: at the same "
+    "scanned fraction, data-adaptive cells buy more recall (0.755 vs "
+    "0.675 at sf0.1, asserted in tests).",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans
+    from ..operators.similarity import ivf_ann_topk
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    _, centroids = kmeans(e, "vec_id", "embedding", k=8, max_iter=5)
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_ann_topk(
+        q, e, "vec_id", "embedding", centroids, n_probe=2, k=5, round_to=4
+    )
+
+
+@register(
     "dedup_embedding_groups",
     oracle=f"""
     WITH RECURSIVE pairs AS (
