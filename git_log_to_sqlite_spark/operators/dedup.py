@@ -64,8 +64,30 @@ def _spread(df: DataFrame) -> DataFrame:
     before a compute-heavy explode: a single-file scan arrives as ONE
     partition and would serialize the shingle/hash work on one core.
     The repartition shuffles only the raw rows (cheap relative to the
-    explode it unlocks); inputs that are already wide pass through."""
+    explode it unlocks); inputs that are already wide pass through.
+
+    The width probe deliberately avoids ``df.rdd.getNumPartitions()``
+    for file-backed inputs: ``.rdd`` compiles the full physical plan
+    (and under AQE can finalize stages) just to learn a partition
+    count — hidden planning cost on every operator call over a complex
+    upstream plan. ``inputFiles()`` walks only the analyzed plan's
+    file indexes (listing is already cached by the relation): at corpus
+    scale file count >> parallelism so wide inputs pass through
+    untouched, while the narrow-scan case this guard exists for (one
+    small file at test SF) repartitions as before. A few huge
+    splittable files can mis-fire one raw-row shuffle — bounded by the
+    input the explode reads anyway. Non-file inputs (local relations,
+    post-shuffle frames) keep the physical probe: they are exactly the
+    plans that are cheap to compile."""
     sc = df.sparkSession.sparkContext
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) < sc.defaultParallelism:
+            return df.repartition(sc.defaultParallelism)
+        return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
@@ -681,6 +703,7 @@ def incremental_minhash_dedup(
     band_size_quantile: float | None = None,
     observation: "Observation | None" = None,
     history_signatures: DataFrame | None = None,
+    best_match: bool = False,
 ) -> DataFrame:
     """Dedup a new batch against the historical corpus WITHOUT
     re-pairing history with itself — the daily-ingest shape of fuzzy
@@ -692,7 +715,14 @@ def incremental_minhash_dedup(
     is_new)`` — ``dup_of`` is the smallest history id among matches
     with signature agreement >= ``min_agree`` (deterministic pick),
     ``best_est`` the highest agreement estimate, ``is_new`` = 1 when no
-    history match clears the bar. All increment rows are kept.
+    history match clears the bar. All increment rows are kept. NOTE:
+    ``dup_of`` and ``best_est`` aggregate INDEPENDENTLY — the reported
+    pair need not be the same history document (min-id is the stable
+    survivor key for dedup bookkeeping; max-est is the match
+    confidence). Pass ``best_match=True`` for an extra
+    ``best_match_id`` column: the history id that ACHIEVES the best
+    estimate (ties broken to the smaller id) — the "which doc is this
+    a copy of" production answer.
 
     Scale shape: history contributes ONLY its signature table (K x 8
     bytes/doc — in production a persisted/bucketed table maintained
@@ -768,26 +798,36 @@ def incremental_minhash_dedup(
         F.when(F.col(f"i_{j}") == F.col(f"h_{j}"), 1).otherwise(0)
         for j in range(num_hashes)
     )
+    aggs = [
+        F.min("_hist").alias("dup_of"),
+        F.max("est").alias("best_est"),
+    ]
+    if best_match:
+        # max_by with a deterministic tie-break: order by (est, -id)
+        # so the HIGHEST estimate wins and ties go to the SMALLER id
+        aggs.append(
+            F.expr("max_by(_hist, struct(est, -_hist))").alias("best_match_id")
+        )
     matches = (
         cand.join(mi, "_inc")
         .join(mht, "_hist")
         .withColumn("est", agree.cast("double") / num_hashes)
         .filter(F.col("est") >= min_agree)
         .groupBy("_inc")
-        .agg(
-            F.min("_hist").alias("dup_of"),
-            F.max("est").alias("best_est"),
-        )
+        .agg(*aggs)
     )
+    out_cols = [
+        id_col,
+        "dup_of",
+        "best_est",
+        F.col("dup_of").isNull().cast("int").alias("is_new"),
+    ]
+    if best_match:
+        out_cols.append("best_match_id")
     return (
         increment.select(id_col)
         .join(matches.withColumnRenamed("_inc", id_col), id_col, "left")
-        .select(
-            id_col,
-            "dup_of",
-            "best_est",
-            F.col("dup_of").isNull().cast("int").alias("is_new"),
-        )
+        .select(*out_cols)
     )
 
 

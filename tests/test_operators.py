@@ -866,6 +866,36 @@ def test_token_budget_monotone_deterministic_and_bounded(spark):
     assert kept_doms == doms, "budget 1 still admits one row per domain"
 
 
+def test_incremental_dedup_best_match_column(spark):
+    """best_match=True adds the history id that ACHIEVES best_est
+    (ties to the smaller id) — distinct from dup_of, which is the
+    min-id bookkeeping survivor and need not be the best match."""
+    from git_log_to_sqlite_spark.operators import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    partial = "the quick brown fox jumps over a sleepy cat this morning ok"
+    history = spark.createDataFrame(
+        [(5, partial), (20, base), (21, base)],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    out = incremental_minhash_dedup(
+        history, increment, "doc_id", "text", best_match=True
+    ).collect()
+    row = {r["doc_id"]: r for r in out}[100]
+    assert row["best_est"] == 1.0  # exact copies agree on every hash
+    assert row["best_match_id"] == 20  # est tie between 20/21 -> min id
+    if row["dup_of"] == 5:  # partial doc cleared min_agree
+        assert row["dup_of"] != row["best_match_id"]
+    # default output keeps the original 4-column schema
+    cols = incremental_minhash_dedup(
+        history, increment, "doc_id", "text"
+    ).columns
+    assert cols == ["doc_id", "dup_of", "best_est", "is_new"]
+
+
 def test_incremental_dedup_history_signatures_equivalent(spark, oracle_sf_dir):
     """Passing the precomputed signature table (the SignatureStore
     read shape) must reproduce the text-derived result exactly, and
