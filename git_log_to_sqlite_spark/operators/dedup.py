@@ -892,6 +892,25 @@ class SignatureStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def compact(self, num_files: int | None = None) -> None:
+        """Rewrite the store into ``num_files`` parquet files (default:
+        the session's default parallelism) — the offline maintenance
+        pass for ingest cadences where one appended file-set per day
+        makes small files dominate the scan. Content is append-only,
+        so compaction is rewrite-identical; the rewrite lands in a
+        sibling temp dir and swaps in via the Hadoop FileSystem API
+        (works on any scheme the session can reach). Run between
+        ingests, not concurrently with one."""
+        sc = self.spark.sparkContext
+        n = num_files or sc.defaultParallelism
+        tmp = self.path.rstrip("/") + "__compact_tmp"
+        self.read().repartition(n).write.mode("overwrite").parquet(tmp)
+        hpath = sc._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath(self.path), True)
+        if not fs.rename(hpath(tmp), hpath(self.path)):
+            raise IOError(f"compaction rename failed: {tmp} -> {self.path}")
+
     def ingest(
         self,
         batch: DataFrame,

@@ -523,6 +523,14 @@ def test_signature_store_multi_day_ingest(spark, oracle_sf_dir, tmp_path):
     n_new = sum(1 for v in got.values() if v[1] == 1)
     assert store.read().count() == n_hist + n_new
 
+    # (e) compaction is rewrite-identical and shrinks the file count
+    # (bootstrap + 3 ingest appends each left a file-set)
+    before = {tuple(r) for r in store.read().collect()}
+    n_files_before = len(store.read().inputFiles())
+    store.compact(num_files=2)
+    assert len(store.read().inputFiles()) == 2 < n_files_before
+    assert {tuple(r) for r in store.read().collect()} == before
+
 
 def test_stream_static_join_equals_batch(spark, oracle_sf_dir, replay_dir):
     """Stream-static join: the replayed events stream enriched against
