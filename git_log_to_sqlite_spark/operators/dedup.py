@@ -66,28 +66,21 @@ def _spread(df: DataFrame) -> DataFrame:
     The repartition shuffles only the raw rows (cheap relative to the
     explode it unlocks); inputs that are already wide pass through.
 
-    The width probe deliberately avoids ``df.rdd.getNumPartitions()``
-    for file-backed inputs: ``.rdd`` compiles the full physical plan
-    (and under AQE can finalize stages) just to learn a partition
-    count — hidden planning cost on every operator call over a complex
-    upstream plan. ``inputFiles()`` walks only the analyzed plan's
-    file indexes (listing is already cached by the relation): at corpus
-    scale file count >> parallelism so wide inputs pass through
-    untouched, while the narrow-scan case this guard exists for (one
-    small file at test SF) repartitions as before. A few huge
-    splittable files can mis-fire one raw-row shuffle — bounded by the
-    input the explode reads anyway. Non-file inputs (local relations,
-    post-shuffle frames) keep the physical probe: they are exactly the
-    plans that are cheap to compile."""
+    The probe is deliberately the PHYSICAL partition count
+    (``df.rdd.getNumPartitions()``), accepting that ``.rdd`` compiles
+    the physical plan per call: every cheaper proxy is unsound under
+    FileSourceScan's partition packing. ``len(inputFiles())`` fails in
+    both directions — many tiny files pack into 1-2 partitions
+    (openCostInBytes), so a high file count skips the widening exactly
+    when the explode would serialize, and through-shuffle leaf files
+    make an already-wide aggregated frame look narrow, adding a
+    needless raw-row shuffle — and byte-size estimates re-implement
+    the packing logic they try to avoid. The planning cost is bounded
+    in practice: operators apply _spread to their INPUT frame, which
+    is a scan or scan+filter in every library call path; callers
+    feeding a genuinely expensive-to-plan frame can pre-repartition
+    and the guard passes through."""
     sc = df.sparkSession.sparkContext
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if files:
-        if len(files) < sc.defaultParallelism:
-            return df.repartition(sc.defaultParallelism)
-        return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
@@ -172,6 +165,7 @@ def _capped_bands(
     band_size_quantile: float | None,
     observation: "Observation | None" = None,
     quantile_headroom: int = 10,
+    join_shape: str = "self",
 ) -> DataFrame:
     """Hot-band skew valve: anti-filter degenerate band buckets out of
     an (id, band, band_key) table BEFORE it feeds a band equi-join.
@@ -215,9 +209,19 @@ def _capped_bands(
     ``max_band_size`` (absolute, applied as-is) and
     ``band_size_quantile`` (the spread guard above) are mutually
     exclusive; with neither, the bands pass through unfiltered (and
-    ``observation`` — which reports ``bands_dropped`` /
-    ``pairs_avoided`` telemetry — would never attach, so it raises).
+    ``observation`` would never attach, so it raises). Telemetry
+    follows ``join_shape``: ``"self"`` (the batch operator's
+    self-join) reports ``bands_dropped`` + ``pairs_avoided`` =
+    sum d(d-1)/2 over dropped buckets; ``"probe"`` (the incremental
+    operator, where this table is the build side of an
+    increment x history join) reports ``bands_dropped`` +
+    ``rows_dropped`` = sum d — the candidates avoided there are
+    |increment bucket| x d, unknowable from this side alone, and
+    reporting the self-join formula would overstate the win by the
+    ratio of history to increment bucket sizes.
     """
+    if join_shape not in ("self", "probe"):
+        raise ValueError(f"join_shape must be 'self' or 'probe', got {join_shape!r}")
     if max_band_size is not None and band_size_quantile is not None:
         raise ValueError("max_band_size and band_size_quantile are mutually exclusive")
     if max_band_size is None and band_size_quantile is None:
@@ -255,12 +259,18 @@ def _capped_bands(
         cap = F.lit(max_band_size)
     if observation is not None:
         d = F.col("d").cast("long")
+        if join_shape == "self":
+            dropped = F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0)).cast(
+                "long"
+            ).alias("pairs_avoided")
+        else:
+            dropped = F.sum(F.when(d > cap, d).otherwise(0)).cast("long").alias(
+                "rows_dropped"
+            )
         hot = hot.observe(
             observation,
             F.sum((d > cap).cast("long")).alias("bands_dropped"),
-            F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0))
-            .cast("long")
-            .alias("pairs_avoided"),
+            dropped,
         )
     hot = hot.filter(F.col("d").cast("long") > cap).select("band", "band_key")
     return bands.join(hot, ["band", "band_key"], "left_anti")
@@ -772,6 +782,7 @@ def incremental_minhash_dedup(
         max_band_size,
         band_size_quantile,
         observation,
+        join_shape="probe",
     )
     bands_i = _band_keys(mh_i, id_col, num_hashes, rows_per_band)
     cand = (
@@ -803,10 +814,13 @@ def incremental_minhash_dedup(
         F.max("est").alias("best_est"),
     ]
     if best_match:
-        # max_by with a deterministic tie-break: order by (est, -id)
-        # so the HIGHEST estimate wins and ties go to the SMALLER id
+        # min_by over (-est, id): the HIGHEST estimate wins and ties go
+        # to the SMALLER id. Negating est (always a double) instead of
+        # the id keeps the tie-break type-agnostic — a max_by on
+        # struct(est, -id) would NULL-cast (or ANSI-throw on) string
+        # ids and silently lose determinism.
         aggs.append(
-            F.expr("max_by(_hist, struct(est, -_hist))").alias("best_match_id")
+            F.expr("min_by(_hist, struct(-est, _hist))").alias("best_match_id")
         )
     matches = (
         cand.join(mi, "_inc")
@@ -904,12 +918,21 @@ class SignatureStore:
         sc = self.spark.sparkContext
         n = num_files or sc.defaultParallelism
         tmp = self.path.rstrip("/") + "__compact_tmp"
+        old = self.path.rstrip("/") + "__compact_old"
         self.read().repartition(n).write.mode("overwrite").parquet(tmp)
         hpath = sc._jvm.org.apache.hadoop.fs.Path
         fs = hpath(self.path).getFileSystem(sc._jsc.hadoopConfiguration())
-        fs.delete(hpath(self.path), True)
+        # staged swap, no delete-before-rename: a crash between the two
+        # renames leaves the data intact at __compact_old (manual
+        # recovery: rename it back); the store is never deleted while
+        # it is the only copy
+        fs.delete(hpath(old), True)
+        if not fs.rename(hpath(self.path), hpath(old)):
+            raise IOError(f"compaction stage-out failed: {self.path} -> {old}")
         if not fs.rename(hpath(tmp), hpath(self.path)):
-            raise IOError(f"compaction rename failed: {tmp} -> {self.path}")
+            fs.rename(hpath(old), hpath(self.path))  # roll back
+            raise IOError(f"compaction swap failed: {tmp} -> {self.path}")
+        fs.delete(hpath(old), True)
 
     def ingest(
         self,
@@ -924,21 +947,30 @@ class SignatureStore:
         documents' signatures. Returns the materialized per-batch
         annotation ``(id, dup_of, best_est, is_new)``."""
         sigs = pin(self.signatures_for(batch, text_col))
-        res = incremental_minhash_dedup(
-            None,
-            batch,
-            self.id_col,
-            text_col,
-            num_hashes=self.num_hashes,
-            rows_per_band=rows_per_band,
-            min_agree=min_agree,
-            shingle_n=self.shingle_n,
-            max_band_size=max_band_size,
-            band_size_quantile=band_size_quantile,
-            history_signatures=self.read(),
-        ).localCheckpoint(eager=True)
-        new_ids = res.filter(F.col("is_new") == 1).select(self.id_col)
-        sigs.join(new_ids, self.id_col, "left_semi").write.mode("append").parquet(
-            self.path
-        )
+        try:
+            res = incremental_minhash_dedup(
+                None,
+                batch,
+                self.id_col,
+                text_col,
+                num_hashes=self.num_hashes,
+                rows_per_band=rows_per_band,
+                min_agree=min_agree,
+                shingle_n=self.shingle_n,
+                max_band_size=max_band_size,
+                band_size_quantile=band_size_quantile,
+                history_signatures=self.read(),
+            ).localCheckpoint(eager=True)
+            new_ids = res.filter(F.col("is_new") == 1).select(self.id_col)
+            sigs.join(new_ids, self.id_col, "left_semi").write.mode(
+                "append"
+            ).parquet(self.path)
+        finally:
+            # the batch signature cache has no consumer once the append
+            # lands (res is checkpointed) — without this a long-lived
+            # foreachBatch loop would pin one frame per micro-batch
+            # until someone calls release_caches(). The operator's
+            # internal pin of the same plan is the sameResult-dedup'd
+            # twin of this entry, so one unpersist clears both.
+            sigs.unpersist()
         return res

@@ -226,7 +226,7 @@ _SQL_BAND_CAP = f"""
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
       JOIN bfreq f ON f.band = a.band AND f.band_key = a.band_key
-      JOIN bcaps ON f.d <= bcaps.max_df * {_BAND_HEADROOM})
+      JOIN bcaps ON f.d <= COALESCE(bcaps.max_df * {_BAND_HEADROOM}, f.d))
     SELECT doc_a, doc_b,
            CAST(SUM(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS DOUBLE)
              / {_MINHASH_K} AS est_jaccard
@@ -277,7 +277,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
       JOIN bfreq f ON f.band = a.band AND f.band_key = a.band_key
-      JOIN bcaps ON f.d <= bcaps.max_df * {_BAND_HEADROOM}),
+      JOIN bcaps ON f.d <= COALESCE(bcaps.max_df * {_BAND_HEADROOM}, f.d)),
     near AS (
       SELECT doc_a, doc_b FROM cand
       JOIN mh ma ON ma.doc_id = doc_a
@@ -1085,7 +1085,10 @@ _INC_MOD = 5
       FROM bands i JOIN bands h
         ON i.band = h.band AND i.band_key = h.band_key
       JOIN hfreq f ON f.band = h.band AND f.band_key = h.band_key
-      JOIN hcaps ON f.d <= hcaps.max_df * {_BAND_HEADROOM}
+      -- COALESCE mirrors the Spark valve's no-repeated-bucket case:
+      -- an empty d>=2 histogram yields a NULL cap, which must keep
+      -- every candidate (the hot set is empty), not drop them all
+      JOIN hcaps ON f.d <= COALESCE(hcaps.max_df * {_BAND_HEADROOM}, f.d)
       WHERE i.doc_id % {_INC_MOD} = 0 AND h.doc_id % {_INC_MOD} <> 0),
     agreed AS (
       SELECT inc_id, hist_id,

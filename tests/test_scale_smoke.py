@@ -389,7 +389,53 @@ def test_incremental_band_cap_bounds_degenerate_history(spark):
     assert out[500_001]["is_new"] == 0
     assert out[500_001]["dup_of"] == 100_014  # min id of the planted pair
     assert obs.get["bands_dropped"] == 4
-    assert obs.get["pairs_avoided"] == 4 * n * (n - 1) // 2
+    # probe-shape telemetry: history band ROWS removed (sum d per
+    # dropped bucket) — candidates avoided would be |inc bucket| x d,
+    # unknowable history-side, so the valve reports what it measured
+    assert obs.get["rows_dropped"] == 4 * n
+
+
+def test_incremental_oracle_agrees_without_repeated_history_buckets(
+    spark, tmp_path
+):
+    """Regression for the NULL-cap oracle divergence: a history where
+    every band bucket holds exactly ONE doc (all-distinct texts) makes
+    the d>=2 histogram empty, so the derived cap is NULL. The Spark
+    valve correctly filters nothing (empty hot set); the SQL twin must
+    COALESCE the NULL cap to keep candidates too — without it the
+    oracle dropped every increment-history match and the engines
+    diverged on exactly the corpora with no intra-history collisions."""
+    import duckdb
+
+    from git_log_to_sqlite_spark import plans
+    from tests.oracle_harness import compare
+
+    # fully token-disjoint texts: no shared shingle, hence no shared
+    # minhash input, hence every history band bucket has d=1
+    rows = [
+        (i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f")
+        for i in range(1, 30)
+        if i % 5 != 0
+    ]
+    # one increment doc copies history doc 7 verbatim -> a real match
+    rows += [(5, rows[5][1]), (10, "novel increment text matching nothing here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/documents.parquet/*.parquet')"
+    )
+    # precondition: the history side really has no repeated bucket
+    spec = plans.REGISTRY["dedup_incremental_lsh"]
+    out = spec.fn(spark, sf_dir)
+    ok, msg = compare(out, con, spec.oracle, name="dedup_incremental_lsh")
+    assert ok, msg
+    got = {r["doc_id"]: r["is_new"] for r in out.collect()}
+    assert got[5] == 0, "the planted history match must survive the NULL cap"
+    assert got[10] == 1
 
 
 def test_decontaminate_scales_multiplicatively(spark, oracle_sf_dir):
