@@ -26,6 +26,7 @@ from .dedup import (
     simhash,
 )
 from .similarity import (
+    IvfIndex,
     brute_force_topk,
     bucketed_ann_topk,
     cosine,
@@ -67,6 +68,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "shingles",
     "simhash",
+    "IvfIndex",
     "brute_force_topk",
     "bucketed_ann_topk",
     "cosine",

@@ -251,6 +251,111 @@ def ivf_ann_topk(
     )
 
 
+class IvfIndex:
+    """Persisted IVF index — the build-once / probe-many deployment of
+    :func:`ivf_ann_topk`: the fitted corpus (one row per vector:
+    id, cast vector, precomputed norm, assigned cell) lives as parquet
+    PARTITIONED BY CELL, and the centroids (model state, k x dims
+    doubles) live beside it as a tiny parquet. Each probe batch then
+    reads only the probed cells: the probe join's query side broadcasts
+    and its cell keys dynamically prune the partitioned scan (Spark's
+    dynamic partition pruning — asserted on the plan in tests), so a
+    batch probing m of k cells reads ~m/k of the index bytes. Rebuild
+    the index when the corpus drifts (centroid fit is a batch job, the
+    same cadence as any ANN index rebuild).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def build(self, corpus: DataFrame, k: int = 8, max_iter: int = 10) -> None:
+        """Fit the quantizer on ``corpus`` and (over)write the index."""
+        from .clustering import assign_clusters, kmeans
+
+        fit = corpus.select(
+            self.id_col, _as_double(F.col(self.vec_col)).alias("_v")
+        )
+        _, centroids = kmeans(fit, self.id_col, "_v", k=k, max_iter=max_iter)
+        indexed = assign_clusters(
+            corpus.select(
+                F.col(self.id_col).alias("neighbor_id"),
+                _as_double(F.col(self.vec_col)).alias("_cv"),
+                vnorm(F.col(self.vec_col)).alias("_cn"),
+            ),
+            "_cv",
+            centroids,
+        ).withColumnRenamed("cluster", "cell")
+        indexed.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{self.path}/index"
+        )
+        self.spark.createDataFrame(
+            [(j, c) for j, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+
+    def centroids(self) -> list[list[float]]:
+        rows = (
+            self.spark.read.parquet(f"{self.path}/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        return [list(r["centroid"]) for r in rows]
+
+    def probe(
+        self,
+        queries: DataFrame,
+        n_probe: int = 2,
+        k: int = 5,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Top-k neighbors per query against the persisted index."""
+        from .clustering import _sq_dist
+
+        centroids = self.centroids()
+        index = self.spark.read.parquet(f"{self.path}/index")
+        dists = F.array(
+            *[
+                F.struct(_sq_dist("_qv", cen).alias("d"), F.lit(j).alias("c"))
+                for j, cen in enumerate(centroids)
+            ]
+        )
+        probes = F.transform(
+            F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["c"]
+        )
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            _as_double(F.col(self.vec_col)).alias("_qv"),
+            vnorm(F.col(self.vec_col)).alias("_qn"),
+        ).select("query_id", F.explode(probes).alias("_qc"), "_qv", "_qn")
+        sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        if round_to is not None:
+            sim = F.round(sim, round_to)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            F.broadcast(q)
+            .join(
+                index,
+                (F.col("_qc") == F.col("cell"))
+                & (F.col("query_id") != F.col("neighbor_id")),
+            )
+            .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+
 def bucketed_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -283,6 +283,48 @@ def test_ivf_ann_recall_on_clustered_data(clustered_vectors):
     assert again == iv
 
 
+def test_ivf_index_persisted_probe(clustered_vectors, tmp_path):
+    """The build-once/probe-many deployment: a persisted cell-
+    partitioned index must reproduce the in-memory operator exactly,
+    and the probe join must DYNAMICALLY PRUNE the partitioned scan
+    (the broadcast query side's cell keys reach the file source as a
+    dynamic pruning filter), so a batch probing m of k cells reads
+    ~m/k of the index."""
+    import contextlib
+    import io
+
+    from git_log_to_sqlite_spark.operators import IvfIndex, ivf_ann_topk, kmeans
+
+    e = clustered_vectors
+    fit = e.withColumn("kid", (F.col("vec_id") % 25) * 4 + F.col("cluster"))
+    _, centroids = kmeans(fit, "kid", "embedding", k=4, max_iter=10)
+
+    idx = IvfIndex(e.sparkSession, str(tmp_path / "ivf"))
+    idx.build(fit.select("kid", "embedding").withColumnRenamed("kid", "vec_id"),
+              k=4, max_iter=10)
+    assert idx.centroids() == centroids  # same deterministic fit
+
+    q = fit.select(F.col("kid").alias("vec_id"), "embedding").filter(
+        F.col("vec_id") < 12
+    )
+    corpus = fit.select(F.col("kid").alias("vec_id"), "embedding")
+    mem = {
+        tuple(r)
+        for r in ivf_ann_topk(
+            q, corpus, "vec_id", "embedding", centroids, n_probe=2, k=5
+        ).collect()
+    }
+    probe = idx.probe(q, n_probe=2, k=5)
+    assert {tuple(r) for r in probe.collect()} == mem and len(mem) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower(), (
+        "probe join must dynamically prune the cell-partitioned scan"
+    )
+
+
 def test_lsh_bucket_keeps_clusters_together(clustered_vectors):
     from git_log_to_sqlite_spark.operators import lsh_bucket
 
