@@ -30,6 +30,7 @@ from .similarity import (
     brute_force_topk,
     bucketed_ann_topk,
     cosine,
+    embedding_dedup_ann,
     ivf_ann_topk,
     lsh_bucket,
     multiprobe_ann_topk,
@@ -72,6 +73,7 @@ __all__ = [
     "brute_force_topk",
     "bucketed_ann_topk",
     "cosine",
+    "embedding_dedup_ann",
     "ivf_ann_topk",
     "lsh_bucket",
     "multiprobe_ann_topk",

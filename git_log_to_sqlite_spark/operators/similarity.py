@@ -251,6 +251,77 @@ def ivf_ann_topk(
     )
 
 
+def embedding_dedup_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Corpus-scale embedding near-dup dedup — the production shape the
+    bounded all-pairs query (``dedup_embedding_cosine``) documents:
+    IVF cells generate the candidate pairs, an exact cosine verifies
+    them, and every vector with a smaller-id neighbor >= ``threshold``
+    is dropped (min-id survivor, no transitive chaining). Returns the
+    surviving rows' ``(id, cell)``.
+
+    Candidate generation is cell-local: each vector's ``n_probe``
+    nearest cells (probe side, exploded — n_probe rows per vector)
+    equi-join the corpus's primary-cell table on the cell id with
+    ``id_a < id_b``, so candidate mass is sum over cells of
+    |probers into cell| x |cell| — never n^2 — and the exact cosine
+    runs only on candidates. Near-dup pairs straddling a Voronoi
+    boundary are recovered by the probe fan-out (a >= 0.95 pair is
+    nearly colinear, so both vectors rank each other's cells among
+    their nearest); recall vs the all-pairs form is asserted exact on
+    planted near-dups in tests, and approximate in the adversarial
+    boundary case — same contract as every IVF retrieval. Degenerate
+    inputs (thousands of identical vectors) belong to exact dedup
+    first, which groups them in one hash shuffle; cell balance is the
+    quantizer's job (re-fit when the corpus drifts).
+    """
+    from .clustering import _sq_dist, assign_clusters
+
+    c = assign_clusters(
+        df.select(
+            F.col(id_col).alias("_idb"),
+            _as_double(F.col(vec_col)).alias("_bv"),
+            vnorm(F.col(vec_col)).alias("_bn"),
+        ),
+        "_bv",
+        centroids,
+    ).withColumnRenamed("cluster", "_cell")
+    dists = F.array(
+        *[
+            F.struct(_sq_dist("_av", cen).alias("d"), F.lit(j).alias("c"))
+            for j, cen in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["c"]
+    )
+    a = df.select(
+        F.col(id_col).alias("_ida"),
+        _as_double(F.col(vec_col)).alias("_av"),
+        vnorm(F.col(vec_col)).alias("_an"),
+    ).select("_ida", F.explode(probes).alias("_pcell"), "_av", "_an")
+    sim = _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+    dup_ids = (
+        a.join(
+            c,
+            (F.col("_pcell") == F.col("_cell")) & (F.col("_ida") < F.col("_idb")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        c.select(F.col("_idb").alias(id_col), F.col("_cell").alias("cell"))
+        .join(dup_ids, id_col, "left_anti")
+    )
+
+
 class IvfIndex:
     """Persisted IVF index — the build-once / probe-many deployment of
     :func:`ivf_ann_topk`: the fitted corpus (one row per vector:

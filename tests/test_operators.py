@@ -283,6 +283,51 @@ def test_ivf_ann_recall_on_clustered_data(clustered_vectors):
     assert again == iv
 
 
+def test_embedding_dedup_ann_matches_all_pairs(spark, clustered_vectors):
+    """The ANN-fed dedup must reproduce the exact all-pairs min-id
+    survivor set on planted near-dups: doubled vectors (cosine ~1 with
+    their twin) are dropped, everything else survives — candidate
+    generation through IVF cells may only change COST, not the result,
+    on data where near-dups are genuinely close."""
+    from git_log_to_sqlite_spark.operators import embedding_dedup_ann, kmeans
+
+    base = clustered_vectors  # 100 well-separated vectors in 4 clusters
+    twins = base.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        "cluster",
+    )
+    corpus = base.unionByName(twins)
+    fit = corpus.withColumn("kid", (F.col("vec_id") % 25) * 4 + F.col("cluster"))
+    _, centroids = kmeans(fit, "kid", "embedding", k=4, max_iter=10)
+
+    got = {
+        r["vec_id"]
+        for r in embedding_dedup_ann(
+            corpus, "vec_id", "embedding", centroids, threshold=0.95, n_probe=2
+        ).collect()
+    }
+    # exact all-pairs reference (driver-side: 134 vectors)
+    import math
+
+    rows = {r["vec_id"]: list(r["embedding"]) for r in corpus.collect()}
+
+    def cos(u, v):
+        du = math.sqrt(sum(x * x for x in u))
+        dv = math.sqrt(sum(x * x for x in v))
+        return sum(x * y for x, y in zip(u, v)) / (du * dv)
+
+    want = {
+        i
+        for i in rows
+        if not any(cos(rows[i], rows[j]) >= 0.95 for j in rows if j < i)
+    }
+    assert got == want
+    # every planted twin has its base (smaller id, cosine ~1) -> dropped
+    assert not {i for i in rows if i >= 1000} & got
+    assert len(got) > 0
+
+
 def test_ivf_index_persisted_probe(clustered_vectors, tmp_path):
     """The build-once/probe-many deployment: a persisted cell-
     partitioned index must reproduce the in-memory operator exactly,
