@@ -24,6 +24,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash,
+    simhash_pairs,
 )
 from .similarity import (
     IvfIndex,
@@ -69,6 +70,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "shingles",
     "simhash",
+    "simhash_pairs",
     "IvfIndex",
     "brute_force_topk",
     "bucketed_ann_topk",

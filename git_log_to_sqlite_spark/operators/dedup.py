@@ -636,6 +636,95 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation: "Observation | None" = None,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash bit-slice banding — the pair
+    stage :func:`simhash`'s docstring promises. Returns ``(id_a, id_b,
+    hamming)`` for every pair within ``max_hamming`` bits.
+
+    Candidates come from an equi-join on (band, band_key) where the
+    key is one of ``bands`` contiguous ``bits/bands``-bit slices of
+    the signature. With ``bands > max_hamming`` the candidate stage is
+    EXACT by pigeonhole: a pair differing in <= max_hamming bits
+    cannot differ in every one of the bands slices, so it must agree
+    exactly on at least one — recall 1.0 by construction, no
+    probabilistic argument needed (the standard Manku/Jain/Sarma
+    near-duplicate web-crawl decomposition). The verify stage is one
+    ``bit_count(xor)`` per candidate on the two joined 8-byte
+    signatures.
+
+    Scale shape mirrors :func:`minhash_lsh_pairs`: signatures are
+    pinned (8 bytes/doc), band keys are a pure projection, candidate
+    mass tracks slice collisions — never n^2 — and the same hot-band
+    valve (``max_band_size`` / ``band_size_quantile``,
+    :func:`_capped_bands`) bounds degenerate slice keys (near-empty
+    docs majority-vote to the same signature). Dropping a hot band
+    trades the pigeonhole exactness on pairs whose ONLY agreeing
+    slice was the degenerate one — the same documented trade as the
+    minhash valve.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = pin(simhash(df, id_col, text_col, bits))
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bands_df = _capped_bands(
+        sig.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
+            id_col, F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+        ),
+        max_band_size,
+        band_size_quantile,
+        observation,
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("_ida"), F.col("simhash").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("_idb"), F.col("simhash").alias("_sb"))
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.join(sa, F.col("id_a") == F.col("_ida"))
+        .join(sb, F.col("id_b") == F.col("_idb"))
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

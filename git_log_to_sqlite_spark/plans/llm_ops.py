@@ -350,6 +350,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(d, "doc_id", "text", bits=32)
 
 
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text,' '))) AS token
+      FROM documents),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (({_SQL_MD5_LONG.format(x='token', n=8)}) >> i) & 1 = 1
+                      THEN 1 ELSE -1 END) AS weight
+      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) pos
+      GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN weight > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, bb.band, (simhash >> (bb.band * 8)) & 255 AS band_key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb),
+    {_SQL_BAND_CAP},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN bfreq f ON f.band = a.band AND f.band_key = a.band_key
+      JOIN bcaps ON f.d <= COALESCE(bcaps.max_df * {_BAND_HEADROOM}, f.d))
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+    doc="SimHash near-dup PAIRS via bit-slice banding (operators.dedup."
+    "simhash_pairs) — the pair stage the signature query promises: 4 "
+    "contiguous 8-bit slices band the 32-bit signatures, docs agreeing "
+    "on any slice become candidates (EXACT by pigeonhole for Hamming "
+    "<= 3: a pair differing in <= 3 bits cannot differ in all 4 "
+    "slices), and one bit_count(xor) per candidate verifies. Same "
+    "hot-band spread-guard valve as the minhash queries, derived "
+    "in-plan and mirrored in the oracle.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(
+        d, "doc_id", "text", bits=32, bands=4, max_hamming=3,
+        band_size_quantile=_BAND_Q,
+    ).select(
+        F.col("id_a").alias("id_a"),
+        F.col("id_b").alias("id_b"),
+        "hamming",
+    )
+
+
 # ----------------------------------------------------------------------
 # Text analysis
 # ----------------------------------------------------------------------

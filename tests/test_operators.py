@@ -208,6 +208,40 @@ def test_minhash_band_cap_validation(spark):
         )
 
 
+def test_simhash_pairs_pigeonhole_exact(spark, oracle_sf_dir):
+    """With bands > max_hamming the banding stage is EXACT by
+    pigeonhole: the pair set must equal a driver-side brute-force
+    Hamming scan over the signatures — on the real corpus."""
+    from git_log_to_sqlite_spark.operators import simhash, simhash_pairs
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_simhash_pairs_validation(spark):
+    from git_log_to_sqlite_spark.operators import simhash_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, "doc_id", "text", bands=3, max_hamming=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_pairs(docs, "doc_id", "text", bits=32, bands=5, max_hamming=2)
+
+
 def test_simhash_similar_docs_close(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
