@@ -115,6 +115,32 @@ def test_minhash_no_cartesian(spark, sf):
         assert bnlj and all("_max_df" in l for l in bnlj)
 
 
+def test_simhash_pairs_no_cartesian(spark, sf):
+    """The bit-slice candidate stage must stay an equi-join; the only
+    permitted nested-loop nodes are the 1-row band-cap broadcasts
+    (one per self-join alias), same contract as the minhash pin."""
+    df = plans.REGISTRY["dedup_simhash_pairs"].fn(spark, sf)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    bnlj_ids = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(bnlj_ids) <= 2
+    if bnlj_ids:
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        bnlj = [l for l in executed.splitlines() if "BroadcastNestedLoopJoin" in l]
+        assert bnlj and all("_max_df" in l for l in bnlj)
+    # the hot-band anti-filter compiled in, below the band join
+    blocks = re.split(r"^\((\d+)\) ", plan, flags=re.M)[1:]
+    nodes = {int(blocks[i]): blocks[i + 1] for i in range(0, len(blocks), 2)}
+    anti = [i for i, b in nodes.items() if "Join type: LeftAnti" in b]
+    band_inner = [
+        i
+        for i, b in nodes.items()
+        if "Join type: Inner" in b and "band_key" in b.split("Right keys")[0]
+    ]
+    assert len(anti) == 2 and band_inner
+    assert max(anti) < min(band_inner), (anti, band_inner)
+
+
 def test_subqueries_decorrelate_to_joins(spark, sf):
     """Correlated subqueries must plan as joins — a per-row subquery
     execution shape (no join node) would be O(n) round trips."""
