@@ -1284,7 +1284,7 @@ def pretrain_corpus(
     prefix sum — its sampling job would double-fire them)."""
     from pyspark.sql import Observation
 
-    from ..operators.dedup import exploded_shingles
+    from ..operators.dedup import _spread, exploded_shingles
     from ..operators.sampling import token_budget_sample
     from ..operators.text import repetition_gate
 
@@ -1295,6 +1295,15 @@ def pretrain_corpus(
         telemetry[name] = obs
         return df.observe(obs, *metrics)
 
+    # widen a narrow scan BEFORE the compute-heavy stages: the
+    # repetition gate's per-doc fold and the 4-gram explode otherwise
+    # serialize on a single-file input's one partition (the standalone
+    # operators _spread internally; the composite must too — a user's
+    # single multi-GB file would gate on one core). At corpus scale
+    # the input is already wide and this passes through; at bench SF
+    # it measures neutral (the corpus is small enough that scheduling
+    # overhead offsets the parallelism).
+    corpus = _spread(corpus)
     corpus = _observe(corpus, "input", F.count(F.lit(1)).alias("rows"))
     quality = corpus.filter(
         repetition_gate(F.col("text")) & F.col("n_chars").between(50, 20000)
