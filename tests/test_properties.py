@@ -320,3 +320,35 @@ def test_token_budget_matches_python_reference(sess, rows, budget):
         for r in token_budget_sample(df, "id", "w", budget, domain_col="dom").collect()
     }
     assert got == want
+
+
+@given(texts=st.lists(_doc_text, min_size=2, max_size=8))
+@settings(**_SETTINGS)
+def test_simhash_pairs_matches_brute_force(sess, texts):
+    """Pigeonhole invariant on ANY input: with bands > max_hamming the
+    banded pair set must equal the brute-force Hamming scan of the
+    signatures — candidate generation can change cost, never results
+    (uncapped; the valve's recall trade is opt-in and tested apart)."""
+    from git_log_to_sqlite_spark.operators.dedup import simhash, simhash_pairs
+
+    df = sess.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(df, "doc_id", "text").collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            df, "doc_id", "text", bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want
