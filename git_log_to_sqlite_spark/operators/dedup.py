@@ -66,21 +66,38 @@ def _spread(df: DataFrame) -> DataFrame:
     The repartition shuffles only the raw rows (cheap relative to the
     explode it unlocks); inputs that are already wide pass through.
 
-    The probe is deliberately the PHYSICAL partition count
-    (``df.rdd.getNumPartitions()``), accepting that ``.rdd`` compiles
-    the physical plan per call: every cheaper proxy is unsound under
-    FileSourceScan's partition packing. ``len(inputFiles())`` fails in
-    both directions — many tiny files pack into 1-2 partitions
-    (openCostInBytes), so a high file count skips the widening exactly
-    when the explode would serialize, and through-shuffle leaf files
-    make an already-wide aggregated frame look narrow, adding a
-    needless raw-row shuffle — and byte-size estimates re-implement
-    the packing logic they try to avoid. The planning cost is bounded
-    in practice: operators apply _spread to their INPUT frame, which
-    is a scan or scan+filter in every library call path; callers
-    feeding a genuinely expensive-to-plan frame can pre-repartition
-    and the guard passes through."""
+    The probe is the PHYSICAL partition count
+    (``df.rdd.getNumPartitions()``): every cheaper proxy is unsound
+    under FileSourceScan's partition packing (``len(inputFiles())``
+    fails in both directions — many tiny files pack into 1-2
+    partitions via openCostInBytes, so a high file count skips the
+    widening exactly when the explode would serialize, and
+    through-shuffle leaf files make an already-wide aggregated frame
+    look narrow; byte-size estimates re-implement the packing logic
+    they try to avoid).
+
+    The probe runs ONLY on shuffle-free plans (scan / filter /
+    project / generate), where ``.rdd`` compiles whole-stage codegen
+    but launches no job. On a plan containing exchanges the probe
+    itself would EXECUTE them — under AQE, ``.rdd`` forces the final
+    physical plan, which submits and awaits every upstream query
+    stage — and the real action would then run the same shuffles
+    again, doubling the work. Those plans skip the guard instead:
+    anything below a shuffle is already ``spark.sql.shuffle.
+    partitions`` wide (and an explicit repartition states the
+    caller's intent), so the single-partition pathology this guard
+    exists for cannot occur there."""
     sc = df.sparkSession.sparkContext
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        analyzed = ""
+    shuffle_markers = (
+        "Repartition", "Aggregate", "Join", "Window", "Sort",
+        "Deduplicate", "Distinct", "GlobalLimit", "Except", "Intersect",
+    )
+    if any(m in analyzed for m in shuffle_markers):
+        return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
@@ -608,13 +625,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """Per-document SimHash signature (bitwise majority over md5 token
     hashes). Near-dup = small Hamming distance between signatures;
     signatures are 8 bytes/doc, so the pair stage can band on bit
-    slices or broadcast."""
+    slices or broadcast.
+
+    ``bits`` <= 60 (the md5-derived token hash is at most 15 hex chars
+    = 60 bits, keeping the signature a non-negative BIGINT). The token
+    hash width is 32 bits for ``bits`` <= 32 (frozen: the 32-bit
+    signatures are oracle-pinned) and 60 bits above — wider signatures
+    exist for :func:`simhash_pairs`' banding keyspace, which must grow
+    with the corpus (see its docstring).
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    hex_chars = 8 if bits <= 32 else 15
     toks = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     ).distinct()
     weights = (
-        toks.withColumn("h", md5_long(F.col("token"), hex_chars=8))
+        toks.withColumn("h", md5_long(F.col("token"), hex_chars=hex_chars))
         .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
         .withColumn(
             "bit_weight", F.when(F.expr("(shiftright(h, i) & 1) = 1"), 1).otherwise(-1)
@@ -662,15 +690,29 @@ def simhash_pairs(
     ``bit_count(xor)`` per candidate on the two joined 8-byte
     signatures.
 
-    Scale shape mirrors :func:`minhash_lsh_pairs`: signatures are
-    pinned (8 bytes/doc), band keys are a pure projection, candidate
-    mass tracks slice collisions — never n^2 — and the same hot-band
-    valve (``max_band_size`` / ``band_size_quantile``,
-    :func:`_capped_bands`) bounds degenerate slice keys (near-empty
-    docs majority-vote to the same signature). Dropping a hot band
-    trades the pigeonhole exactness on pairs whose ONLY agreeing
-    slice was the degenerate one — the same documented trade as the
-    minhash valve.
+    SIZE THE SLICE WIDTH TO THE CORPUS — unlike minhash band keys
+    (unbounded keyspace), a bit slice has only ``2^(bits/bands)``
+    distinct values, and since signature bits are near-uniform the
+    band join carries an irreducible ~``n^2 * bands / 2^(bits/bands)``
+    candidate floor even on perfectly benign data (every bucket holds
+    ~n/2^width rows; no valve can fire on a uniform distribution —
+    the hot-band valve here bounds only DEGENERATE keys, e.g.
+    near-empty docs majority-voting to one signature, which land far
+    above the uniform bucket size). The 32/4 default (8-bit slices,
+    256 keys) is a tiny-corpus/test configuration; at millions of
+    documents use ``bits=60, bands=4`` (15-bit slices, ~32k keys) and
+    beyond that shard the corpus or raise ``bands`` together with
+    ``max_hamming`` budget — the honest limit of one-round simhash
+    banding. An ABSOLUTE ``max_band_size`` below the uniform bucket
+    size n/2^width would anti-filter EVERY bucket and silently return
+    zero pairs — prefer the quantile spread guard, which tracks the
+    distribution.
+
+    Otherwise the scale shape mirrors :func:`minhash_lsh_pairs`:
+    signatures are pinned (8 bytes/doc), band keys are a pure
+    projection, and dropping a hot band trades the pigeonhole
+    exactness on pairs whose ONLY agreeing slice was the degenerate
+    one — the same documented trade as the minhash valve.
     """
     if bands <= max_hamming:
         raise ValueError(
@@ -679,6 +721,10 @@ def simhash_pairs(
         )
     if bits % bands != 0:
         raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    # simhash() validates bits <= 60; re-check here so a bad pair call
+    # fails before any jobs run
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     width = bits // bands
     mask = (1 << width) - 1
     sig = pin(simhash(df, id_col, text_col, bits))
@@ -1034,9 +1080,25 @@ class SignatureStore:
     ) -> DataFrame:
         """Dedup ``batch`` against the store and append the novel
         documents' signatures. Returns the materialized per-batch
-        annotation ``(id, dup_of, best_est, is_new)``."""
-        sigs = pin(self.signatures_for(batch, text_col))
-        try:
+        annotation ``(id, dup_of, best_est, is_new)``.
+
+        Every cache this call creates — the batch signature pin, the
+        operator's internal twin of it, and (under the quantile valve)
+        the per-batch history band-count pin — lives inside a
+        cache_scope, so a long-lived foreachBatch loop neither
+        accumulates one pinned frame per micro-batch nor lets a later
+        batch's valve read a STALE pre-append count table through
+        sameResult cache substitution. The scope also cannot evict a
+        cache the CALLER owns: a pre-existing equivalent pin makes the
+        inner pin() a no-op, and cache_scope releases only frames
+        pinned inside the body. The append happens inside the scope;
+        ``res`` is checkpointed first, so nothing returned depends on
+        the released caches or can lazily re-read the store
+        post-append."""
+        from .caching import cache_scope
+
+        with cache_scope():
+            sigs = pin(self.signatures_for(batch, text_col))
             res = incremental_minhash_dedup(
                 None,
                 batch,
@@ -1054,12 +1116,4 @@ class SignatureStore:
             sigs.join(new_ids, self.id_col, "left_semi").write.mode(
                 "append"
             ).parquet(self.path)
-        finally:
-            # the batch signature cache has no consumer once the append
-            # lands (res is checkpointed) — without this a long-lived
-            # foreachBatch loop would pin one frame per micro-batch
-            # until someone calls release_caches(). The operator's
-            # internal pin of the same plan is the sameResult-dedup'd
-            # twin of this entry, so one unpersist clears both.
-            sigs.unpersist()
         return res

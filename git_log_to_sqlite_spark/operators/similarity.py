@@ -59,6 +59,41 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _topk(joined: DataFrame, sim: Column, k: int, round_to: int | None) -> DataFrame:
+    """Shared ranking tail of every top-k operator: project
+    (query_id, neighbor_id, cos_sim), rank per query (similarity desc,
+    neighbor id tie-break — deterministic), keep k. ``round_to``
+    rounds BEFORE ranking so tie behavior matches the SQL oracles."""
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _nearest_cells(vec_col_name: str, centroids: list[list[float]], n_probe: int) -> Column:
+    """The IVF probe expression: indices of the ``n_probe`` nearest
+    centroids (squared euclidean, ties to the lower cell id via struct
+    ordering) — shared by every quantizer consumer so probe ordering
+    can never drift between the in-memory, persisted, and dedup
+    paths."""
+    from .clustering import _sq_dist
+
+    dists = F.array(
+        *[
+            F.struct(_sq_dist(vec_col_name, cen).alias("d"), F.lit(j).alias("c"))
+            for j, cen in enumerate(centroids)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["c"])
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -84,20 +119,12 @@ def brute_force_topk(
     # norms fold once per VECTOR (side projections); the pair stage
     # pays one O(dims) dot, not three
     sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    if round_to is not None:
-        sim = F.round(sim, round_to)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
+    joined = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
     )
+    return _topk(joined, sim, k, round_to)
 
 
 def lsh_bucket(
@@ -165,19 +192,10 @@ def multiprobe_ann_topk(
         vnorm(F.col(vec_col)).alias("_qn"),
     )
     sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    if round_to is not None:
-        sim = F.round(sim, round_to)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+    joined = F.broadcast(q).join(
+        c, (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("neighbor_id"))
     )
-    return (
-        F.broadcast(q)
-        .join(c, (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk(joined, sim, k, round_to)
 
 
 def ivf_ann_topk(
@@ -208,7 +226,7 @@ def ivf_ann_topk(
     (cell, vector, norm) is written once at index-build time and
     every query batch is an equi-join against it.
     """
-    from .clustering import _sq_dist, assign_clusters
+    from .clustering import assign_clusters
 
     c = assign_clusters(
         corpus.select(
@@ -219,36 +237,21 @@ def ivf_ann_topk(
         "_cv",
         centroids,
     ).withColumnRenamed("cluster", "_cc")
-    dists = F.array(
-        *[
-            F.struct(_sq_dist("_qv", cen).alias("d"), F.lit(j).alias("c"))
-            for j, cen in enumerate(centroids)
-        ]
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["c"]
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("_qv"),
         vnorm(F.col(vec_col)).alias("_qn"),
     ).select(
-        "query_id", F.explode(probes).alias("_qc"), "_qv", "_qn"
+        "query_id",
+        F.explode(_nearest_cells("_qv", centroids, n_probe)).alias("_qc"),
+        "_qv",
+        "_qn",
     )
     sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    if round_to is not None:
-        sim = F.round(sim, round_to)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+    joined = F.broadcast(q).join(
+        c, (F.col("_qc") == F.col("_cc")) & (F.col("query_id") != F.col("neighbor_id"))
     )
-    return (
-        F.broadcast(q)
-        .join(c, (F.col("_qc") == F.col("_cc")) & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk(joined, sim, k, round_to)
 
 
 def embedding_dedup_ann(
@@ -268,20 +271,22 @@ def embedding_dedup_ann(
 
     Candidate generation is cell-local: each vector's ``n_probe``
     nearest cells (probe side, exploded — n_probe rows per vector)
-    equi-join the corpus's primary-cell table on the cell id with
-    ``id_a < id_b``, so candidate mass is sum over cells of
-    |probers into cell| x |cell| — never n^2 — and the exact cosine
-    runs only on candidates. Near-dup pairs straddling a Voronoi
-    boundary are recovered by the probe fan-out (a >= 0.95 pair is
-    nearly colinear, so both vectors rank each other's cells among
-    their nearest); recall vs the all-pairs form is asserted exact on
-    planted near-dups in tests, and approximate in the adversarial
-    boundary case — same contract as every IVF retrieval. Degenerate
-    inputs (thousands of identical vectors) belong to exact dedup
-    first, which groups them in one hash shuffle; cell balance is the
+    equi-join the corpus's primary-cell table on the cell id, so
+    candidate mass is sum over cells of |probers into cell| x |cell| —
+    never n^2 — and the exact cosine runs only on candidates. BOTH
+    probe directions count: the join keeps ``id_a != id_b`` and marks
+    ``greatest(id_a, id_b)`` as the duplicate, so a boundary pair is
+    caught when EITHER vector probes the other's primary cell (an
+    ``id_a < id_b`` candidate filter would silently halve boundary
+    recall — only the direction where the smaller id does the probing
+    would survive). Residual misses need both directions to fail —
+    the standard IVF recall contract; exact parity vs the all-pairs
+    form is asserted on planted near-dups in tests. Degenerate inputs
+    (thousands of identical vectors) belong to exact dedup first,
+    which groups them in one hash shuffle; cell balance is the
     quantizer's job (re-fit when the corpus drifts).
     """
-    from .clustering import _sq_dist, assign_clusters
+    from .clustering import assign_clusters
 
     c = assign_clusters(
         df.select(
@@ -292,28 +297,24 @@ def embedding_dedup_ann(
         "_bv",
         centroids,
     ).withColumnRenamed("cluster", "_cell")
-    dists = F.array(
-        *[
-            F.struct(_sq_dist("_av", cen).alias("d"), F.lit(j).alias("c"))
-            for j, cen in enumerate(centroids)
-        ]
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["c"]
-    )
     a = df.select(
         F.col(id_col).alias("_ida"),
         _as_double(F.col(vec_col)).alias("_av"),
         vnorm(F.col(vec_col)).alias("_an"),
-    ).select("_ida", F.explode(probes).alias("_pcell"), "_av", "_an")
+    ).select(
+        "_ida",
+        F.explode(_nearest_cells("_av", centroids, n_probe)).alias("_pcell"),
+        "_av",
+        "_an",
+    )
     sim = _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
     dup_ids = (
         a.join(
             c,
-            (F.col("_pcell") == F.col("_cell")) & (F.col("_ida") < F.col("_idb")),
+            (F.col("_pcell") == F.col("_cell")) & (F.col("_ida") != F.col("_idb")),
         )
         .filter(sim >= threshold)
-        .select(F.col("_idb").alias(id_col))
+        .select(F.greatest(F.col("_ida"), F.col("_idb")).alias(id_col))
         .distinct()
     )
     return (
@@ -389,42 +390,25 @@ class IvfIndex:
         round_to: int | None = None,
     ) -> DataFrame:
         """Top-k neighbors per query against the persisted index."""
-        from .clustering import _sq_dist
-
         centroids = self.centroids()
         index = self.spark.read.parquet(f"{self.path}/index")
-        dists = F.array(
-            *[
-                F.struct(_sq_dist("_qv", cen).alias("d"), F.lit(j).alias("c"))
-                for j, cen in enumerate(centroids)
-            ]
-        )
-        probes = F.transform(
-            F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["c"]
-        )
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             _as_double(F.col(self.vec_col)).alias("_qv"),
             vnorm(F.col(self.vec_col)).alias("_qn"),
-        ).select("query_id", F.explode(probes).alias("_qc"), "_qv", "_qn")
+        ).select(
+            "query_id",
+            F.explode(_nearest_cells("_qv", centroids, n_probe)).alias("_qc"),
+            "_qv",
+            "_qn",
+        )
         sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-        if round_to is not None:
-            sim = F.round(sim, round_to)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos_sim").desc(), F.col("neighbor_id")
+        joined = F.broadcast(q).join(
+            index,
+            (F.col("_qc") == F.col("cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
         )
-        return (
-            F.broadcast(q)
-            .join(
-                index,
-                (F.col("_qc") == F.col("cell"))
-                & (F.col("query_id") != F.col("neighbor_id")),
-            )
-            .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-        )
+        return _topk(joined, sim, k, round_to)
 
 
 def bucketed_ann_topk(
@@ -452,16 +436,7 @@ def bucketed_ann_topk(
         vnorm(F.col(vec_col)).alias("_cn"),
     )
     sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    if round_to is not None:
-        sim = F.round(sim, round_to)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+    joined = F.broadcast(q).join(
+        c, (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("neighbor_id"))
     )
-    return (
-        F.broadcast(q)
-        .join(c, (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("neighbor_id")))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _topk(joined, sim, k, round_to)

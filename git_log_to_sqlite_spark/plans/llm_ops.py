@@ -398,10 +398,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(
         d, "doc_id", "text", bits=32, bands=4, max_hamming=3,
         band_size_quantile=_BAND_Q,
-    ).select(
-        F.col("id_a").alias("id_a"),
-        F.col("id_b").alias("id_b"),
-        "hamming",
     )
 
 

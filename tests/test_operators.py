@@ -233,13 +233,68 @@ def test_simhash_pairs_pigeonhole_exact(spark, oracle_sf_dir):
 
 
 def test_simhash_pairs_validation(spark):
-    from git_log_to_sqlite_spark.operators import simhash_pairs
+    from git_log_to_sqlite_spark.operators import simhash, simhash_pairs
 
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(docs, "doc_id", "text", bands=3, max_hamming=3)
     with pytest.raises(ValueError, match="divide evenly"):
         simhash_pairs(docs, "doc_id", "text", bits=32, bands=5, max_hamming=2)
+    # > 60 bits would silently band on constant-zero slices (the md5
+    # token hash is at most 60 bits) — rejected up front
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        simhash(docs, "doc_id", "text", bits=64)
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        simhash_pairs(docs, "doc_id", "text", bits=64, bands=4, max_hamming=3)
+
+
+def test_simhash_pairs_wide_signatures(spark, oracle_sf_dir):
+    """The corpus-scale configuration (bits=60, bands=4 -> 15-bit
+    slices, ~32k band keys instead of 256): pigeonhole exactness must
+    hold against a brute-force Hamming scan of the 60-bit signatures,
+    and all signatures actually use the high bits (no constant-zero
+    slice degeneracy)."""
+    from git_log_to_sqlite_spark.operators import simhash, simhash_pairs
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, "doc_id", "text", bits=60).collect()
+    }
+    assert any(s >> 32 for s in sigs.values()), "high bits never set"
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_spread_skips_shuffle_shaped_plans(spark, oracle_sf_dir):
+    """_spread must pass a plan containing exchanges through UNTOUCHED
+    (probing it with .rdd would execute the upstream shuffles under
+    AQE, and post-shuffle frames are already shuffle.partitions wide),
+    while a bare narrow scan still gets the widening repartition."""
+    from git_log_to_sqlite_spark.operators.dedup import _spread
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    agged = docs.groupBy("source").agg(F.count("*").alias("n"))
+    assert _spread(agged) is agged
+    rep = docs.repartition(2)  # explicit repartition states caller intent
+    assert _spread(rep) is rep
+    # a single-file scan is narrow -> widened
+    out = _spread(docs)
+    assert out.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 2
+    )
 
 
 def test_simhash_similar_docs_close(docs):
