@@ -532,6 +532,60 @@ def test_signature_store_multi_day_ingest(spark, oracle_sf_dir, tmp_path):
     assert {tuple(r) for r in store.read().collect()} == before
 
 
+def test_signature_store_ingest_with_valve_no_cache_leak(
+    spark, oracle_sf_dir, tmp_path
+):
+    """ingest under the quantile valve pins a per-batch history
+    band-count table inside the operator; the cache_scope wrapper must
+    (a) release every per-batch pin (no growth across batches — the
+    foreachBatch leak class), (b) never evict a cache the CALLER owns,
+    and (c) keep results identical to the valve-less loop at this
+    scale (the spread guard is a no-op on the natural distribution)."""
+    from git_log_to_sqlite_spark.operators import (
+        SignatureStore,
+        pin,
+        release_caches,
+    )
+    from git_log_to_sqlite_spark.operators import caching
+    from git_log_to_sqlite_spark.plans.registry import table as t
+
+    spark.catalog.clearCache()
+    release_caches()
+    docs = t(spark, oracle_sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    days = [
+        increment.filter((F.col("doc_id") / 5).cast("long") % 2 == d)
+        for d in range(2)
+    ]
+
+    base_store = SignatureStore(spark, str(tmp_path / "plain"), id_col="doc_id")
+    base_store.bootstrap(history, "text")
+    base = {}
+    for day in days:
+        for r in base_store.ingest(day, "text").collect():
+            base[r["doc_id"]] = (r["dup_of"], r["is_new"])
+    assert caching._LIVE == [], "valve-less ingest leaked pins"
+
+    store = SignatureStore(spark, str(tmp_path / "valved"), id_col="doc_id")
+    store.bootstrap(history, "text")
+    # a CALLER-owned cache equivalent to ingest's internal batch pin:
+    # ingest must not evict it on exit
+    mine = pin(store.signatures_for(days[0], "text"))
+    mine.count()
+    outer = list(caching._LIVE)
+    got = {}
+    for day in days:
+        for r in store.ingest(day, "text", band_size_quantile=0.92).collect():
+            got[r["doc_id"]] = (r["dup_of"], r["is_new"])
+        assert caching._LIVE == outer, "per-batch pins leaked past ingest"
+    assert got == base
+    assert mine.storageLevel.useMemory or mine.storageLevel.useDisk, (
+        "ingest evicted a caller-owned cache"
+    )
+    release_caches()
+
+
 def test_stream_static_join_equals_batch(spark, oracle_sf_dir, replay_dir):
     """Stream-static join: the replayed events stream enriched against
     a STATIC dimension (user segment) — the standard streaming
