@@ -52,78 +52,30 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 
-# Round-8 rotation (executing the plan pre-staged in round 7): the
-# seven round-5 scalar holdovers that spilled past round 7's slot 50
-# lead (oldest driver rows in the corpus — round 5), then the
-# round-6-gated block in its standing gate order.  7 + 50 names
-# against a 50-slot prefix means seven round-6 rows spill to round 9;
-# per the standing precedent the spill is steered onto pure
-# zero-shuffle per-row projections (fn_array, fn_explode, text_langid,
-# text_quality, text_tokens, text_fingerprint, mm_binary_meta — no
-# timestamp, join, shuffle, or encoding surface), never onto the
-# streaming-replay or ETL-parity rows, so those seven are moved to the
-# list tail and lead the pre-staged round-9 rotation.  The corpus is
-# 111 oracle queries against a 2x50 gate — an 11-name overhang, so the
-# freshness cycle is ~2.2 rounds; grow the corpus further only if the
-# gate grows.
+# Round-9 rotation (executing the plan pre-staged in round 8):
+# `dedup_simhash_pairs` leads — registered in round 8, the only
+# oracle-bearing query with no driver row yet (the standing new-query
+# precedent).  Then the seven zero-shuffle projections that spilled
+# past round 8's slot 50 (oldest driver rows — round 6), then the
+# round-7-gated block in its standing gate order.  1 + 7 + 50 names
+# against a 50-slot prefix means eight round-7 rows spill to round 10;
+# per the standing precedent the spill is steered onto the
+# lowest-risk deterministic relational tail of that block (the five
+# setops, the two sorts, and the fn_higher_order scalar projection —
+# each a pure Catalyst plan over static parquet, no timestamp,
+# streaming, or encoding surface), never onto the streaming-replay,
+# ETL-parity, or composite-pipeline rows, so those eight move to the
+# list tail and lead the pre-staged round-10 rotation.  The corpus is
+# 113 registered queries (108 oracle-bearing, 5 oracle-less tail)
+# against a 2x50 gate — an 8-name oracle overhang, so the freshness
+# cycle stays ~2.2 rounds; grow the corpus further only if the gate
+# grows.
 _prioritize(
     first=[
-        # --- round-5 holdovers (oldest driver rows; spilled past
-        #     round 7's slot 50) ---
-        "fn_math",
-        "fn_conditional",
-        "fn_strings",
-        "fn_regex",
-        "fn_dates",
-        "fn_json",
-        "fn_from_json_struct",
-        # --- round-6-gated block, standing gate order (43 of 50
-        #     names; the seven zero-shuffle projections below spill
-        #     to round 9) ---
-        "text_chunk_overlap",
-        "etl_repos_skipped_parity",
-        "stream_dedup_replay",
-        "agg_pricing_summary",
-        "agg_percentiles",
-        "agg_global",
-        "agg_distinct",
-        "agg_stats",
-        "events_window_tumbling",
-        "events_funnel_depth",
-        "events_window_sliding",
-        "events_top_paths",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_group_assign",
-        "dedup_minhash_lsh",
-        "dedup_minhash_groups",
-        "dedup_simhash",
-        "asof_event_value",
-        "text_pii_mask",
-        "text_topk_terms",
-        "text_tfidf_topk",
-        "text_pack_shards",
-        "text_clean",
-        "sample_weighted_reservoir",
-        "sim_cosine_topk",
-        "sim_ann_bucketed",
-        "sim_pairs_threshold",
-        "dedup_embedding_cosine",
-        "sim_centroid_per_label",
-        "sim_ann_multiprobe",
-        "udf_scalar_python",
-        "udf_pandas_vectorized",
-        "udf_grouped_map",
-        "udf_grouped_agg",
-        "udf_table_function",
-        "udf_native_udtf",
-        "udf_map_in_pandas",
-        "sql_correlated_exists",
-        "sql_not_exists",
-        "sql_scalar_subquery",
-        "sql_correlated_scalar_agg",
-        "sql_in_subquery",
-        # --- spill past slot 50 → lead the round-9 rotation ---
+        # --- round-8 new query, no driver row yet ---
+        "dedup_simhash_pairs",
+        # --- round-6 holdovers (oldest driver rows; spilled past
+        #     round 8's slot 50) ---
         "fn_array",
         "fn_explode",
         "text_langid",
@@ -131,6 +83,60 @@ _prioritize(
         "text_tokens",
         "text_fingerprint",
         "mm_binary_meta",
+        # --- round-7-gated block, standing gate order (42 of 50
+        #     names; the eight setop/sort/scalar rows below spill
+        #     to round 10) ---
+        "pipeline_pretrain_corpus",
+        "dedup_decontaminate",
+        "text_repetition",
+        "sample_token_budget",
+        "dedup_incremental_lsh",
+        "fn_cast",
+        "fn_map",
+        "agg_rollup",
+        "agg_cube",
+        "agg_collect_sorted",
+        "join_revenue_per_customer",
+        "join_region_revenue",
+        "join_left_outer",
+        "join_full_outer",
+        "join_right_outer",
+        "join_merge_hint",
+        "join_semi",
+        "join_anti",
+        "join_cross",
+        "join_self_nation_pairs",
+        "join_range_bands",
+        "join_asof_last_event",
+        "agg_grouping_sets",
+        "dedup_dropduplicates_subset",
+        "agg_salted_skew",
+        "agg_pivot",
+        "win_topk_per_group",
+        "win_ranking_suite",
+        "win_lag_lead",
+        "win_running_frames",
+        "win_first_last_nth",
+        "win_range_between",
+        "win_time_bucket",
+        "events_sessionize",
+        "events_cohort_retention",
+        "sample_domain_mix",
+        "pipeline_curate_corpus",
+        "dedup_embedding_groups",
+        "stream_tumbling_replay",
+        "stream_session_replay",
+        "stream_join_replay",
+        "etl_logs_parity",
+        # --- spill past slot 50 → lead the round-10 rotation ---
+        "sort_topk_orders",
+        "sort_multikey_nulls",
+        "setop_union",
+        "setop_intersect",
+        "setop_except",
+        "setop_intersect_all",
+        "setop_except_all",
+        "fn_higher_order",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /
