@@ -11,6 +11,7 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
+import re
 from typing import TYPE_CHECKING
 
 from pyspark.sql import Column, DataFrame, Window
@@ -20,6 +21,16 @@ from .caching import pin
 
 if TYPE_CHECKING:
     from pyspark.sql import Observation
+
+# Logical-plan node names whose presence means the plan already
+# contains (or states intent about) an exchange, matched at node-name
+# position in the tree string — see _spread. Prefix match, so
+# RepartitionByExpression / Deduplicate / GlobalLimit variants hit.
+_SHUFFLE_NODE_RE = re.compile(
+    r"^[\s:+\-]*(?:Repartition|Aggregate|Join|Window|Sort|Deduplicate"
+    r"|Distinct|GlobalLimit|Except|Intersect)",
+    re.MULTILINE,
+)
 
 
 def md5_long(col: Column, hex_chars: int = 15) -> Column:
@@ -92,11 +103,16 @@ def _spread(df: DataFrame) -> DataFrame:
         analyzed = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         analyzed = ""
-    shuffle_markers = (
-        "Repartition", "Aggregate", "Join", "Window", "Sort",
-        "Deduplicate", "Distinct", "GlobalLimit", "Except", "Intersect",
-    )
-    if any(m in analyzed for m in shuffle_markers):
+    # Match shuffle markers only where NODE NAMES render in the tree
+    # string: at the start of a line, after the tree-branch prefix
+    # (":  ", "+- ", ":- ", indentation). A bare substring scan
+    # false-positives on user COLUMN names (SortKey#12, JoinDate#3)
+    # or file paths echoed inside a node's bracket list, silently
+    # skipping the widening in exactly the single-partition case this
+    # guard exists for. Subquery plans print as indented sub-trees in
+    # the analyzed string, so their nodes still match here. Prefix
+    # (not word) match keeps RepartitionByExpression etc. covered.
+    if _SHUFFLE_NODE_RE.search(analyzed):
         return df
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
@@ -236,6 +252,26 @@ def _capped_bands(
     |increment bucket| x d, unknowable from this side alone, and
     reporting the self-join formula would overstate the win by the
     ratio of history to increment bucket sizes.
+
+    Telemetry is EAGER: when ``observation`` is passed, the metrics
+    are computed at call time by a dedicated tiny job over the count
+    table (pinned, so the consuming query reuses it — the extra job
+    aggregates one cached row per repeated bucket), and
+    ``Observation.get`` is readable immediately. This is the only
+    shape that survives Spark's runtime machinery, all measured on
+    this box: (a) a CollectMetrics node inside an AQE query stage —
+    anywhere below the exchanges the consuming band join needs — does
+    not propagate its metrics row once the corpus is big enough for
+    AQE to wrap stages, and Observation.get fails on an empty row;
+    (b) when the valve does not fire, AQE's empty-relation
+    propagation prunes the runtime-empty anti-join build side
+    together with any observe node inside it; (c) a self-join of one
+    observed frame duplicates the CollectMetrics node and the metrics
+    row again never materializes. Observing a root-level frame that
+    the operator itself consumes exactly once sidesteps all three.
+    The observed sums also coalesce to 0 — an empty d>=2 histogram
+    makes SQL sum-over-empty NULL, and the honest no-hot-bucket
+    report is 0, not None.
     """
     if join_shape not in ("self", "probe"):
         raise ValueError(f"join_shape must be 'self' or 'probe', got {join_shape!r}")
@@ -255,6 +291,11 @@ def _capped_bands(
         .agg(F.count(F.lit(1)).alias("d"))
         .filter(F.col("d") >= 2)
     )
+    if observation is not None and max_band_size is not None:
+        # the absolute-cap route normally leaves counts unpinned; the
+        # eager metrics job below would re-aggregate the bands table,
+        # so pin it (one row per repeated bucket) for the reuse.
+        counts = pin(counts)
     if band_size_quantile is not None:
         # consumed twice (histogram, then hot-bucket filter): persist —
         # one row per repeated (band, band_key), the smallest aggregate
@@ -276,19 +317,35 @@ def _capped_bands(
         cap = F.lit(max_band_size)
     if observation is not None:
         d = F.col("d").cast("long")
+        # coalesce(.., 0): with NO repeated buckets the d>=2 histogram
+        # is empty, SQL sum-over-empty is NULL (and under the quantile
+        # route d > NULL _max_df is NULL row-wise too), and telemetry
+        # consumers doing arithmetic on Observation.get would get None.
+        # The honest no-hot-bucket report is 0, not NULL.
         if join_shape == "self":
-            dropped = F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0)).cast(
-                "long"
-            ).alias("pairs_avoided")
+            dropped = F.coalesce(
+                F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0)), F.lit(0)
+            ).cast("long").alias("pairs_avoided")
         else:
-            dropped = F.sum(F.when(d > cap, d).otherwise(0)).cast("long").alias(
-                "rows_dropped"
-            )
-        hot = hot.observe(
+            dropped = F.coalesce(
+                F.sum(F.when(d > cap, d).otherwise(0)), F.lit(0)
+            ).cast("long").alias("rows_dropped")
+        # Eager completion: observe a dedicated twin of the count+cap
+        # frame and drain it NOW with its own action. The observe node
+        # is at the ROOT of this tiny query (above every exchange), so
+        # AQE cannot bury it in a query stage, prune it with an empty
+        # build side, or duplicate it through a self-join — the three
+        # measured ways a lazily-planned valve observation loses its
+        # metrics row (docstring). Cost: one job over the pinned
+        # 16 B/repeated-bucket count table, plus building that pin
+        # early (the consuming query reuses it).
+        hot.observe(
             observation,
-            F.sum((d > cap).cast("long")).alias("bands_dropped"),
+            F.coalesce(F.sum((d > cap).cast("long")), F.lit(0)).alias(
+                "bands_dropped"
+            ),
             dropped,
-        )
+        ).count()  # JVM-only drain; completes the Observation
     hot = hot.filter(F.col("d").cast("long") > cap).select("band", "band_key")
     return bands.join(hot, ["band", "band_key"], "left_anti")
 
@@ -475,11 +532,15 @@ def ngram_jaccard_pairs(
       one.
 
     Pass an :class:`~pyspark.sql.Observation` as ``observation`` to
-    receive ``shingles_dropped`` / ``pairs_avoided`` telemetry, measured
-    during the normal action at zero extra cost.  ``Observation.get``
-    reflects the FIRST action only on this DataFrame (and blocks until
-    one runs) — re-running or further transforming the result does not
-    update it.
+    receive ``shingles_dropped`` / ``pairs_avoided`` telemetry.
+    Telemetry is EAGER — the metrics run as a dedicated tiny job over
+    the pinned per-shingle count table at CALL time, and
+    ``Observation.get`` is readable immediately. (A lazily-planned
+    observe node inside this operator's join subtree loses its
+    metrics row under AQE — buried in a query stage, pruned with an
+    empty build side, or duplicated — see
+    :func:`_capped_bands`'s docstring for the measured failure
+    modes.)
     """
     df = _spread(df)
     # 64-bit-hash the shingle immediately: the groupBy/shuffle key is
@@ -559,13 +620,27 @@ def ngram_jaccard_pairs(
             cap = F.lit(max_df)
         if observation is not None:
             d = F.col("d").cast("long")
-            hot = hot.observe(
+            # Eager telemetry, same contract and for the same three
+            # measured AQE failure modes as _capped_bands (see its
+            # docstring): observe a twin of the count+cap frame at the
+            # root of its own tiny query and drain it now. coalesce
+            # (.., 0) because sum-over-empty is SQL NULL when no
+            # shingle repeats.
+            if max_df is not None:
+                # quantile route pins counts above; pin here too so
+                # the metrics job and the hot filter share one build
+                counts = pin(counts)
+                hot = counts
+            hot.observe(
                 observation,
-                F.sum((d > cap).cast("long")).alias("shingles_dropped"),
-                F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0))
-                .cast("long")
-                .alias("pairs_avoided"),
-            )
+                F.coalesce(F.sum((d > cap).cast("long")), F.lit(0)).alias(
+                    "shingles_dropped"
+                ),
+                F.coalesce(
+                    F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0)),
+                    F.lit(0),
+                ).cast("long").alias("pairs_avoided"),
+            ).count()
         hot = hot.filter(F.col("d").cast("long") > cap).select("shingle")
         # No broadcast HINT on the anti-join: the hot set is the top
         # (1-q) fraction of distinct repeated shingles, which grows
@@ -1097,6 +1172,16 @@ class SignatureStore:
         post-append."""
         from .caching import cache_scope
 
+        if not self.exists():
+            # Fail HERE, not as a path-not-found AnalysisException from
+            # the lazy self.read() deep inside the operator — the first
+            # ingest against a never-bootstrapped store is a caller
+            # setup error with an obvious fix.
+            raise FileNotFoundError(
+                f"SignatureStore at {self.path!r} has no signature table "
+                "yet; call bootstrap(corpus, text_col) once before the "
+                "first ingest()"
+            )
         with cache_scope():
             sigs = pin(self.signatures_for(batch, text_col))
             res = incremental_minhash_dedup(

@@ -208,6 +208,111 @@ def test_minhash_band_cap_validation(spark):
         )
 
 
+def test_minhash_valve_no_hot_buckets_reports_zero(spark):
+    """Valve telemetry when the valve does NOT fire must report 0/0,
+    not fail: pre-fix, AQE's empty-relation propagation pruned the
+    runtime-empty anti-join build side together with its observe node,
+    so Observation.get raised from a metrics row that never
+    materialized — in BOTH no-fire shapes. Case 1: no repeated band
+    buckets at all (token sets fully disjoint across docs, so no two
+    signatures can share a band key — the d>=2 histogram is empty and
+    the observed sums were additionally SQL NULL). Case 2: repeated
+    buckets exist but none lands over the cap."""
+    from pyspark.sql import Observation
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(1, 7)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("novalve")
+    got = minhash_lsh_pairs(
+        docs, "doc_id", "text", band_size_quantile=0.92, observation=obs
+    ).collect()
+    assert got == []
+    assert obs.get == {"bands_dropped": 0, "pairs_avoided": 0}
+
+    # case 2: one repeated bucket (the identical pair), cap far above it
+    rows2 = rows + [(100, "same text twins here today"), (101, "same text twins here today")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    obs2 = Observation("undercap")
+    got2 = minhash_lsh_pairs(
+        docs2, "doc_id", "text", max_band_size=50, observation=obs2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got2} == {(100, 101)}
+    assert obs2.get == {"bands_dropped": 0, "pairs_avoided": 0}
+
+
+def test_valve_telemetry_no_fire_all_operators(spark):
+    """Every valve-bearing operator must report 0-metrics (never raise,
+    never None) when nothing lands over the cap — jaccard's inline
+    valve, simhash's band valve, and the incremental probe valve all
+    share the AQE empty-build-side pruning hazard."""
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import (
+        incremental_minhash_dedup,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(1, 7)]
+    rows += [(100, "same text twins here today"), (101, "same text twins here today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    obs_j = Observation()
+    got = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_df=50, observation=obs_j
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
+    assert obs_j.get == {"shingles_dropped": 0, "pairs_avoided": 0}
+
+    obs_s = Observation()
+    got = simhash_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3,
+        max_band_size=50, observation=obs_s,
+    ).collect()
+    assert (100, 101) in {(r["id_a"], r["id_b"]) for r in got}
+    assert obs_s.get == {"bands_dropped": 0, "pairs_avoided": 0}
+
+    obs_i = Observation()
+    history = docs.filter(F.col("doc_id") < 100)
+    increment = docs.filter(F.col("doc_id") >= 100)
+    res = incremental_minhash_dedup(
+        history, increment, "doc_id", "text",
+        band_size_quantile=0.92, observation=obs_i,
+    ).collect()
+    assert len(res) == 2
+    assert obs_i.get == {"bands_dropped": 0, "rows_dropped": 0}
+
+
+def test_minhash_valve_telemetry_when_firing(spark):
+    """The firing case through the self-join shape: a degenerate key
+    (many identical docs) must be dropped AND reported — pre-fix the
+    duplicated CollectMetrics node (one observed frame on both sides
+    of the band self-join) meant Observation.get raised even when the
+    valve fired."""
+    from pyspark.sql import Observation
+
+    # bulk: 13 twin pairs (d=2 band buckets) anchoring p92 at 2;
+    # degenerate: one 40-doc identical-text key landing at d=40 >> 10x2
+    rows = [
+        (10 * p + s, " ".join(f"p{p}w{j}" for j in range(8)))
+        for p in range(13)
+        for s in (0, 1)
+    ]
+    rows += [(1000 + i, "degenerate boilerplate template page") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation()
+    got = minhash_lsh_pairs(
+        docs, "doc_id", "text", band_size_quantile=0.92, observation=obs
+    ).collect()
+    m = obs.get
+    assert m["bands_dropped"] >= 1
+    assert m["pairs_avoided"] >= 40 * 39 // 2
+    # the degenerate clique's pairs are gone from the output
+    assert not any(r["id_a"] >= 1000 for r in got)
+
+
 def test_simhash_pairs_pigeonhole_exact(spark, oracle_sf_dir):
     """With bands > max_hamming the banding stage is EXACT by
     pigeonhole: the pair set must equal a driver-side brute-force
@@ -295,6 +400,25 @@ def test_spread_skips_shuffle_shaped_plans(spark, oracle_sf_dir):
     assert out.rdd.getNumPartitions() >= min(
         spark.sparkContext.defaultParallelism, 2
     )
+
+
+def test_spread_ignores_marker_words_in_column_names(spark, tmp_path):
+    """Marker detection must key on plan NODE names, not substrings of
+    the whole plan string: a user column named SortKey / JoinDate (or
+    a file path containing a marker word) previously false-positived
+    the shuffle probe and silently skipped the widening in exactly the
+    single-partition case the guard exists for."""
+    from git_log_to_sqlite_spark.operators.dedup import _spread
+
+    p = str(tmp_path / "SortedJoinInput")  # path also carries markers
+    spark.createDataFrame(
+        [(1, "x", "2024-01-01")], "SortKey long, text string, JoinDate string"
+    ).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert scan.rdd.getNumPartitions() == 1
+    widened = _spread(scan)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() > 1
 
 
 def test_simhash_similar_docs_close(docs):

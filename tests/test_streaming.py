@@ -410,6 +410,20 @@ def test_foreachbatch_incremental_dedup_against_static_history(
     assert got == want
 
 
+def test_signature_store_ingest_requires_bootstrap(spark, tmp_path):
+    """ingest() on a never-bootstrapped store must fail FAST with an
+    error naming bootstrap(), not a path-not-found AnalysisException
+    surfacing from the lazy self.read() deep inside the operator."""
+    from git_log_to_sqlite_spark.operators import SignatureStore
+
+    store = SignatureStore(spark, str(tmp_path / "never_bootstrapped"))
+    batch = spark.createDataFrame(
+        [(1, "some document text here")], "doc_id long, text string"
+    )
+    with pytest.raises(FileNotFoundError, match="bootstrap"):
+        store.ingest(batch, "text")
+
+
 def test_signature_store_multi_day_ingest(spark, oracle_sf_dir, tmp_path):
     """The PRODUCTION daily-ingest loop: the history signature table
     lives as parquet (SignatureStore), every micro-batch dedups
