@@ -25,6 +25,7 @@ from .dedup import (
     shingles,
     simhash,
     simhash_pairs,
+    substring_span_pairs,
 )
 from .similarity import (
     IvfIndex,
@@ -70,6 +71,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "shingles",
     "simhash",
+    "substring_span_pairs",
     "simhash_pairs",
     "IvfIndex",
     "brute_force_topk",

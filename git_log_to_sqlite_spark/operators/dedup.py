@@ -710,6 +710,160 @@ def ngram_jaccard_pairs(
     return out
 
 
+def positional_windows(tokens: Column, k: int) -> Column:
+    """Ordered (not distinct) k-token windows of a tokens array:
+    element i is the window starting at token i. The same
+    zip_with-chain form as :func:`shingles` (and for the same measured
+    O(tokens^2) reason the index-lambda form is banned there), minus
+    the array_distinct — position identity is the point here. Docs
+    shorter than k yield []."""
+    L = F.size(tokens) - (k - 1)
+    parts = [F.slice(tokens, j + 1, L) for j in range(k)]
+    acc = parts[0]
+    for j in range(1, k):
+        acc = F.zip_with(acc, parts[j], lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(tokens) >= k, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_run_tokens: int = 16,
+    max_df: int | None = None,
+    max_df_quantile: float | None = None,
+) -> DataFrame:
+    """Exact-substring dedup: for every document pair sharing a
+    verbatim token run of >= ``min_run_tokens`` tokens, report the
+    longest shared run and the number of shared window cells —
+    the passage-level dedup layer document-level operators cannot see
+    (a 50-token boilerplate passage copied between otherwise-different
+    documents is invisible to minhash/simhash/jaccard; the public
+    recipe is Lee et al. 2022's two-layer fuzzy-doc + exact-substring
+    dedup, there via suffix arrays — a sequential build with no
+    shuffle-parallel form, so this operator re-derives the same
+    >=threshold spans from k-token window joins instead).
+
+    EXACT semantics (modulo the two documented trades below): two docs
+    share a t-token run iff they share t-k+1 CONSECUTIVE k-token
+    windows at a fixed alignment offset, so longest-run recovery is
+    gaps-and-islands over matched window positions per (pair,
+    diagonal): diag = pos_a - pos_b is constant along a shared run,
+    and within one diagonal the matched pos_a values of a run are
+    consecutive integers. Match cells are duplicate-free by
+    construction — (id_a, pos_a) carries exactly one window, so one
+    (id_a, pos_a, diag) cell arises from exactly one posting — which
+    lets the island index be a plain row_number with no distinct pass.
+
+    Plan shape (the jaccard inverted-index discipline, never a raw
+    self-join): (1) posexplode the ordered window array and hash each
+    window to 8 bytes (xxhash64 — the shuffle carries (id, pos, h) =
+    ~24 B/cell, never window text; a collision merges two windows'
+    postings and the probability is ~W^2/2^65 per corpus, the same
+    documented trade as jaccard's shingle hash); (2) a map-combinable
+    per-hash occurrence count derives the df-cap hot set, which
+    anti-filters the stream BEFORE collect_list, so no posting buffer
+    ever exceeds cap cells (cap-before-collect, the round-7
+    invariant); (3) postings explode into cross-document occurrence
+    pairs — candidate mass is sum(occ^2) bounded by cap x cells, not
+    n^2; (4) ONE window function partitioned by (id_a, id_b, diag) —
+    millions of small groups, no global window — computes islands,
+    and the island aggregate rides the same exchange (grouping on a
+    superset of the partition keys needs no re-shuffle).
+
+    Two semantic trades, both lower-bounding (a reported run is always
+    real; a real run may be under-reported):
+
+    * The df cap drops BOILERPLATE windows (appearing > cap times
+      corpus-wide). A run containing a dropped window splits into
+      shorter islands — runs whose every window is hot disappear.
+      That is the intended semantics for training-data dedup (the
+      passages worth catching are distinctive, and an uncapped hot
+      window is this operator's d(d-1)/2 skew unit), and the oracle
+      twin applies the identical cap so the engines cannot diverge.
+    * Tokens are single-space splits, matching the repo's other text
+      operators; runs are measured in tokens, not characters.
+
+    Returns ``(id_a, id_b, longest_run_tokens, n_shared_windows)``
+    with ``longest_run_tokens >= min_run_tokens``.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if min_run_tokens < window:
+        raise ValueError(
+            f"min_run_tokens ({min_run_tokens}) must be >= window ({window}): "
+            "a shorter run has no complete window and cannot be observed"
+        )
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("max_df and max_df_quantile are mutually exclusive")
+    k = window
+    w = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                positional_windows(F.split(F.col(text_col), " "), k)
+            ).alias("pos", "gram"),
+        )
+        .select("_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    if max_df is not None or max_df_quantile is not None:
+        counts = (
+            w.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 2)
+        )
+        if max_df_quantile is not None:
+            counts = pin(counts)
+            hot = counts.crossJoin(
+                F.broadcast(
+                    _quantile_cap(
+                        counts.select(F.col("d").cast("long").alias("d")),
+                        max_df_quantile,
+                    )
+                )
+            )
+            cap = F.col("_max_df")
+        else:
+            hot = counts
+            cap = F.lit(max_df)
+        hot = hot.filter(F.col("d").cast("long") > cap).select("h")
+        w = w.join(hot, "h", "left_anti")
+    postings = (
+        w.groupBy("h")
+        .agg(F.collect_list(F.struct("_id", "pos")).alias("occ"))
+        .filter(F.size("occ") >= 2)
+    )
+    m = (
+        postings.select(F.explode("occ").alias("x"), "occ")
+        .select("x", F.explode("occ").alias("y"))
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            (F.col("x.pos") - F.col("y.pos")).alias("diag"),
+            F.col("x.pos").alias("pos_a"),
+        )
+    )
+    isl_w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        m.withColumn("grp", F.col("pos_a") - F.row_number().over(isl_w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("m") + F.lit(k - 1)).alias("longest_run_tokens"),
+            F.sum("m").alias("n_shared_windows"),
+        )
+        .filter(F.col("longest_run_tokens") >= min_run_tokens)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash signature (bitwise majority over md5 token
     hashes). Near-dup = small Hamming distance between signatures;

@@ -129,6 +129,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_K = 6  # window width in tokens
+_SUBSTR_MIN_RUN = 12  # report pairs sharing a verbatim run >= this many tokens
+_SUBSTR_Q = 0.92  # df-quantile cap on window occurrence counts
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    wins AS (
+      SELECT doc_id, g.i AS pos,
+             array_to_string(list_slice(a, g.i, g.i + {_SUBSTR_K - 1}), ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(a) - {_SUBSTR_K - 1})) AS i) g),
+    sfreq AS (SELECT gram, COUNT(*) AS d FROM wins GROUP BY gram),
+    caps AS ({_sql_quantile_cap("sfreq", _SUBSTR_Q)}),
+    w2 AS (
+      SELECT w.doc_id, w.pos, w.gram
+      FROM wins w JOIN sfreq f ON f.gram = w.gram
+      JOIN caps ON f.d <= COALESCE(caps.max_df, f.d)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos - b.pos AS diag, a.pos AS pos_a
+      FROM w2 a JOIN w2 b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+      FROM m),
+    runs AS (SELECT doc_a, doc_b, COUNT(*) AS men
+             FROM isl GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b,
+           CAST(MAX(men) + {_SUBSTR_K - 1} AS BIGINT) AS longest_run_tokens,
+           CAST(SUM(men) AS BIGINT) AS n_shared_windows
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING MAX(men) + {_SUBSTR_K - 1} >= {_SUBSTR_MIN_RUN}
+    """,
+    doc="Exact-substring dedup (operators.dedup.substring_span_pairs): "
+    "the passage-level layer of Lee et al. 2022's two-layer recipe — "
+    "verbatim >= 12-token runs shared between otherwise-different "
+    "documents, invisible to every document-level near-dup operator. "
+    "Positional 6-token windows hash to 8-byte keys; an inverted "
+    "index with the p92 occurrence-cap valve (cap-before-collect) "
+    "bounds candidate mass; gaps-and-islands per (pair, diagonal) "
+    "recovers exact longest runs with ONE non-global window whose "
+    "island aggregate rides the same exchange. The oracle applies the "
+    "identical cap, so the engines cannot diverge.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dd.substring_span_pairs(
+        d, "doc_id", "text",
+        window=_SUBSTR_K,
+        min_run_tokens=_SUBSTR_MIN_RUN,
+        max_df_quantile=_SUBSTR_Q,
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "longest_run_tokens",
+        "n_shared_windows",
+    )
+
+
 @register(
     "dedup_group_assign",
     oracle=f"""

@@ -421,6 +421,153 @@ def test_spread_ignores_marker_words_in_column_names(spark, tmp_path):
     assert widened.rdd.getNumPartitions() > 1
 
 
+def test_substring_spans_planted_passages(spark):
+    """Hand-computed exact-substring cases: a clean 10-token shared
+    passage, a passage split by an interruption (two islands, longest
+    = the longer island), and a no-overlap doc that must not pair."""
+    from git_log_to_sqlite_spark.operators import substring_span_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TODAY zeta eta"),
+            (2, "one two THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TODAY three four five six"),
+            (3, "completely different text with no shared passage at all here now"),
+            (4, "one two THE QUICK BROWN FOX then interrupted JUMPS OVER THE LAZY DOG TODAY"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["longest_run_tokens"], r["n_shared_windows"])
+        for r in substring_span_pairs(
+            docs, "doc_id", "text", window=4, min_run_tokens=6
+        ).collect()
+    )
+    # 1-2: the 10-token passage = 7 four-token windows, one island.
+    # 1-4: runs "THE QUICK BROWN FOX" (4 tokens, 1 window — below
+    #      min_run on its own) and "JUMPS OVER THE LAZY DOG TODAY"
+    #      (6 tokens, 3 windows): longest 6, cells 1+3=4.
+    # 2-4: "one two THE QUICK BROWN FOX" (6 tokens, 3 windows) and the
+    #      6-token JUMPS run (3 windows): longest 6, cells 6.
+    assert got == [(1, 2, 10, 7), (1, 4, 6, 4), (2, 4, 6, 6)]
+
+
+def test_substring_spans_match_bruteforce(spark):
+    """Property check on a seeded random corpus with planted shared
+    passages: (pair set, longest run, match-cell count) must equal a
+    brute-force token-level DP over every pair."""
+    import random
+
+    from git_log_to_sqlite_spark.operators import substring_span_pairs
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]  # small vocab -> chance runs too
+    passages = [
+        [rng.choice(vocab) for _ in range(rng.randint(6, 14))] for _ in range(4)
+    ]
+    texts = {}
+    for d in range(1, 13):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(8, 25))]
+        if d % 3 != 0:  # plant a passage in 2/3 of docs
+            p = passages[d % len(passages)]
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + p + toks[at:]
+        texts[d] = toks
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()], "doc_id long, text string"
+    )
+    K, MIN_RUN = 3, 5
+    got = {
+        (r["id_a"], r["id_b"]): (r["longest_run_tokens"], r["n_shared_windows"])
+        for r in substring_span_pairs(
+            docs, "doc_id", "text", window=K, min_run_tokens=MIN_RUN
+        ).collect()
+    }
+
+    def brute(a, b):
+        best, cells = 0, 0
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                if a[i - 1] == b[j - 1]:
+                    dp[i][j] = dp[i - 1][j - 1] + 1
+                    best = max(best, dp[i][j])
+        for i in range(len(a) - K + 1):
+            for j in range(len(b) - K + 1):
+                if a[i:i + K] == b[j:j + K]:
+                    cells += 1
+        return best, cells
+
+    want = {}
+    ids = sorted(texts)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            best, cells = brute(texts[ids[x]], texts[ids[y]])
+            if best >= MIN_RUN:
+                want[(ids[x], ids[y])] = (best, cells)
+    assert got == want and len(want) > 0
+
+
+def test_substring_spans_cap_lower_bounds(spark):
+    """The df cap drops boilerplate windows and SPLITS runs containing
+    them — reported runs are lower bounds, never inventions. With the
+    shared hot window dropped (it appears in every doc), the two
+    12-token twin passages split into two sub-runs around it."""
+    from git_log_to_sqlite_spark.operators import substring_span_pairs
+
+    hot = "BOILER PLATE HOT WINDOW"  # 4 tokens, one k=4 window when aligned
+    rows = [
+        (i, f"u{i}a u{i}b {hot} u{i}c u{i}d") for i in range(1, 9)
+    ]  # 8 docs all containing the hot window -> df 8 > cap 4
+    rows += [
+        (100, f"p1 p2 p3 p4 {hot} q1 q2 q3 q4"),
+        (101, f"p1 p2 p3 p4 {hot} q1 q2 q3 q4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["longest_run_tokens"]
+        for r in substring_span_pairs(
+            docs, "doc_id", "text", window=4, min_run_tokens=4
+        ).collect()
+    }
+    assert uncapped[(100, 101)] == 12  # the full twin text
+    capped = {
+        (r["id_a"], r["id_b"]): r["longest_run_tokens"]
+        for r in substring_span_pairs(
+            docs, "doc_id", "text", window=4, min_run_tokens=4, max_df=4
+        ).collect()
+    }
+    # every window containing a hot token pair... the exact windows
+    # crossing the boilerplate are rarer (doc-specific neighbours), so
+    # only the one fully-boilerplate window exceeds df=4 (10 docs
+    # carry it). Dropping it splits the twins' 12-token run into two
+    # shorter aligned runs; the reported longest is the larger
+    # fragment — strictly less than 12, still >= min_run.
+    assert (100, 101) in capped
+    assert 4 <= capped[(100, 101)] < 12
+    # capped output never invents pairs
+    assert set(capped) <= set(uncapped)
+
+
+def test_substring_spans_validation(spark):
+    from git_log_to_sqlite_spark.operators import substring_span_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window must be >= 2"):
+        substring_span_pairs(docs, "doc_id", "text", window=1)
+    with pytest.raises(ValueError, match="min_run_tokens"):
+        substring_span_pairs(docs, "doc_id", "text", window=8, min_run_tokens=4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        substring_span_pairs(
+            docs, "doc_id", "text", max_df=5, max_df_quantile=0.9
+        )
+    # short docs yield no windows, no crash
+    assert (
+        substring_span_pairs(docs, "doc_id", "text", window=8, min_run_tokens=8)
+        .count()
+        == 0
+    )
+
+
 def test_simhash_similar_docs_close(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
