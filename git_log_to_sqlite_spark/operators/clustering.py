@@ -25,19 +25,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
+def _sq_dist(
+    vec_col: str, centroid: list[float], round_to: int | None = None
+) -> F.Column:
+    """Squared euclidean distance to a literal centroid.
+
+    Default (``round_to=None``): the direct ``sum((v_i - c_i)^2)``
+    left fold — the k-means hot path, one subtraction-square per dim.
+
+    With ``round_to``: the CROSS-ENGINE-STABLE form used by the
+    oracle-gated IVF query — ``dot(v,v) - 2*dot(v,c) + dot(c,c)``
+    built from the same left-fold dot product the cosine oracles rely
+    on, then rounded. A SQL twin computing the identical three
+    ``list_dot_product`` terms and combination arithmetic produces the
+    bit-identical double, so after rounding the assignment/probe ORDER
+    (rounded distance, then cell id) can never diverge between engines
+    on a last-ulp difference — which a raw-distance comparison can,
+    because the direct fold and a dot-identity necessarily differ in
+    float path.
+    """
     c = F.array(*[F.lit(float(x)) for x in centroid])
-    diff2 = F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b))
-    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    if round_to is None:
+        diff2 = F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    dot = lambda x, y: F.aggregate(  # noqa: E731 — same fold as similarity._dot
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+    )
+    v = F.col(vec_col)
+    raw = dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)
+    return F.round(raw, round_to)
 
 
-def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+def assign_clusters(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    round_to: int | None = None,
+) -> DataFrame:
     """Adds a ``cluster`` column: index of the nearest centroid
-    (squared euclidean; ties break to the lower index)."""
+    (squared euclidean; ties break to the lower index). ``round_to``
+    selects :func:`_sq_dist`'s cross-engine-stable rounded form —
+    pass it when an SQL oracle must reproduce the assignment."""
     choices = F.array(
         *[
             F.struct(
-                _sq_dist(vec_col, c).alias("d"), F.lit(j).alias("c")
+                _sq_dist(vec_col, c, round_to).alias("d"), F.lit(j).alias("c")
             )
             for j, c in enumerate(centroids)
         ]

@@ -77,17 +77,26 @@ def _topk(joined: DataFrame, sim: Column, k: int, round_to: int | None) -> DataF
     )
 
 
-def _nearest_cells(vec_col_name: str, centroids: list[list[float]], n_probe: int) -> Column:
+def _nearest_cells(
+    vec_col_name: str,
+    centroids: list[list[float]],
+    n_probe: int,
+    round_to: int | None = None,
+) -> Column:
     """The IVF probe expression: indices of the ``n_probe`` nearest
     centroids (squared euclidean, ties to the lower cell id via struct
     ordering) — shared by every quantizer consumer so probe ordering
     can never drift between the in-memory, persisted, and dedup
-    paths."""
+    paths. ``round_to`` selects the cross-engine-stable rounded
+    distance (see ``clustering._sq_dist``) for oracle-gated use."""
     from .clustering import _sq_dist
 
     dists = F.array(
         *[
-            F.struct(_sq_dist(vec_col_name, cen).alias("d"), F.lit(j).alias("c"))
+            F.struct(
+                _sq_dist(vec_col_name, cen, round_to).alias("d"),
+                F.lit(j).alias("c"),
+            )
             for j, cen in enumerate(centroids)
         ]
     )
@@ -207,6 +216,7 @@ def ivf_ann_topk(
     n_probe: int = 2,
     k: int = 5,
     round_to: int | None = None,
+    dist_round_to: int | None = None,
 ) -> DataFrame:
     """IVF ANN with a FITTED coarse quantizer — the production index
     shape: ``centroids`` come from :func:`~git_log_to_sqlite_spark.
@@ -225,6 +235,13 @@ def ivf_ann_topk(
     vector per side. In a persisted deployment the corpus side
     (cell, vector, norm) is written once at index-build time and
     every query batch is an equi-join against it.
+
+    ``dist_round_to`` switches assignment AND probe to the
+    cross-engine-stable rounded distance (``clustering._sq_dist``) so
+    a SQL oracle can reproduce the cell decisions exactly — the
+    oracle-gated deterministic tail of this operator (the iterative
+    k-means FIT stays outside any oracle; pass its output, or any
+    pinned centroid list, here).
     """
     from .clustering import assign_clusters
 
@@ -236,6 +253,7 @@ def ivf_ann_topk(
         ),
         "_cv",
         centroids,
+        round_to=dist_round_to,
     ).withColumnRenamed("cluster", "_cc")
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -243,7 +261,9 @@ def ivf_ann_topk(
         vnorm(F.col(vec_col)).alias("_qn"),
     ).select(
         "query_id",
-        F.explode(_nearest_cells("_qv", centroids, n_probe)).alias("_qc"),
+        F.explode(
+            _nearest_cells("_qv", centroids, n_probe, round_to=dist_round_to)
+        ).alias("_qc"),
         "_qv",
         "_qn",
     )
@@ -389,7 +409,18 @@ class IvfIndex:
         k: int = 5,
         round_to: int | None = None,
     ) -> DataFrame:
-        """Top-k neighbors per query against the persisted index."""
+        """Top-k neighbors per query against the persisted index.
+
+        HARD CONTRACT on ``queries``: the probe side is FORCE-broadcast
+        (after the n_probe cell fan-out — n_probe rows per query of
+        ~8 B x dims each), because the broadcast is what lets the cell
+        keys dynamically prune the partitioned index scan; unhinted, a
+        bad estimate could shuffle the INDEX instead and read every
+        cell. A probe batch must therefore fit a broadcast (tens of MB
+        = ~100k queries at 64 dims); for corpus-sized "probes" use
+        :func:`embedding_dedup_ann` (all-vs-index dedup) — or chunk
+        the batch and union, which is exact since per-query top-k is
+        independent across chunks."""
         centroids = self.centroids()
         index = self.spark.read.parquet(f"{self.path}/index")
         q = queries.select(
@@ -422,7 +453,21 @@ def bucketed_ann_topk(
 ) -> DataFrame:
     """IVF-style approximate top-k: candidates restricted to the
     query's coarse cell (``bucket_col``). With balanced cells this is
-    a 1/|cells| scan per query; recall depends on quantizer quality."""
+    a 1/|cells| scan per query; recall depends on quantizer quality.
+
+    HARD CONTRACT on the ``queries`` side: the broadcast is FORCED —
+    the hint is what keeps the corpus un-shuffled (each executor
+    streams its corpus partitions against the in-memory query batch;
+    unhinted, a bad size estimate could silently shuffle the corpus
+    on the cell key instead). So the PROBE BATCH must fit a broadcast:
+    each query row is its cast vector + norm (~8 B x dims + 16 B), and
+    an executor holds one copy — 100k x 64-dim queries is ~50 MB,
+    fine; a corpus-sized query side is not. Callers probing with
+    something corpus-sized are computing all-pairs similarity and
+    want :func:`~git_log_to_sqlite_spark.plans.similarity` 's
+    threshold-pair shape or :func:`embedding_dedup_ann` instead;
+    otherwise chunk the probe batch and union the results — top-k per
+    query is independent across chunks, so chunking is exact."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(bucket_col).alias("_qb"),

@@ -53,28 +53,30 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 # Round-9 rotation (executing the plan pre-staged in round 8, plus
-# this round's additions): the two queries with no driver row yet
-# lead — `dedup_substring_spans` (NEW this round: exact-substring
-# dedup) and `dedup_simhash_pairs` (registered in round 8) — per the
-# standing new-query precedent.  Then the seven zero-shuffle
+# this round's additions): the three queries with no driver row yet
+# lead — `dedup_substring_spans` (NEW: exact-substring dedup),
+# `sim_ann_ivf_assign` (NEW: the oracle-gated deterministic tail of
+# IVF ANN), and `dedup_simhash_pairs` (registered in round 8) — per
+# the standing new-query precedent.  Then the seven zero-shuffle
 # projections that spilled past round 8's slot 50 (oldest driver
 # rows — round 6), then the round-7-gated block in its standing gate
-# order.  2 + 7 + 50 names against a 50-slot prefix means nine
+# order.  3 + 7 + 50 names against a 50-slot prefix means ten
 # round-7 rows spill to round 10; per the standing precedent the
 # spill is steered onto the lowest-risk deterministic tail of that
-# block (the five setops, the two sorts, and the fn_higher_order +
-# fn_cast scalar projections — each a pure Catalyst plan over static
-# parquet, no timestamp, streaming, or encoding surface), never onto
-# the streaming-replay, ETL-parity, or composite-pipeline rows, so
-# those nine move to the list tail and lead the pre-staged round-10
-# rotation.  The corpus is 114 registered queries (109
-# oracle-bearing, 5 oracle-less tail) against a 2x50 gate — a 9-name
-# oracle overhang, so the freshness cycle stays ~2.2 rounds; grow the
+# block (the five setops, the two sorts, and the fn_higher_order /
+# fn_cast / fn_map scalar projections — each a pure Catalyst plan
+# over static parquet, no timestamp, streaming, or encoding surface),
+# never onto the streaming-replay, ETL-parity, or composite-pipeline
+# rows, so those ten move to the list tail and lead the pre-staged
+# round-10 rotation.  The corpus is 115 registered queries (110
+# oracle-bearing, 5 oracle-less tail) against a 2x50 gate — a 10-name
+# oracle overhang, so the freshness cycle stays ~2.3 rounds; grow the
 # corpus further only if the gate grows.
 _prioritize(
     first=[
         # --- new queries with no driver row yet ---
         "dedup_substring_spans",
+        "sim_ann_ivf_assign",
         "dedup_simhash_pairs",
         # --- round-6 holdovers (oldest driver rows; spilled past
         #     round 8's slot 50) ---
@@ -85,15 +87,14 @@ _prioritize(
         "text_tokens",
         "text_fingerprint",
         "mm_binary_meta",
-        # --- round-7-gated block, standing gate order (41 of 50
-        #     names; the nine setop/sort/scalar rows below spill
+        # --- round-7-gated block, standing gate order (40 of 50
+        #     names; the ten setop/sort/scalar rows below spill
         #     to round 10) ---
         "pipeline_pretrain_corpus",
         "dedup_decontaminate",
         "text_repetition",
         "sample_token_budget",
         "dedup_incremental_lsh",
-        "fn_map",
         "agg_rollup",
         "agg_cube",
         "agg_collect_sorted",
@@ -139,6 +140,7 @@ _prioritize(
         "setop_except_all",
         "fn_higher_order",
         "fn_cast",
+        "fn_map",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

@@ -275,7 +275,10 @@ def sim_kmeans_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # the quantizer is iterative k-means (no single-
     # statement SQL twin); the driver records a rows/schema check and
     # pytest asserts recall >= sign-LSH multiprobe at the bench SF
-    # plus planted-cluster near-exact recall and determinism
+    # plus planted-cluster near-exact recall and determinism.  The
+    # DETERMINISTIC tail of this operator (assignment + probe +
+    # re-rank under pinned centroids) IS oracle-gated — see
+    # sim_ann_ivf_assign
     doc="K-means-quantizer IVF ANN (operators.similarity.ivf_ann_topk "
     "+ operators.clustering.kmeans): fitted Voronoi cells quantize the "
     "corpus (codegen assignment, centroids are driver-held model "
@@ -297,6 +300,64 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 8)
     return ivf_ann_topk(
         q, e, "vec_id", "embedding", centroids, n_probe=2, k=5, round_to=4
+    )
+
+
+@register(
+    "sim_ann_ivf_assign",
+    oracle=f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id IN (3, 11, 19, 27)),
+    sqd AS (
+      SELECT e.vec_id, c.cell,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], c.c)
+                   + list_dot_product(c.c, c.c), 6) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rnk
+      FROM sqd),
+    asg AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rnk = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM ranked
+               WHERE vec_id < 8 AND rnk <= 2)
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT p.query_id, n.neighbor_id,
+             ROUND({_SQL_COS}, 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                ORDER BY ROUND({_SQL_COS}, 4) DESC,
+                                         n.neighbor_id) AS rn
+      FROM probes p
+      JOIN asg n ON n.cell = p.cell AND n.neighbor_id <> p.query_id
+      JOIN embeddings a ON a.vec_id = p.query_id
+      JOIN embeddings b ON b.vec_id = n.neighbor_id) t
+    WHERE rn <= 5
+    """,
+    doc="The ORACLE-GATED deterministic tail of IVF ANN (operators."
+    "similarity.ivf_ann_topk with dist_round_to): given PINNED "
+    "centroids (the embeddings of four fixed ids — 4-row model-state "
+    "collect), cell assignment, n_probe=2 cell probing, and exact "
+    "cosine re-rank are all hash-stable. Distances use the "
+    "cross-engine-stable dot-identity form rounded to 6 dp so the two "
+    "engines compute bit-identical doubles before rounding and the "
+    "cell decisions cannot diverge on an ulp. The iterative k-means "
+    "FIT deliberately stays outside the oracle (sim_ann_ivf, "
+    "recall-tested in pytest, exercises it).",
+)
+def sim_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_ann_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.filter(F.col("vec_id").isin(3, 11, 19, 27)).orderBy("vec_id").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return ivf_ann_topk(
+        queries=e.filter(F.col("vec_id") < 8), corpus=e, id_col="vec_id",
+        vec_col="embedding", centroids=centroids, n_probe=2, k=5,
+        round_to=4, dist_round_to=6,
     )
 
 

@@ -730,6 +730,45 @@ def test_ivf_index_persisted_probe(clustered_vectors, tmp_path):
     )
 
 
+def test_ann_probe_chunking_is_exact(clustered_vectors, tmp_path):
+    """The documented escape hatch of the probe-side broadcast HARD
+    CONTRACT (IvfIndex.probe / bucketed_ann_topk force-broadcast the
+    query batch, so oversized batches must be chunked): per-query
+    top-k is independent across chunks, so chunked probes unioned
+    must equal the single-batch probe EXACTLY — for both the
+    persisted index and the bucketed operator."""
+    from git_log_to_sqlite_spark.operators import IvfIndex, bucketed_ann_topk
+
+    e = clustered_vectors
+    idx = IvfIndex(e.sparkSession, str(tmp_path / "ivf_chunk"))
+    idx.build(e.select("vec_id", "embedding"), k=4, max_iter=5)
+    q = e.filter(F.col("vec_id") < 12).select("vec_id", "embedding")
+    whole = {tuple(r) for r in idx.probe(q, n_probe=2, k=5).collect()}
+    chunked = set()
+    for lo, hi in ((0, 6), (6, 12)):
+        part = q.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        chunked |= {tuple(r) for r in idx.probe(part, n_probe=2, k=5).collect()}
+    assert chunked == whole and len(whole) > 0
+
+    qb = e.filter(F.col("vec_id") < 12)
+    whole_b = {
+        tuple(r)
+        for r in bucketed_ann_topk(
+            qb, e, "vec_id", "embedding", "cluster", k=5
+        ).collect()
+    }
+    chunked_b = set()
+    for lo, hi in ((0, 6), (6, 12)):
+        part = qb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        chunked_b |= {
+            tuple(r)
+            for r in bucketed_ann_topk(
+                part, e, "vec_id", "embedding", "cluster", k=5
+            ).collect()
+        }
+    assert chunked_b == whole_b and len(whole_b) > 0
+
+
 def test_lsh_bucket_keeps_clusters_together(clustered_vectors):
     from git_log_to_sqlite_spark.operators import lsh_bucket
 
