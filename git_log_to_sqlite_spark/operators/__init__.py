@@ -18,6 +18,7 @@ from .dedup import (
     SignatureStore,
     decontaminate,
     exact_dedup,
+    hamming_pairs,
     incremental_minhash_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -65,6 +66,7 @@ __all__ = [
     "SignatureStore",
     "decontaminate",
     "exact_dedup",
+    "hamming_pairs",
     "incremental_minhash_dedup",
     "minhash_lsh_pairs",
     "minhash_signatures",

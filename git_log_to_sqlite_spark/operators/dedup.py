@@ -957,6 +957,49 @@ def simhash_pairs(
     exactness on pairs whose ONLY agreeing slice was the degenerate
     one — the same documented trade as the minhash valve.
     """
+    # simhash() validates bits <= 60; hamming_pairs re-validates the
+    # banding arithmetic, so a bad pair call fails before any jobs run
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    sig = pin(simhash(df, id_col, text_col, bits))
+    return hamming_pairs(
+        sig,
+        id_col,
+        "simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_band_size=max_band_size,
+        band_size_quantile=band_size_quantile,
+        observation=observation,
+    )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation: "Observation | None" = None,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits over ANY precomputed
+    fixed-width signature column — the bit-slice band machinery
+    :func:`simhash_pairs` runs on text simhashes, factored out so
+    every <= 60-bit signature modality shares one pair stage (text
+    simhash, image dHash via
+    :func:`~git_log_to_sqlite_spark.operators.multimodal.image_dhash`,
+    any future perceptual hash). Same pigeonhole-EXACT guarantee
+    (``bands > max_hamming``), same ``bit_count(xor)`` verify, same
+    hot-band valve, and the same keyspace-sizing caveat as
+    :func:`simhash_pairs` — size ``bits/bands`` to the corpus.
+
+    ``sig`` must carry one row per id; signatures are non-negative
+    BIGINTs below 2^bits. Returns ``(id_a, id_b, hamming)``.
+    """
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
@@ -964,18 +1007,15 @@ def simhash_pairs(
         )
     if bits % bands != 0:
         raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
-    # simhash() validates bits <= 60; re-check here so a bad pair call
-    # fails before any jobs run
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
     width = bits // bands
     mask = (1 << width) - 1
-    sig = pin(simhash(df, id_col, text_col, bits))
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width)
+                F.shiftright(F.col(sig_col), b * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("band_key"),
             )
@@ -1003,8 +1043,8 @@ def simhash_pairs(
         )
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("_ida"), F.col("simhash").alias("_sa"))
-    sb = sig.select(F.col(id_col).alias("_idb"), F.col("simhash").alias("_sb"))
+    sa = sig.select(F.col(id_col).alias("_ida"), F.col(sig_col).alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("_idb"), F.col(sig_col).alias("_sb"))
     ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (
         cand.join(sa, F.col("id_a") == F.col("_ida"))

@@ -191,6 +191,119 @@ def resize_images(
     )
 
 
+def _luma_grid_pil(payload: bytes, rows: int, cols: int) -> list[int]:
+    """Real grid provider: Pillow decode -> grayscale -> resize to
+    (cols+1) x rows — the +1 column is what dHash differences over.
+    Returns row-major luma bytes."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decoder available")
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        small = img.convert("L").resize((cols + 1, rows))
+        return list(small.getdata())
+
+
+def _luma_grid_stub(payload: bytes, rows: int, cols: int) -> list[int]:
+    """Deterministic fake grid: cycle the payload bytes into the
+    (cols+1) x rows grid. Content-blind (a recompressed twin gets a
+    different grid — only a real decoder can normalize encodings), but
+    keeps the operator runnable and the plumbing testable in PIL-less
+    environments; tests plant twins by passing a grid_fn that parses a
+    raw-grid payload format instead."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decoder available")
+    n = rows * (cols + 1)
+    reps = (n // len(payload)) + 1
+    return list((payload * reps)[:n])
+
+
+#: default grid provider — real when Pillow is importable, stub otherwise
+luma_grid: Callable[[bytes, int, int], list[int]] = (
+    _luma_grid_pil if HAS_PIL else _luma_grid_stub
+)
+
+
+def image_dhash(
+    media: DataFrame,
+    rows: int = 6,
+    cols: int = 10,
+    grid_fn: Callable[[bytes, int, int], list[int]] | None = None,
+) -> DataFrame:
+    """Perceptual difference-hash per image: one ``rows x cols``-bit
+    signature (``media_id, dhash``), bit (r, c) set iff the
+    downsampled luma increases from column c to c+1 in row r — the
+    standard dHash, robust to resizing and recompression because the
+    decode-resize normalizes both away. The default 6 x 10 = 60 bits
+    keeps the signature a non-negative BIGINT, directly compatible
+    with :func:`~git_log_to_sqlite_spark.operators.dedup.
+    hamming_pairs`' band machinery (60 = 4 x 15-bit slices).
+
+    The decode+downsample runs as an Arrow-batched ``mapInPandas``
+    (the multimodal convention: payloads never leave their partition,
+    batches stream with bounded memory); the hash itself is integer
+    math over the tiny grid. ``grid_fn`` follows the Pillow-or-stub
+    dispatch of :func:`extract_image_features`.
+    """
+    if rows * cols > 60:
+        raise ValueError(
+            f"rows*cols = {rows * cols} bits exceeds the 60-bit BIGINT "
+            "signature budget (see hamming_pairs)"
+        )
+    grid_fn = grid_fn or luma_grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                g = grid_fn(payload, rows, cols)
+                h = 0
+                for r in range(rows):
+                    base = r * (cols + 1)
+                    for c in range(cols):
+                        h = (h << 1) | (1 if g[base + c + 1] > g[base + c] else 0)
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": hashes})
+
+    return media.mapInPandas(run, schema="media_id long, dhash long")
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    rows: int = 6,
+    cols: int = 10,
+    max_hamming: int = 3,
+    bands: int = 4,
+    grid_fn: Callable[[bytes, int, int], list[int]] | None = None,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs: :func:`image_dhash` feeding
+    :func:`~git_log_to_sqlite_spark.operators.dedup.hamming_pairs` —
+    binary columns become first-class dedup citizens through the same
+    banded pair stage the text operators use (pigeonhole-EXACT for
+    ``bands > max_hamming``, hot-band valve for degenerate hashes —
+    e.g. flat-color images all hashing to 0). Returns
+    ``(id_a, id_b, hamming)``. The dHash pin means the decode runs
+    once, not once per band join branch."""
+    from .caching import pin
+    from .dedup import hamming_pairs
+
+    sig = pin(image_dhash(media, rows, cols, grid_fn))
+    return hamming_pairs(
+        sig,
+        "media_id",
+        "dhash",
+        bits=rows * cols,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_band_size=max_band_size,
+        band_size_quantile=band_size_quantile,
+    )
+
+
 def sample_frames(media: DataFrame, every_nth_byte: int = 256) -> DataFrame:
     """Frame-sampling shape: 1 media row -> N frame rows (here: one
     'frame' per every_nth_byte slice — stands in for video frame

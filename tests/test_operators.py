@@ -982,6 +982,121 @@ def test_ordered_row_number_matches_global_window(spark):
     )
 
 
+def test_image_near_dup_planted_twins(spark):
+    """dHash + hamming_pairs over a raw-grid payload format (the
+    grid_fn seam makes the perceptual-hash math testable without
+    Pillow): planted near-identical images — a twin with exactly 2
+    flipped difference bits, an exact copy, a 4-bit variant, and an
+    unrelated image — must pair exactly as a brute-force Hamming scan
+    over the signatures says, with the twins inside max_hamming=3 and
+    everything else outside."""
+    import random
+
+    from git_log_to_sqlite_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rows, cols = 6, 10
+    W = cols + 1
+    rng = random.Random(3)
+    base = [rng.choice([40, 200]) for _ in range(rows * W)]
+
+    def flip_rows(g, which):
+        out = list(g)
+        for r in which:
+            prev = out[r * W + W - 2]
+            last = out[r * W + W - 1]
+            # invert the row's final comparison (last cell touches
+            # only that one bit)
+            out[r * W + W - 1] = 30 if last > prev else 210
+        return out
+
+    imgs = {
+        1: base,
+        2: flip_rows(base, [0, 1]),           # hamming 2 vs img 1
+        3: flip_rows(base, [2, 3, 4, 5]),     # hamming 4 vs 1, 6 vs 2
+        4: [rng.choice([40, 200]) for _ in range(rows * W)],  # unrelated
+        5: list(base),                        # exact copy: hamming 0
+    }
+    media = spark.createDataFrame(
+        [(i, bytes(g), "image/raw", len(g)) for i, g in imgs.items()],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    grid_fn = lambda p, r, c: list(p[: r * (c + 1)])  # noqa: E731
+
+    sigs = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(media, rows, cols, grid_fn=grid_fn).collect()
+    }
+    assert sigs[1] == sigs[5]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) == 2
+    assert ham(sigs[1], sigs[3]) == 4
+    assert ham(sigs[2], sigs[3]) == 6
+
+    want = {
+        (a, b): ham(sigs[a], sigs[b])
+        for a in sigs
+        for b in sigs
+        if a < b and ham(sigs[a], sigs[b]) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(
+            media, rows, cols, max_hamming=3, grid_fn=grid_fn
+        ).collect()
+    }
+    assert got == want
+    assert got[(1, 2)] == 2 and got[(1, 5)] == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_image_dhash_validation_and_stub_plumbing(docs):
+    """The 60-bit budget is enforced, and the default Pillow-or-stub
+    grid path runs end-to-end on arbitrary binary payloads."""
+    from git_log_to_sqlite_spark.operators.multimodal import image_dhash
+
+    media = as_media(docs, "doc_id", "text", mime="text/plain")
+    with pytest.raises(ValueError, match="60-bit"):
+        image_dhash(media, rows=8, cols=8)
+    rows = image_dhash(media).collect()
+    assert len(rows) == media.count()
+    assert all(0 <= r["dhash"] < (1 << 60) for r in rows)
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this environment")
+def test_image_near_dup_real_pil_recompressed_twin(spark):
+    """Real-decoder path (runs where Pillow exists): a resized and
+    re-encoded twin of a gradient image must land within Hamming 3 of
+    the original — the decode-resize normalizes scale and encoding."""
+    import io
+
+    from PIL import Image
+
+    from git_log_to_sqlite_spark.operators.multimodal import image_near_dup_pairs
+
+    def png(img):
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    grad = Image.new("L", (64, 48))
+    grad.putdata([(x * 4 + y) % 256 for y in range(48) for x in range(64)])
+    twin = grad.resize((32, 24))  # rescaled + re-encoded
+    flat = Image.new("L", (64, 48), color=200)  # unrelated
+    media = spark.createDataFrame(
+        [(1, png(grad)), (2, png(twin)), (3, png(flat))],
+        "media_id long, payload binary",
+    ).selectExpr("media_id", "payload", "'image/png' AS mime_type",
+                 "CAST(length(payload) AS INT) AS byte_len")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in got and not any(3 in p for p in got)
+
+
 @pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this environment")
 def test_multimodal_real_pil_decode(spark):
     """Real-decoder path: only runs where Pillow exists. Builds a tiny
