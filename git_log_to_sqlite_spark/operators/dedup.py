@@ -735,6 +735,7 @@ def substring_span_pairs(
     min_run_tokens: int = 16,
     max_df: int | None = None,
     max_df_quantile: float | None = None,
+    quantile_headroom: int = 10,
 ) -> DataFrame:
     """Exact-substring dedup: for every document pair sharing a
     verbatim token run of >= ``min_run_tokens`` tokens, report the
@@ -784,6 +785,19 @@ def substring_span_pairs(
       passages worth catching are distinctive, and an uncapped hot
       window is this operator's d(d-1)/2 skew unit), and the oracle
       twin applies the identical cap so the engines cannot diverge.
+      The quantile route therefore takes the minhash valve's SPREAD
+      GUARD form, not jaccard's direct quantile: cap =
+      ``quantile_headroom`` x the q-quantile of the repeated-window
+      occurrence distribution. Unlike jaccard (where rare shingles
+      carry the pairs, so a tight cap is lossless), a shared run's
+      CONTINUITY depends on every window along it — and passage
+      families (3+ documents sharing one boilerplate passage) are
+      common and worth reporting, while a direct p92 cap lands at the
+      d=2 bulk and sheds them (measured at sf0.1: 27 of 246 pairs
+      lost). An order of magnitude of headroom keeps every natural
+      family while degenerate corpus-wide windows, which land orders
+      of magnitude out, are still dropped (at 10 x p92 the sf0.1
+      pair set equals uncapped exactly).
     * Tokens are single-space splits, matching the repo's other text
       operators; runs are measured in tokens, not characters.
 
@@ -826,11 +840,17 @@ def substring_span_pairs(
                     )
                 )
             )
-            cap = F.col("_max_df")
+            # integer multiply, mirrored in the SQL oracle (same
+            # rationale as the minhash valve's spread guard)
+            cap = F.col("_max_df") * F.lit(quantile_headroom)
         else:
             hot = counts
             cap = F.lit(max_df)
-        hot = hot.filter(F.col("d").cast("long") > cap).select("h")
+        # Pin the FILTERED hot set (same reasoning as _capped_bands):
+        # the quantile chain above it is three tiny serialized stages
+        # that would otherwise re-execute per consumption; the cached
+        # frame is one row per degenerate window — near-zero rows.
+        hot = pin(hot.filter(F.col("d").cast("long") > cap).select("h"))
         w = w.join(hot, "h", "left_anti")
     postings = (
         w.groupBy("h")

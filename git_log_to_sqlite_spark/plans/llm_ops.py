@@ -131,7 +131,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTR_K = 6  # window width in tokens
 _SUBSTR_MIN_RUN = 12  # report pairs sharing a verbatim run >= this many tokens
-_SUBSTR_Q = 0.92  # df-quantile cap on window occurrence counts
+_SUBSTR_Q = 0.92  # quantile anchor for the window occurrence spread guard
+_SUBSTR_HEADROOM = 10  # cap = headroom x p92 (minhash-valve form: run
+# continuity needs every window, and passage families are worth keeping —
+# see substring_span_pairs' docstring; at this cap the sf0.1 pair set
+# equals uncapped exactly while degenerate windows stay bounded)
 
 
 @register(
@@ -148,7 +152,7 @@ _SUBSTR_Q = 0.92  # df-quantile cap on window occurrence counts
     w2 AS (
       SELECT w.doc_id, w.pos, w.gram
       FROM wins w JOIN sfreq f ON f.gram = w.gram
-      JOIN caps ON f.d <= COALESCE(caps.max_df, f.d)),
+      JOIN caps ON f.d <= COALESCE(caps.max_df * {_SUBSTR_HEADROOM}, f.d)),
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.pos - b.pos AS diag, a.pos AS pos_a
@@ -171,8 +175,10 @@ _SUBSTR_Q = 0.92  # df-quantile cap on window occurrence counts
     "verbatim >= 12-token runs shared between otherwise-different "
     "documents, invisible to every document-level near-dup operator. "
     "Positional 6-token windows hash to 8-byte keys; an inverted "
-    "index with the p92 occurrence-cap valve (cap-before-collect) "
-    "bounds candidate mass; gaps-and-islands per (pair, diagonal) "
+    "index with a 10 x p92 occurrence spread guard (cap-before-"
+    "collect; headroom keeps passage FAMILIES, whose runs a direct "
+    "quantile would split) bounds candidate mass; gaps-and-islands "
+    "per (pair, diagonal) "
     "recovers exact longest runs with ONE non-global window whose "
     "island aggregate rides the same exchange. The oracle applies the "
     "identical cap, so the engines cannot diverge.",
@@ -184,6 +190,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_SUBSTR_K,
         min_run_tokens=_SUBSTR_MIN_RUN,
         max_df_quantile=_SUBSTR_Q,
+        quantile_headroom=_SUBSTR_HEADROOM,
     ).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),

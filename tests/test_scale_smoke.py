@@ -137,6 +137,37 @@ def test_jaccard_quantile_cap_at_bench_sf(spark):
     assert obs.get["shingles_dropped"] > 0  # the valve actually engaged
 
 
+def test_substring_spread_guard_lossless_at_bench_sf(spark):
+    """The 10 x p92 window-occurrence spread guard at sf0.1: the gate
+    query's cap must reproduce the UNCAPPED pair set (runs and cell
+    counts included) on the real corpus — headroom keeps passage
+    families (a direct p92 cap measurably sheds 27/246 pairs here)
+    while still bounding degenerate windows. The lossless-at-natural-
+    scale property substring_span_pairs' docstring claims, asserted at
+    the bench SF."""
+    import os
+
+    from git_log_to_sqlite_spark.operators import substring_span_pairs
+    from git_log_to_sqlite_spark.operators.caching import release_caches
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(window=6, min_run_tokens=12)
+    uncapped = {
+        (r["id_a"], r["id_b"]): (r["longest_run_tokens"], r["n_shared_windows"])
+        for r in substring_span_pairs(docs, "doc_id", "text", **kw).collect()
+    }
+    release_caches()
+    capped = {
+        (r["id_a"], r["id_b"]): (r["longest_run_tokens"], r["n_shared_windows"])
+        for r in substring_span_pairs(
+            docs, "doc_id", "text", max_df_quantile=0.92, **kw
+        ).collect()
+    }
+    release_caches()
+    assert capped == uncapped and len(uncapped) > 0
+
+
 def test_connected_components_converges_on_wide_graph(spark):
     """5k-node graph mixing 100-node chains (depth stress) with random
     cross links — star contraction must converge inside the round
