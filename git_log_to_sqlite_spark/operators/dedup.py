@@ -192,6 +192,88 @@ def _band_keys(
     )
 
 
+def _hot_key_set(
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_abs: int | None,
+    quantile: float | None,
+    quantile_headroom: int = 1,
+    observation: "Observation | None" = None,
+    dropped_name: str = "keys_dropped",
+    avoided: str = "pairs",
+) -> DataFrame:
+    """The ONE hot-key derivation every skew valve shares (jaccard
+    shingles, minhash/simhash band buckets, substring windows —
+    previously three drifting copies): (1) a map-combinable count per
+    key over ``keyed`` — partial counts combine map-side, so the count
+    shuffle is skew-free by construction; (2) cap = ``max_abs``, or
+    ``quantile_headroom`` x the q-quantile of the repeated-key count
+    distribution (:func:`_quantile_cap`, derived in-plan and broadcast
+    back; the headroom multiply is integer and mirrored in every SQL
+    oracle twin, so the engines cannot diverge by a rounding ulp);
+    (3) the above-cap key set, returned PINNED — one row per
+    degenerate key, near-zero rows in natural corpora, and the
+    quantile chain above it is three tiny serialized stages that
+    would otherwise re-execute on every consumption.
+
+    Exactly one of ``max_abs`` / ``quantile`` must be set; callers
+    validate mutual exclusion in their own parameter vocabulary.
+    Telemetry is EAGER (see :func:`_capped_bands`'s docstring for the
+    three measured AQE failure modes of a lazily-planned valve
+    observation): ``dropped_name`` counts capped keys, and ``avoided``
+    picks the second metric — ``"pairs"`` reports ``pairs_avoided`` =
+    sum d(d-1)/2 over capped keys (self-join callers), ``"rows"``
+    reports ``rows_dropped`` = sum d (probe-side callers). Sums
+    coalesce to 0 so an empty d>=2 histogram reports honest zeros,
+    never SQL NULL.
+    """
+    counts = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    if quantile is not None or observation is not None:
+        # quantile route: counts is consumed twice (histogram, then
+        # hot filter) — 16 B per distinct repeated key, the smallest
+        # aggregate in any caller. Absolute route with telemetry: the
+        # eager metrics job below would re-aggregate the stream
+        # without the pin. pin() registers it for release_caches().
+        counts = pin(counts)
+    if quantile is not None:
+        # 1-row broadcast: every count row sees the derived cap (a
+        # BuildRight nested-loop join whose build side is ONE row —
+        # the broadcast-scalar plan, not a data x data nested loop).
+        hot = counts.crossJoin(
+            F.broadcast(
+                _quantile_cap(
+                    counts.select(F.col("d").cast("long").alias("d")), quantile
+                )
+            )
+        )
+        cap = F.col("_max_df") * F.lit(quantile_headroom)
+    else:
+        hot = counts
+        cap = F.lit(max_abs)
+    if observation is not None:
+        d = F.col("d").cast("long")
+        if avoided == "pairs":
+            second = F.coalesce(
+                F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0)), F.lit(0)
+            ).cast("long").alias("pairs_avoided")
+        else:
+            second = F.coalesce(
+                F.sum(F.when(d > cap, d).otherwise(0)), F.lit(0)
+            ).cast("long").alias("rows_dropped")
+        hot.observe(
+            observation,
+            F.coalesce(F.sum((d > cap).cast("long")), F.lit(0)).alias(
+                dropped_name
+            ),
+            second,
+        ).count()  # JVM-only drain; completes the Observation
+    return pin(hot.filter(F.col("d").cast("long") > cap).select(*key_cols))
+
+
 def _capped_bands(
     bands: DataFrame,
     max_band_size: int | None,
@@ -286,80 +368,15 @@ def _capped_bands(
                 "from the cause"
             )
         return bands
-    counts = (
-        bands.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= 2)
-    )
-    if observation is not None and max_band_size is not None:
-        # the absolute-cap route normally leaves counts unpinned; the
-        # eager metrics job below would re-aggregate the bands table,
-        # so pin it (one row per repeated bucket) for the reuse.
-        counts = pin(counts)
-    if band_size_quantile is not None:
-        # consumed twice (histogram, then hot-bucket filter): persist —
-        # one row per repeated (band, band_key), the smallest aggregate
-        # in the operator. pin() registers it for release_caches().
-        counts = pin(counts)
-        hot = counts.crossJoin(
-            F.broadcast(
-                _quantile_cap(
-                    counts.select(F.col("d").cast("long").alias("d")),
-                    band_size_quantile,
-                )
-            )
-        )
-        # integer multiply — the SQL oracle twin applies the same
-        # factor, so the two engines cannot diverge by a rounding ulp
-        cap = F.col("_max_df") * F.lit(quantile_headroom)
-    else:
-        hot = counts
-        cap = F.lit(max_band_size)
-    if observation is not None:
-        d = F.col("d").cast("long")
-        # coalesce(.., 0): with NO repeated buckets the d>=2 histogram
-        # is empty, SQL sum-over-empty is NULL (and under the quantile
-        # route d > NULL _max_df is NULL row-wise too), and telemetry
-        # consumers doing arithmetic on Observation.get would get None.
-        # The honest no-hot-bucket report is 0, not NULL.
-        if join_shape == "self":
-            dropped = F.coalesce(
-                F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0)), F.lit(0)
-            ).cast("long").alias("pairs_avoided")
-        else:
-            dropped = F.coalesce(
-                F.sum(F.when(d > cap, d).otherwise(0)), F.lit(0)
-            ).cast("long").alias("rows_dropped")
-        # Eager completion: observe a dedicated twin of the count+cap
-        # frame and drain it NOW with its own action. The observe node
-        # is at the ROOT of this tiny query (above every exchange), so
-        # AQE cannot bury it in a query stage, prune it with an empty
-        # build side, or duplicate it through a self-join — the three
-        # measured ways a lazily-planned valve observation loses its
-        # metrics row (docstring). Cost: one job over the pinned
-        # 16 B/repeated-bucket count table, plus building that pin
-        # early (the consuming query reuses it).
-        hot.observe(
-            observation,
-            F.coalesce(F.sum((d > cap).cast("long")), F.lit(0)).alias(
-                "bands_dropped"
-            ),
-            dropped,
-        ).count()  # JVM-only drain; completes the Observation
-    # Pin the FILTERED hot set, not just the count table: the hot-set
-    # derivation above it (df histogram -> global quantile window ->
-    # 1-row cap broadcast -> filter) is three tiny but serialized
-    # stages that otherwise re-execute on every consumption — and the
-    # self-join callers consume this frame twice (sides a and b), so
-    # without the pin even one query pays the chain twice unless
-    # exchange reuse happens to fire. The cached frame is bounded by
-    # construction: one (band, band_key) row per DEGENERATE bucket —
-    # near-zero rows in natural corpora at any scale. Measured at
-    # sf0.1: the valve's warm per-run cost drops from ~0.38 s to
-    # ~0.17 s over the uncapped operator, with pair sets unchanged.
-    # pin() registers it for release_caches()/cache_scope().
-    hot = pin(
-        hot.filter(F.col("d").cast("long") > cap).select("band", "band_key")
+    hot = _hot_key_set(
+        bands,
+        ["band", "band_key"],
+        max_band_size,
+        band_size_quantile,
+        quantile_headroom=quantile_headroom,
+        observation=observation,
+        dropped_name="bands_dropped",
+        avoided="pairs" if join_shape == "self" else "rows",
     )
     return bands.join(hot, ["band", "band_key"], "left_anti")
 
@@ -605,57 +622,17 @@ def ngram_jaccard_pairs(
         # exploded (id, shingle) stream instead would cache
         # ~16 B x every shingle occurrence (corpus-sized), strictly
         # worse at scale.
-        counts = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= 2)
+        hot = _hot_key_set(
+            sh,
+            ["shingle"],
+            max_df,
+            max_df_quantile,
+            quantile_headroom=1,  # direct quantile: rare shingles carry
+            # the pairs, so the tight cap is lossless (pair-set tests)
+            observation=observation,
+            dropped_name="shingles_dropped",
+            avoided="pairs",
         )
-        if max_df_quantile is not None:
-            # The cap is a global statistic of the count table, which
-            # is consumed twice (histogram, then hot-set filter):
-            # persist it once — (shingle, d) is 16 B per distinct
-            # repeated shingle, the smallest aggregate in the operator.
-            # pin() registers it for release_caches()/cache_scope().
-            counts = pin(counts)
-            # 1-row broadcast: every count row sees the derived cap (a
-            # BuildRight nested-loop join whose build side is ONE row —
-            # the broadcast-scalar plan, not a data x data nested loop).
-            hot = counts.crossJoin(
-                F.broadcast(
-                    _quantile_cap(
-                        counts.select(F.col("d").cast("long").alias("d")),
-                        max_df_quantile,
-                    )
-                )
-            )
-            cap = F.col("_max_df")
-        else:
-            hot = counts
-            cap = F.lit(max_df)
-        if observation is not None:
-            d = F.col("d").cast("long")
-            # Eager telemetry, same contract and for the same three
-            # measured AQE failure modes as _capped_bands (see its
-            # docstring): observe a twin of the count+cap frame at the
-            # root of its own tiny query and drain it now. coalesce
-            # (.., 0) because sum-over-empty is SQL NULL when no
-            # shingle repeats.
-            if max_df is not None:
-                # quantile route pins counts above; pin here too so
-                # the metrics job and the hot filter share one build
-                counts = pin(counts)
-                hot = counts
-            hot.observe(
-                observation,
-                F.coalesce(F.sum((d > cap).cast("long")), F.lit(0)).alias(
-                    "shingles_dropped"
-                ),
-                F.coalesce(
-                    F.sum(F.when(d > cap, d * (d - 1) / 2).otherwise(0)),
-                    F.lit(0),
-                ).cast("long").alias("pairs_avoided"),
-            ).count()
-        hot = hot.filter(F.col("d").cast("long") > cap).select("shingle")
         # No broadcast HINT on the anti-join: the hot set is the top
         # (1-q) fraction of distinct repeated shingles, which grows
         # LINEARLY with corpus size — at the 100-TB design point a
@@ -736,6 +713,7 @@ def substring_span_pairs(
     max_df: int | None = None,
     max_df_quantile: float | None = None,
     quantile_headroom: int = 10,
+    observation: "Observation | None" = None,
 ) -> DataFrame:
     """Exact-substring dedup: for every document pair sharing a
     verbatim token run of >= ``min_run_tokens`` tokens, report the
@@ -802,7 +780,10 @@ def substring_span_pairs(
       operators; runs are measured in tokens, not characters.
 
     Returns ``(id_a, id_b, longest_run_tokens, n_shared_windows)``
-    with ``longest_run_tokens >= min_run_tokens``.
+    with ``longest_run_tokens >= min_run_tokens``. Pass an
+    :class:`~pyspark.sql.Observation` (requires a cap) to receive
+    eager ``windows_dropped`` / ``pairs_avoided`` telemetry — same
+    contract as every valve caller (:func:`_hot_key_set`).
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -813,6 +794,12 @@ def substring_span_pairs(
         )
     if max_df is not None and max_df_quantile is not None:
         raise ValueError("max_df and max_df_quantile are mutually exclusive")
+    if observation is not None and max_df is None and max_df_quantile is None:
+        raise ValueError(
+            "observation requires a cap (max_df or max_df_quantile); "
+            "without one it would never be attached and Observation.get "
+            "would block/raise far from the cause"
+        )
     k = window
     w = (
         _spread(df)
@@ -825,48 +812,49 @@ def substring_span_pairs(
         .select("_id", "pos", F.xxhash64("gram").alias("h"))
     )
     if max_df is not None or max_df_quantile is not None:
-        counts = (
-            w.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= 2)
+        hot = _hot_key_set(
+            w,
+            ["h"],
+            max_df,
+            max_df_quantile,
+            quantile_headroom=quantile_headroom,
+            observation=observation,
+            dropped_name="windows_dropped",
+            avoided="pairs",
         )
-        if max_df_quantile is not None:
-            counts = pin(counts)
-            hot = counts.crossJoin(
-                F.broadcast(
-                    _quantile_cap(
-                        counts.select(F.col("d").cast("long").alias("d")),
-                        max_df_quantile,
-                    )
-                )
-            )
-            # integer multiply, mirrored in the SQL oracle (same
-            # rationale as the minhash valve's spread guard)
-            cap = F.col("_max_df") * F.lit(quantile_headroom)
-        else:
-            hot = counts
-            cap = F.lit(max_df)
-        # Pin the FILTERED hot set (same reasoning as _capped_bands):
-        # the quantile chain above it is three tiny serialized stages
-        # that would otherwise re-execute per consumption; the cached
-        # frame is one row per degenerate window — near-zero rows.
-        hot = pin(hot.filter(F.col("d").cast("long") > cap).select("h"))
         w = w.join(hot, "h", "left_anti")
     postings = (
         w.groupBy("h")
-        .agg(F.collect_list(F.struct("_id", "pos")).alias("occ"))
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "pos"))).alias("occ"))
         .filter(F.size("occ") >= 2)
     )
-    m = (
-        postings.select(F.explode("occ").alias("x"), "occ")
-        .select("x", F.explode("occ").alias("y"))
-        .filter(F.col("x._id") < F.col("y._id"))
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            (F.col("x.pos") - F.col("y.pos")).alias("diag"),
-            F.col("x.pos").alias("pos_a"),
+    # Ordered (i < j) occurrence pairs via the jaccard slice/transform
+    # form — emits c(c-1)/2 cells per posting instead of the c^2 a
+    # full double-explode produces (self-pairs + both orientations,
+    # then filtered): on the operator's hottest stage that halves the
+    # exploded row volume. occ is sorted by (_id, pos), so i < j
+    # implies x._id <= y._id and the only cells left to drop are
+    # same-document ones. The lambdas reference occ — a materialized
+    # aggregate ATTRIBUTE, not a recomputed expression — so the HOF
+    # capture rule (shingles() docstring) is not violated.
+    pair_array = F.flatten(
+        F.transform(
+            F.col("occ"),
+            lambda x, i: F.transform(
+                F.slice(F.col("occ"), i + 2, F.size(F.col("occ"))),
+                lambda y: F.struct(
+                    x["_id"].alias("id_a"),
+                    y["_id"].alias("id_b"),
+                    (x["pos"] - y["pos"]).alias("diag"),
+                    x["pos"].alias("pos_a"),
+                ),
+            ),
         )
+    )
+    m = (
+        postings.select(F.explode(pair_array).alias("p"))
+        .filter(F.col("p.id_a") < F.col("p.id_b"))
+        .select("p.id_a", "p.id_b", "p.diag", "p.pos_a")
     )
     isl_w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     runs = (
@@ -977,10 +965,11 @@ def simhash_pairs(
     exactness on pairs whose ONLY agreeing slice was the degenerate
     one — the same documented trade as the minhash valve.
     """
-    # simhash() validates bits <= 60; hamming_pairs re-validates the
-    # banding arithmetic, so a bad pair call fails before any jobs run
-    if not 1 <= bits <= 60:
-        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    # Validate EVERYTHING before the pin: a bad call must fail before
+    # any side effect — pin() registers a persist in the cache
+    # registry, and an invalid-arguments exception after it would leak
+    # that never-materialized entry until release_caches().
+    _validate_banding(bits, bands, max_hamming)
     sig = pin(simhash(df, id_col, text_col, bits))
     return hamming_pairs(
         sig,
@@ -993,6 +982,21 @@ def simhash_pairs(
         band_size_quantile=band_size_quantile,
         observation=observation,
     )
+
+
+def _validate_banding(bits: int, bands: int, max_hamming: int) -> None:
+    """Shared banding-argument validation for the Hamming pair stage —
+    called by every entry point BEFORE any side effect (pins run first
+    otherwise and would leak registry entries on invalid calls)."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole recall guarantee"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
 
 
 def hamming_pairs(
@@ -1020,15 +1024,7 @@ def hamming_pairs(
     ``sig`` must carry one row per id; signatures are non-negative
     BIGINTs below 2^bits. Returns ``(id_a, id_b, hamming)``.
     """
-    if bands <= max_hamming:
-        raise ValueError(
-            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
-            "for the pigeonhole recall guarantee"
-        )
-    if bits % bands != 0:
-        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
-    if not 1 <= bits <= 60:
-        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    _validate_banding(bits, bands, max_hamming)
     width = bits // bands
     mask = (1 << width) - 1
     band_entries = F.array(
@@ -1323,11 +1319,24 @@ class SignatureStore:
         self.shingle_n = shingle_n
 
     def exists(self) -> bool:
+        """True iff the store's signature table exists at the path.
+
+        Only a genuinely-missing path maps to False. Any OTHER failure
+        (transient IO, permissions, a momentarily unreachable object
+        store) propagates: conflating it with "never bootstrapped"
+        would make :meth:`ingest`'s fail-fast guard advise calling
+        bootstrap() — whose mode("overwrite") would destroy a live
+        history table — on a store that merely hiccuped.
+        """
+        from pyspark.errors import AnalysisException
+
         try:
             self.spark.read.parquet(self.path).schema
             return True
-        except Exception:
-            return False
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return False
+            raise
 
     def signatures_for(self, df: DataFrame, text_col: str) -> DataFrame:
         """Wide signatures of ``df`` under the store's parameters."""

@@ -279,6 +279,7 @@ def image_near_dup_pairs(
     grid_fn: Callable[[bytes, int, int], list[int]] | None = None,
     max_band_size: int | None = None,
     band_size_quantile: float | None = None,
+    observation=None,
 ) -> DataFrame:
     """Image near-duplicate pairs: :func:`image_dhash` feeding
     :func:`~git_log_to_sqlite_spark.operators.dedup.hamming_pairs` —
@@ -287,10 +288,13 @@ def image_near_dup_pairs(
     ``bands > max_hamming``, hot-band valve for degenerate hashes —
     e.g. flat-color images all hashing to 0). Returns
     ``(id_a, id_b, hamming)``. The dHash pin means the decode runs
-    once, not once per band join branch."""
+    once, not once per band join branch. ``observation`` (requires a
+    cap) receives the same eager ``bands_dropped`` telemetry as every
+    valve caller — see ``dedup._hot_key_set``."""
     from .caching import pin
-    from .dedup import hamming_pairs
+    from .dedup import _validate_banding, hamming_pairs
 
+    _validate_banding(rows * cols, bands, max_hamming)  # before the pin
     sig = pin(image_dhash(media, rows, cols, grid_fn))
     return hamming_pairs(
         sig,
@@ -301,6 +305,7 @@ def image_near_dup_pairs(
         max_hamming=max_hamming,
         max_band_size=max_band_size,
         band_size_quantile=band_size_quantile,
+        observation=observation,
     )
 
 

@@ -548,6 +548,85 @@ def test_substring_spans_cap_lower_bounds(spark):
     assert set(capped) <= set(uncapped)
 
 
+def test_substring_spans_telemetry(spark):
+    """The substring valve joins the shared eager-telemetry contract:
+    windows_dropped / pairs_avoided readable immediately, zeros (not
+    None / not a raise) when nothing lands over the cap, real counts
+    when a degenerate window fires it."""
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import substring_span_pairs
+
+    rows = [
+        (100, "p1 p2 p3 p4 p5 p6 p7 p8"),
+        (101, "p1 p2 p3 p4 p5 p6 p7 p8"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation()
+    got = substring_span_pairs(
+        docs, "doc_id", "text", window=4, min_run_tokens=4,
+        max_df=50, observation=obs,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(100, 101)}
+    assert obs.get == {"windows_dropped": 0, "pairs_avoided": 0}
+
+    # degenerate window shared by 30 docs, cap 10 -> fires
+    rows2 = rows + [(i, f"u{i}a HOT WIN DOW TEXT u{i}b") for i in range(30)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    obs2 = Observation()
+    substring_span_pairs(
+        docs2, "doc_id", "text", window=4, min_run_tokens=4,
+        max_df=10, observation=obs2,
+    ).collect()
+    m = obs2.get
+    assert m["windows_dropped"] >= 1 and m["pairs_avoided"] >= 30 * 29 // 2
+    with pytest.raises(ValueError, match="observation requires a cap"):
+        substring_span_pairs(
+            docs, "doc_id", "text", window=4, min_run_tokens=4,
+            observation=Observation(),
+        )
+
+
+def test_banding_validation_precedes_pins(spark):
+    """Invalid banding arguments must fail BEFORE any pin() side
+    effect — pre-fix, simhash_pairs pinned the signature frame and
+    then raised, leaking a never-materialized registry entry until
+    release_caches()."""
+    from git_log_to_sqlite_spark.operators import simhash_pairs
+    from git_log_to_sqlite_spark.operators.caching import _LIVE, release_caches
+    from git_log_to_sqlite_spark.operators.multimodal import image_near_dup_pairs
+
+    release_caches()
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_pairs(docs, "doc_id", "text", bits=32, bands=5)
+    assert _LIVE == []
+    media = spark.createDataFrame(
+        [(1, b"xyz", "image/raw", 3)],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        image_near_dup_pairs(media, max_hamming=5, bands=4)
+    assert _LIVE == []
+
+
+def test_signature_store_exists_distinguishes_missing_from_broken(spark, tmp_path):
+    """exists() maps ONLY a missing path to False; any other failure
+    (here: an existing directory that is not a parquet table, standing
+    in for transient IO) propagates — returning False would make
+    ingest()'s guard advise a destructive re-bootstrap of a live
+    store."""
+    from git_log_to_sqlite_spark.operators import SignatureStore
+
+    missing = SignatureStore(spark, str(tmp_path / "nope"))
+    assert not missing.exists()
+    broken_dir = tmp_path / "broken"
+    broken_dir.mkdir()
+    broken = SignatureStore(spark, str(broken_dir))
+    with pytest.raises(Exception, match="(?i)unable_to_infer|schema"):
+        broken.exists()
+
+
 def test_substring_spans_validation(spark):
     from git_log_to_sqlite_spark.operators import substring_span_pairs
 
