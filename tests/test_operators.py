@@ -1411,7 +1411,9 @@ def test_operator_cache_lifecycle(spark, oracle_sf_dir):
         docs, "doc_id", "text", threshold=0.2, max_df_quantile=0.92
     ).count()
     n_first = len(caching._LIVE)
-    assert n_first == 3  # per-doc sizes + per-shingle counts + postings
+    # per-doc sizes + per-shingle counts + pinned hot-shingle set
+    # (round 9: _hot_key_set pins the filtered hot set) + postings
+    assert n_first == 4
     ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.2, max_df_quantile=0.92
     ).count()
