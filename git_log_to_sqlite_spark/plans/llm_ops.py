@@ -138,10 +138,11 @@ _SUBSTR_HEADROOM = 10  # cap = headroom x p92 (minhash-valve form: run
 # equals uncapped exactly while degenerate windows stay bounded)
 
 
-@register(
-    "dedup_substring_spans",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+# Shared CTE chain of the two substring oracles (spans + groups):
+# positional windows -> occurrence spread guard -> match cells ->
+# gaps-and-islands runs. Kept as ONE constant so the cap arithmetic
+# cannot drift between the twins.
+_SQL_SUBSTR_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
     wins AS (
       SELECT doc_id, g.i AS pos,
              array_to_string(list_slice(a, g.i, g.i + {_SUBSTR_K - 1}), ' ') AS gram
@@ -163,7 +164,13 @@ _SUBSTR_HEADROOM = 10  # cap = headroom x p92 (minhash-valve form: run
                PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
       FROM m),
     runs AS (SELECT doc_a, doc_b, COUNT(*) AS men
-             FROM isl GROUP BY doc_a, doc_b, diag, grp)
+             FROM isl GROUP BY doc_a, doc_b, diag, grp)"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SQL_SUBSTR_CTES}
     SELECT doc_a, doc_b,
            CAST(MAX(men) + {_SUBSTR_K - 1} AS BIGINT) AS longest_run_tokens,
            CAST(SUM(men) AS BIGINT) AS n_shared_windows
@@ -196,6 +203,54 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         "longest_run_tokens",
         "n_shared_windows",
+    )
+
+
+@register(
+    "dedup_substring_groups",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SUBSTR_CTES},
+    spairs AS (
+      SELECT doc_a, doc_b FROM runs GROUP BY doc_a, doc_b
+      HAVING MAX(men) + {_SUBSTR_K - 1} >= {_SUBSTR_MIN_RUN}),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM spairs
+            UNION SELECT doc_b, doc_a FROM spairs),
+    reach(node, label) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON r.node = s.src),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           CAST(d.doc_id = COALESCE(c.component, d.doc_id) AS INT) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    doc="Passage-sharing GROUP assignment: exact-substring pairs "
+    "(dedup_substring_spans' parameters) become transitive-closure "
+    "clusters via operators.graph.connected_components — the "
+    "boilerplate-family view of the corpus (every document sharing a "
+    ">= 12-token verbatim passage chain lands in one group, min-id "
+    "survivor flagged), completing the substring modality's "
+    "pairs -> groups pipeline exactly as the jaccard and minhash "
+    "modalities have. The oracle recomputes the closure with a "
+    "recursive CTE over the shared substring CTE chain.",
+)
+def dedup_substring_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import assign_dedup_groups
+
+    d = table(spark, sf_dir, "documents")
+    pairs = dd.substring_span_pairs(
+        d, "doc_id", "text",
+        window=_SUBSTR_K,
+        min_run_tokens=_SUBSTR_MIN_RUN,
+        max_df_quantile=_SUBSTR_Q,
+        quantile_headroom=_SUBSTR_HEADROOM,
+    )
+    out = assign_dedup_groups(d, pairs, "doc_id")
+    return out.select(
+        "doc_id",
+        "group_id",
+        F.col("is_survivor").cast("int").alias("is_survivor"),
     )
 
 
