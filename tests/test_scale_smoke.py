@@ -382,6 +382,49 @@ def test_minhash_band_cap_bounds_degenerate_key(spark):
     assert obs.get["pairs_avoided"] == 4 * n * (n - 1) // 2
 
 
+def test_substring_cap_bounds_degenerate_window(spark):
+    """The substring analog of the stop-shingle scenario: 2,000
+    documents all containing one IDENTICAL 4-token boilerplate window
+    would emit ~2M match cells for that window alone. The 10 x p92
+    occurrence spread guard (anchored at 2 by 100 planted twin pairs
+    -> cap 20) must anti-filter the degenerate window BEFORE the
+    posting collect + pair explode: telemetry reports the avoided
+    quadratic mass, the planted twin runs all survive with their
+    exact lengths, and no boilerplate-only pair is emitted."""
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import (
+        release_caches,
+        substring_span_pairs,
+    )
+
+    n = 2000
+    # degenerate docs: unique filler around ONE shared 4-token window
+    rows = [(i, f"u{i}a u{i}b COMMON BOILER PLATE STUB u{i}c") for i in range(n)]
+    # 100 planted twin pairs sharing a full 8-token text (runs of 8)
+    rows += [
+        (100_000 + 2 * p + s, " ".join(f"p{p}w{j}" for j in range(8)))
+        for p in range(100)
+        for s in (0, 1)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("degenerate_window")
+    got = {
+        (r["id_a"], r["id_b"]): r["longest_run_tokens"]
+        for r in substring_span_pairs(
+            docs, "doc_id", "text", window=4, min_run_tokens=4,
+            max_df_quantile=0.92, observation=obs,
+        ).collect()
+    }
+    release_caches()
+    assert got == {
+        (100_000 + 2 * p, 100_001 + 2 * p): 8 for p in range(100)
+    }
+    m = obs.get
+    assert m["windows_dropped"] == 1
+    assert m["pairs_avoided"] == n * (n - 1) // 2
+
+
 def test_incremental_band_cap_bounds_degenerate_history(spark):
     """Incremental twin: the valve counts HISTORY-side buckets, so a
     degenerate history key (2,000 identical near-empty docs) is
