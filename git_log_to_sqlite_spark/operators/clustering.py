@@ -95,6 +95,14 @@ def kmeans(
     Stops early when no centroid moves more than ``tol`` (squared).
     Empty clusters keep their previous centroid.
     """
+    # Deliberately NOT pinned: the loop does re-scan df per iteration,
+    # but an A/B at the bench SF measured no win from caching it
+    # (pinned 4.2-9.6 s vs unpinned 3.8 s for the 5-iteration fit) —
+    # per-iteration cost is codegen compile of the fresh centroid
+    # literals plus job dispatch, not the scan, and the cache build
+    # only adds overhead. Callers with an expensive upstream (a parsed
+    # or filtered corpus rather than a plain parquet read) should pin
+    # the input themselves before calling.
     init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     centroids = [list(r[vec_col]) for r in init_rows]
     if len(centroids) < k:
