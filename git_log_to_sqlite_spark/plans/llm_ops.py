@@ -1019,6 +1019,15 @@ def curate_corpus(d: DataFrame, telemetry: dict | None = None) -> DataFrame:
     nodes INSIDE the single plan execution, the retention accounting a
     production curation run reports without re-running any stage
     (each ``Observation.get`` blocks until the query's action runs).
+
+    Placement audit (round 9, after the valve-telemetry AQE failures —
+    see ``operators.dedup._capped_bands``): these observes are safe as
+    LAZY CollectMetrics because they sit on the SPINE of the plan —
+    every row of the result flows through them, so the nodes land in
+    stages that always materialize, never in a join build side AQE can
+    prune or a subtree a self-join duplicates. Re-verified by draining
+    both composite funnels at the bench SF. Keep new funnel metrics on
+    the spine; anything observed off-spine must use the eager pattern.
     """
     from pyspark.sql import Observation
 
