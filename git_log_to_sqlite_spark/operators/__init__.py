@@ -20,6 +20,7 @@ from .dedup import (
     exact_dedup,
     hamming_pairs,
     incremental_minhash_dedup,
+    incremental_substring_spans,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -27,6 +28,7 @@ from .dedup import (
     simhash,
     simhash_pairs,
     substring_span_pairs,
+    window_table,
 )
 from .similarity import (
     IvfIndex,
@@ -68,12 +70,14 @@ __all__ = [
     "exact_dedup",
     "hamming_pairs",
     "incremental_minhash_dedup",
+    "incremental_substring_spans",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "shingles",
     "simhash",
     "substring_span_pairs",
+    "window_table",
     "simhash_pairs",
     "IvfIndex",
     "brute_force_topk",

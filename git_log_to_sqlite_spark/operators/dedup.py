@@ -704,6 +704,28 @@ def positional_windows(tokens: Column, k: int) -> Column:
     )
 
 
+def window_table(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """``(_id, pos, h)`` positional-window hash table — the
+    persistable artifact of the substring modality (the analog of a
+    minhash signature table: a daily pipeline materializes history's
+    window table once as parquet and every increment probes it via
+    :func:`incremental_substring_spans` without re-tokenizing history).
+    One row per token position at ~24 B/row; the window text itself
+    never persists, only its 8-byte xxhash64."""
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                positional_windows(F.split(F.col(text_col), " "), window)
+            ).alias("pos", "gram"),
+        )
+        .select("_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+
+
 def substring_span_pairs(
     df: DataFrame,
     id_col: str,
@@ -801,16 +823,7 @@ def substring_span_pairs(
             "would block/raise far from the cause"
         )
     k = window
-    w = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(
-                positional_windows(F.split(F.col(text_col), " "), k)
-            ).alias("pos", "gram"),
-        )
-        .select("_id", "pos", F.xxhash64("gram").alias("h"))
-    )
+    w = window_table(df, id_col, text_col, k)
     if max_df is not None or max_df_quantile is not None:
         hot = _hot_key_set(
             w,
@@ -856,20 +869,127 @@ def substring_span_pairs(
         .filter(F.col("p.id_a") < F.col("p.id_b"))
         .select("p.id_a", "p.id_b", "p.diag", "p.pos_a")
     )
-    isl_w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    return _island_spans(m, "id_a", "id_b", k, min_run_tokens)
+
+
+def _island_spans(
+    m: DataFrame, a_col: str, b_col: str, k: int, min_run_tokens: int
+) -> DataFrame:
+    """Gaps-and-islands tail shared by the batch and incremental
+    substring operators: match cells (a, b, diag, pos_a) -> per-pair
+    longest run + cell count. ONE window partitioned by (a, b, diag)
+    — millions of small groups, never global — whose island aggregate
+    rides the same exchange (grouping on a superset of the partition
+    keys needs no re-shuffle)."""
+    isl_w = Window.partitionBy(a_col, b_col, "diag").orderBy("pos_a")
     runs = (
         m.withColumn("grp", F.col("pos_a") - F.row_number().over(isl_w))
-        .groupBy("id_a", "id_b", "diag", "grp")
+        .groupBy(a_col, b_col, "diag", "grp")
         .agg(F.count(F.lit(1)).alias("m"))
     )
     return (
-        runs.groupBy("id_a", "id_b")
+        runs.groupBy(a_col, b_col)
         .agg(
             (F.max("m") + F.lit(k - 1)).alias("longest_run_tokens"),
             F.sum("m").alias("n_shared_windows"),
         )
         .filter(F.col("longest_run_tokens") >= min_run_tokens)
     )
+
+
+def incremental_substring_spans(
+    history: DataFrame | None,
+    increment: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_run_tokens: int = 16,
+    max_df: int | None = None,
+    max_df_quantile: float | None = None,
+    quantile_headroom: int = 10,
+    history_windows: DataFrame | None = None,
+    observation: "Observation | None" = None,
+) -> DataFrame:
+    """Passage-level dedup of a daily batch against accumulated
+    history — :func:`substring_span_pairs`' production increment
+    shape, mirroring :func:`incremental_minhash_dedup`'s contract:
+    history is NEVER self-joined and, when ``history_windows`` is
+    passed (a persisted :func:`window_table`), never re-tokenized —
+    each day tokenizes only its increment and probes the stored
+    (id, pos, h) table.
+
+    Returns ``(inc_id, hist_id, longest_run_tokens,
+    n_shared_windows)`` for every increment x history pair sharing a
+    verbatim run of >= ``min_run_tokens`` tokens — exact
+    gaps-and-islands semantics identical to the batch operator
+    restricted to cross-split pairs (equality-tested). Increment-
+    internal duplicates are deliberately out of scope (run the batch
+    operator within the day), exactly as in the minhash twin.
+
+    The occurrence cap is derived from the HISTORY side only (the
+    increment cannot skew a quantile computed before it arrives, and
+    history boilerplate is what multiplies every future probe);
+    above-cap windows anti-filter the history table BEFORE the probe
+    join, so per-window candidate mass is bounded by
+    |increment occurrences| x cap. Telemetry reports
+    ``windows_dropped`` / ``rows_dropped`` (probe shape — the avoided
+    candidates are unknowable from the history side alone, same
+    argument as the minhash probe valve).
+
+    ``history_windows`` is deliberately NOT pinned (at scale it is a
+    column-pruned parquet scan consumed once); windows derived from
+    ``history`` text are not pinned either — unlike minhash signatures
+    the window table is consumed exactly once here, so a cache would
+    only add write cost.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if min_run_tokens < window:
+        raise ValueError(
+            f"min_run_tokens ({min_run_tokens}) must be >= window ({window}): "
+            "a shorter run has no complete window and cannot be observed"
+        )
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("max_df and max_df_quantile are mutually exclusive")
+    if observation is not None and max_df is None and max_df_quantile is None:
+        raise ValueError(
+            "observation requires a cap (max_df or max_df_quantile); "
+            "without one it would never be attached and Observation.get "
+            "would block/raise far from the cause"
+        )
+    if (history is None) == (history_windows is None):
+        raise ValueError("exactly one of history / history_windows is required")
+    if history_windows is not None:
+        missing = {"_id", "pos", "h"} - set(history_windows.columns)
+        if missing:
+            raise ValueError(f"history_windows missing columns: {sorted(missing)}")
+        wh = history_windows
+    else:
+        wh = window_table(history, id_col, text_col, window)
+    wi = window_table(increment, id_col, text_col, window)
+    if max_df is not None or max_df_quantile is not None:
+        hot = _hot_key_set(
+            wh,
+            ["h"],
+            max_df,
+            max_df_quantile,
+            quantile_headroom=quantile_headroom,
+            observation=observation,
+            dropped_name="windows_dropped",
+            avoided="rows",
+        )
+        wh = wh.join(hot, "h", "left_anti")
+    m = (
+        wi.alias("i")
+        .join(wh.alias("hh"), F.col("i.h") == F.col("hh.h"))
+        .select(
+            F.col("i._id").alias("inc_id"),
+            F.col("hh._id").alias("hist_id"),
+            (F.col("i.pos") - F.col("hh.pos")).alias("diag"),
+            F.col("i.pos").alias("pos_a"),
+        )
+    )
+    return _island_spans(m, "inc_id", "hist_id", window, min_run_tokens)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -53,32 +53,34 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 # Round-9 rotation (executing the plan pre-staged in round 8, plus
-# this round's additions): the four queries with no driver row yet
-# lead — `dedup_substring_spans` + `dedup_substring_groups` (NEW:
-# exact-substring dedup, pairs and transitive-closure groups),
-# `sim_ann_ivf_assign` (NEW: the oracle-gated deterministic tail of
-# IVF ANN), and `dedup_simhash_pairs` (registered in round 8) — per
-# the standing new-query precedent.  Then the seven zero-shuffle
-# projections that spilled past round 8's slot 50 (oldest driver
-# rows — round 6), then the round-7-gated block in its standing gate
-# order.  4 + 7 + 50 names against a 50-slot prefix means eleven
-# round-7 rows spill to round 10; per the standing precedent the
-# spill is steered onto the lowest-risk deterministic tail of that
-# block (the five setops, the two sorts, the fn_higher_order /
-# fn_cast / fn_map scalar projections, and the bounded 25-nation
-# join_cross — each a pure Catalyst plan over static parquet, no
-# timestamp, streaming, or encoding surface), never onto the
-# streaming-replay, ETL-parity, or composite-pipeline rows, so those
-# eleven move to the list tail and lead the pre-staged round-10
-# rotation.  The corpus is 116 registered queries (111
-# oracle-bearing, 5 oracle-less tail) against a 2x50 gate — an
-# 11-name oracle overhang, so the freshness cycle stays ~2.3 rounds;
-# grow the corpus further only if the gate grows.
+# this round's additions): the five queries with no driver row yet
+# lead — `dedup_substring_spans` + `dedup_substring_groups` +
+# `dedup_incremental_substring` (NEW: exact-substring dedup — pairs,
+# transitive-closure groups, and the daily-increment-vs-history
+# production shape), `sim_ann_ivf_assign` (NEW: the oracle-gated
+# deterministic tail of IVF ANN), and `dedup_simhash_pairs`
+# (registered in round 8) — per the standing new-query precedent.
+# Then the seven zero-shuffle projections that spilled past round 8's
+# slot 50 (oldest driver rows — round 6), then the round-7-gated
+# block in its standing gate order.  5 + 7 + 50 names against a
+# 50-slot prefix means twelve round-7 rows spill to round 10; per the
+# standing precedent the spill is steered onto the lowest-risk
+# deterministic tail of that block (the five setops, the two sorts,
+# the fn_higher_order / fn_cast / fn_map scalar projections, and the
+# bounded 25-nation join_cross / join_self_nation_pairs — each a pure
+# Catalyst plan over static parquet, no timestamp, streaming, or
+# encoding surface), never onto the streaming-replay, ETL-parity, or
+# composite-pipeline rows, so those twelve move to the list tail and
+# lead the pre-staged round-10 rotation.  The corpus is 117
+# registered queries (112 oracle-bearing, 5 oracle-less tail) against
+# a 2x50 gate — a 12-name oracle overhang, so the freshness cycle
+# stays ~2.3 rounds; grow the corpus further only if the gate grows.
 _prioritize(
     first=[
         # --- new queries with no driver row yet ---
         "dedup_substring_spans",
         "dedup_substring_groups",
+        "dedup_incremental_substring",
         "sim_ann_ivf_assign",
         "dedup_simhash_pairs",
         # --- round-6 holdovers (oldest driver rows; spilled past
@@ -90,8 +92,8 @@ _prioritize(
         "text_tokens",
         "text_fingerprint",
         "mm_binary_meta",
-        # --- round-7-gated block, standing gate order (39 of 50
-        #     names; the eleven setop/sort/scalar/cross rows below
+        # --- round-7-gated block, standing gate order (38 of 50
+        #     names; the twelve setop/sort/scalar/cross rows below
         #     spill to round 10) ---
         "pipeline_pretrain_corpus",
         "dedup_decontaminate",
@@ -109,7 +111,6 @@ _prioritize(
         "join_merge_hint",
         "join_semi",
         "join_anti",
-        "join_self_nation_pairs",
         "join_range_bands",
         "join_asof_last_event",
         "agg_grouping_sets",
@@ -144,6 +145,7 @@ _prioritize(
         "fn_cast",
         "fn_map",
         "join_cross",
+        "join_self_nation_pairs",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

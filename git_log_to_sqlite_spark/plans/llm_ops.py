@@ -129,6 +129,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_MOD = 5  # history/increment split modulus for the incremental gates
 _SUBSTR_K = 6  # window width in tokens
 _SUBSTR_MIN_RUN = 12  # report pairs sharing a verbatim run >= this many tokens
 _SUBSTR_Q = 0.92  # quantile anchor for the window occurrence spread guard
@@ -203,6 +204,63 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("doc_b"),
         "longest_run_tokens",
         "n_shared_windows",
+    )
+
+
+@register(
+    "dedup_incremental_substring",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    wins AS (
+      SELECT doc_id, g.i AS pos,
+             array_to_string(list_slice(a, g.i, g.i + {_SUBSTR_K - 1}), ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(a) - {_SUBSTR_K - 1})) AS i) g),
+    hwins AS (SELECT * FROM wins WHERE doc_id % {_INC_MOD} <> 0),
+    iwins AS (SELECT * FROM wins WHERE doc_id % {_INC_MOD} = 0),
+    hfreq AS (SELECT gram, COUNT(*) AS d FROM hwins GROUP BY gram),
+    hcaps AS ({_sql_quantile_cap("hfreq", _SUBSTR_Q)}),
+    h2 AS (
+      SELECT w.doc_id, w.pos, w.gram
+      FROM hwins w JOIN hfreq f ON f.gram = w.gram
+      JOIN hcaps ON f.d <= COALESCE(hcaps.max_df * {_SUBSTR_HEADROOM}, f.d)),
+    m AS (
+      SELECT i.doc_id AS inc_id, h.doc_id AS hist_id,
+             i.pos - h.pos AS diag, i.pos AS pos_a
+      FROM iwins i JOIN h2 h ON i.gram = h.gram),
+    isl AS (
+      SELECT inc_id, hist_id, diag, pos_a,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY inc_id, hist_id, diag ORDER BY pos_a) AS grp
+      FROM m),
+    runs AS (SELECT inc_id, hist_id, COUNT(*) AS men
+             FROM isl GROUP BY inc_id, hist_id, diag, grp)
+    SELECT inc_id, hist_id,
+           CAST(MAX(men) + {_SUBSTR_K - 1} AS BIGINT) AS longest_run_tokens,
+           CAST(SUM(men) AS BIGINT) AS n_shared_windows
+    FROM runs GROUP BY inc_id, hist_id
+    HAVING MAX(men) + {_SUBSTR_K - 1} >= {_SUBSTR_MIN_RUN}
+    """,
+    doc="Incremental exact-substring dedup (operators.dedup."
+    "incremental_substring_spans): the daily batch's passages probed "
+    "against accumulated history — history is never self-joined and, "
+    "with a persisted window_table, never re-tokenized (the substring "
+    "analog of the minhash SignatureStore contract). The occurrence "
+    "spread guard derives from the HISTORY side only and anti-filters "
+    "it before the probe join, bounding per-window candidates by "
+    "|increment occurrences| x cap; exact cross-split gaps-and-"
+    "islands semantics, equality-tested against the batch operator.",
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % _INC_MOD != 0)
+    increment = d.filter(F.col("doc_id") % _INC_MOD == 0)
+    return dd.incremental_substring_spans(
+        history, increment, "doc_id", "text",
+        window=_SUBSTR_K,
+        min_run_tokens=_SUBSTR_MIN_RUN,
+        max_df_quantile=_SUBSTR_Q,
+        quantile_headroom=_SUBSTR_HEADROOM,
     )
 
 
@@ -1245,7 +1303,6 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Increment membership for the incremental-dedup query: every 5th doc
 # plays the "daily batch"; the rest are the already-ingested history.
-_INC_MOD = 5
 
 
 @register(

@@ -627,6 +627,131 @@ def test_signature_store_exists_distinguishes_missing_from_broken(spark, tmp_pat
         broken.exists()
 
 
+def test_incremental_substring_matches_batch_cross_split(spark, oracle_sf_dir):
+    """The incremental operator's contract: on the real corpus its
+    (inc, hist) pair set with runs and cell counts must equal the
+    BATCH operator's pair set restricted to cross-split pairs (both
+    uncapped — the batch cap derives from the whole corpus, the
+    incremental cap from history only, so equality is the uncapped
+    invariant). Increment-internal pairs are deliberately absent."""
+    from git_log_to_sqlite_spark.operators import (
+        incremental_substring_spans,
+        substring_span_pairs,
+    )
+
+    d = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    history = d.filter(F.col("doc_id") % 5 != 0)
+    increment = d.filter(F.col("doc_id") % 5 == 0)
+    batch = {
+        (r["id_a"], r["id_b"]): (r["longest_run_tokens"], r["n_shared_windows"])
+        for r in substring_span_pairs(
+            d, "doc_id", "text", window=6, min_run_tokens=12
+        ).collect()
+    }
+    want = {}
+    for (a, b), v in batch.items():
+        a_inc, b_inc = a % 5 == 0, b % 5 == 0
+        if a_inc != b_inc:  # exactly one endpoint in the increment
+            want[(a, b) if a_inc else (b, a)] = v
+    got = {
+        (r["inc_id"], r["hist_id"]): (
+            r["longest_run_tokens"], r["n_shared_windows"]
+        )
+        for r in incremental_substring_spans(
+            history, increment, "doc_id", "text", window=6, min_run_tokens=12
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_incremental_substring_persisted_window_table(spark, oracle_sf_dir, tmp_path):
+    """The production path: history's window_table persisted as
+    parquet and passed via history_windows must reproduce the
+    derived-from-text result exactly — history text never
+    re-tokenized. Also pins the validation errors."""
+    from git_log_to_sqlite_spark.operators import (
+        incremental_substring_spans,
+        window_table,
+    )
+
+    d = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    history = d.filter(F.col("doc_id") % 5 != 0)
+    increment = d.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "hist_windows")
+    window_table(history, "doc_id", "text", 6).write.parquet(path)
+    stored = spark.read.parquet(path)
+    from_text = {
+        tuple(r)
+        for r in incremental_substring_spans(
+            history, increment, "doc_id", "text",
+            window=6, min_run_tokens=12, max_df_quantile=0.92,
+        ).collect()
+    }
+    from_store = {
+        tuple(r)
+        for r in incremental_substring_spans(
+            None, increment, "doc_id", "text",
+            window=6, min_run_tokens=12, max_df_quantile=0.92,
+            history_windows=stored,
+        ).collect()
+    }
+    assert from_store == from_text and len(from_text) > 0
+
+    with pytest.raises(ValueError, match="exactly one of"):
+        incremental_substring_spans(
+            history, increment, "doc_id", "text", history_windows=stored
+        )
+    with pytest.raises(ValueError, match="missing columns"):
+        incremental_substring_spans(
+            None, increment, "doc_id", "text",
+            history_windows=stored.drop("pos"),
+        )
+
+
+def test_incremental_substring_history_valve(spark):
+    """Degenerate HISTORY boilerplate (one window in 2,000 history
+    docs) must be anti-filtered before the probe join: each of the 10
+    increment docs carrying it would otherwise match all 2,000.
+    Telemetry reports the probe shape (rows_dropped = occurrences),
+    and a planted increment-history twin passage still surfaces."""
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import incremental_substring_spans
+
+    n = 2000
+    hist_rows = [(i, f"u{i}a u{i}b COMMON BOILER PLATE STUB u{i}c") for i in range(n)]
+    # 20 planted twin PAIRS inside history (d=2 windows) anchor the
+    # history p92 at 2 -> cap 20 << the d=2000 boilerplate window
+    hist_rows += [
+        (50_000 + 2 * p + s, " ".join(f"p{p}w{j}" for j in range(8)))
+        for p in range(20)
+        for s in (0, 1)
+    ]
+    inc_rows = [(100_000 + i, f"v{i}x COMMON BOILER PLATE STUB v{i}y") for i in range(10)]
+    inc_rows += [(100_500 + p, " ".join(f"p{p}w{j}" for j in range(8))) for p in range(20)]
+    history = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    increment = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    obs = Observation()
+    got = {
+        (r["inc_id"], r["hist_id"]): r["longest_run_tokens"]
+        for r in incremental_substring_spans(
+            history, increment, "doc_id", "text", window=4, min_run_tokens=4,
+            max_df_quantile=0.92, observation=obs,
+        ).collect()
+    }
+    assert got == {
+        (100_500 + p, 50_000 + 2 * p + s): 8
+        for p in range(20)
+        for s in (0, 1)
+    }
+    m = obs.get
+    assert m["windows_dropped"] == 1 and m["rows_dropped"] == n
+
+
 def test_substring_spans_validation(spark):
     from git_log_to_sqlite_spark.operators import substring_span_pairs
 
