@@ -135,7 +135,8 @@ def main() -> None:
     extra_errors: dict[str, str] = {}
     for name in ("pipeline_pretrain_corpus", "dedup_incremental_lsh",
                  "dedup_decontaminate", "dedup_embedding_cosine",
-                 "dedup_simhash_pairs", "dedup_substring_spans"):
+                 "dedup_simhash_pairs", "dedup_substring_spans",
+                 "dedup_incremental_substring"):
         try:
             runs = []
             for _ in range(3):
