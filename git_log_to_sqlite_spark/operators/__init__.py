@@ -16,6 +16,7 @@ from .ordered import ordered_row_number, ordered_running_sum
 from .sampling import domain_mix, token_budget_sample, weighted_reservoir
 from .dedup import (
     SignatureStore,
+    WindowStore,
     decontaminate,
     exact_dedup,
     hamming_pairs,
@@ -66,6 +67,7 @@ __all__ = [
     "domain_mix",
     "token_budget_sample",
     "SignatureStore",
+    "WindowStore",
     "decontaminate",
     "exact_dedup",
     "hamming_pairs",

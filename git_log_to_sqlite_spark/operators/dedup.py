@@ -1399,7 +1399,83 @@ def incremental_minhash_dedup(
     )
 
 
-class SignatureStore:
+class _ParquetStore:
+    """Shared persistence machinery of the per-modality history stores
+    (:class:`SignatureStore` for minhash, :class:`WindowStore` for
+    exact-substring): a plain append-only parquet table with an
+    existence probe that maps ONLY a missing path to False, a lazy
+    read, a fail-fast bootstrap guard, and staged-swap compaction.
+    One implementation so a fix to any of them lands once."""
+
+    def __init__(self, spark, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        """True iff the store's table exists at the path.
+
+        Only a genuinely-missing path maps to False. Any OTHER failure
+        (transient IO, permissions, a momentarily unreachable object
+        store) propagates: conflating it with "never bootstrapped"
+        would make :meth:`ingest`'s fail-fast guard advise calling
+        bootstrap() — whose mode("overwrite") would destroy a live
+        history table — on a store that merely hiccuped.
+        """
+        from pyspark.errors import AnalysisException
+
+        try:
+            self.spark.read.parquet(self.path).schema
+            return True
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return False
+            raise
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _require_bootstrapped(self) -> None:
+        if not self.exists():
+            # Fail HERE, not as a path-not-found AnalysisException from
+            # the lazy self.read() deep inside an operator — the first
+            # ingest against a never-bootstrapped store is a caller
+            # setup error with an obvious fix.
+            raise FileNotFoundError(
+                f"{type(self).__name__} at {self.path!r} has no table "
+                "yet; call bootstrap(corpus, text_col) once before the "
+                "first ingest()"
+            )
+
+    def compact(self, num_files: int | None = None) -> None:
+        """Rewrite the store into ``num_files`` parquet files (default:
+        the session's default parallelism) — the offline maintenance
+        pass for ingest cadences where one appended file-set per day
+        makes small files dominate the scan. Content is append-only,
+        so compaction is rewrite-identical; the rewrite lands in a
+        sibling temp dir and swaps in via the Hadoop FileSystem API
+        (works on any scheme the session can reach). Run between
+        ingests, not concurrently with one."""
+        sc = self.spark.sparkContext
+        n = num_files or sc.defaultParallelism
+        tmp = self.path.rstrip("/") + "__compact_tmp"
+        old = self.path.rstrip("/") + "__compact_old"
+        self.read().repartition(n).write.mode("overwrite").parquet(tmp)
+        hpath = sc._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(self.path).getFileSystem(sc._jsc.hadoopConfiguration())
+        # staged swap, no delete-before-rename: a crash between the two
+        # renames leaves the data intact at __compact_old (manual
+        # recovery: rename it back); the store is never deleted while
+        # it is the only copy
+        fs.delete(hpath(old), True)
+        if not fs.rename(hpath(self.path), hpath(old)):
+            raise IOError(f"compaction stage-out failed: {self.path} -> {old}")
+        if not fs.rename(hpath(tmp), hpath(self.path)):
+            fs.rename(hpath(old), hpath(self.path))  # roll back
+            raise IOError(f"compaction swap failed: {tmp} -> {self.path}")
+        fs.delete(hpath(old), True)
+
+
+class SignatureStore(_ParquetStore):
     """Persisted MinHash signature table maintained across daily
     ingests — the production contract :func:`incremental_minhash_dedup`
     promises: the 100-TB history TEXT is never re-scanned, only its
@@ -1432,31 +1508,10 @@ class SignatureStore:
         num_hashes: int = 8,
         shingle_n: int = 3,
     ) -> None:
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, path)
         self.id_col = id_col
         self.num_hashes = num_hashes
         self.shingle_n = shingle_n
-
-    def exists(self) -> bool:
-        """True iff the store's signature table exists at the path.
-
-        Only a genuinely-missing path maps to False. Any OTHER failure
-        (transient IO, permissions, a momentarily unreachable object
-        store) propagates: conflating it with "never bootstrapped"
-        would make :meth:`ingest`'s fail-fast guard advise calling
-        bootstrap() — whose mode("overwrite") would destroy a live
-        history table — on a store that merely hiccuped.
-        """
-        from pyspark.errors import AnalysisException
-
-        try:
-            self.spark.read.parquet(self.path).schema
-            return True
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e):
-                return False
-            raise
 
     def signatures_for(self, df: DataFrame, text_col: str) -> DataFrame:
         """Wide signatures of ``df`` under the store's parameters."""
@@ -1469,37 +1524,6 @@ class SignatureStore:
         self.signatures_for(corpus, text_col).write.mode("overwrite").parquet(
             self.path
         )
-
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
-
-    def compact(self, num_files: int | None = None) -> None:
-        """Rewrite the store into ``num_files`` parquet files (default:
-        the session's default parallelism) — the offline maintenance
-        pass for ingest cadences where one appended file-set per day
-        makes small files dominate the scan. Content is append-only,
-        so compaction is rewrite-identical; the rewrite lands in a
-        sibling temp dir and swaps in via the Hadoop FileSystem API
-        (works on any scheme the session can reach). Run between
-        ingests, not concurrently with one."""
-        sc = self.spark.sparkContext
-        n = num_files or sc.defaultParallelism
-        tmp = self.path.rstrip("/") + "__compact_tmp"
-        old = self.path.rstrip("/") + "__compact_old"
-        self.read().repartition(n).write.mode("overwrite").parquet(tmp)
-        hpath = sc._jvm.org.apache.hadoop.fs.Path
-        fs = hpath(self.path).getFileSystem(sc._jsc.hadoopConfiguration())
-        # staged swap, no delete-before-rename: a crash between the two
-        # renames leaves the data intact at __compact_old (manual
-        # recovery: rename it back); the store is never deleted while
-        # it is the only copy
-        fs.delete(hpath(old), True)
-        if not fs.rename(hpath(self.path), hpath(old)):
-            raise IOError(f"compaction stage-out failed: {self.path} -> {old}")
-        if not fs.rename(hpath(tmp), hpath(self.path)):
-            fs.rename(hpath(old), hpath(self.path))  # roll back
-            raise IOError(f"compaction swap failed: {tmp} -> {self.path}")
-        fs.delete(hpath(old), True)
 
     def ingest(
         self,
@@ -1529,16 +1553,7 @@ class SignatureStore:
         post-append."""
         from .caching import cache_scope
 
-        if not self.exists():
-            # Fail HERE, not as a path-not-found AnalysisException from
-            # the lazy self.read() deep inside the operator — the first
-            # ingest against a never-bootstrapped store is a caller
-            # setup error with an obvious fix.
-            raise FileNotFoundError(
-                f"SignatureStore at {self.path!r} has no signature table "
-                "yet; call bootstrap(corpus, text_col) once before the "
-                "first ingest()"
-            )
+        self._require_bootstrapped()
         with cache_scope():
             sigs = pin(self.signatures_for(batch, text_col))
             res = incremental_minhash_dedup(
@@ -1558,4 +1573,127 @@ class SignatureStore:
             sigs.join(new_ids, self.id_col, "left_semi").write.mode(
                 "append"
             ).parquet(self.path)
+        return res
+
+
+class WindowStore(_ParquetStore):
+    """Persisted positional-window table maintained across daily
+    ingests — the exact-substring analog of :class:`SignatureStore`,
+    and the production contract :func:`incremental_substring_spans`
+    promises: the 100-TB history TEXT is never re-tokenized, only its
+    ``(_id, pos, h)`` window table (~24 B/token, window text never
+    stored) is probed, and each day's novel documents append their
+    windows so tomorrow's batch is checked against them.
+
+    Layout: plain parquet, one appended file-set per ingest, NOT
+    bucketed — the probe join shuffles on the 8-byte window hash that
+    both sides derive, and with the increment orders of magnitude
+    smaller than history the planner builds on the increment side;
+    pre-bucketing by ``h`` would help only the full shuffle fallback
+    and is easy to add at write time if a deployment measures that
+    shape. :meth:`compact` (inherited) handles small-file buildup.
+
+    :meth:`ingest` is the daily loop body: annotate the batch against
+    the store, then append the NOVEL documents' windows — novel
+    meaning no shared run of >= ``min_run_tokens`` with history, the
+    same keep-one-copy policy as the signature store (documents that
+    merely contain a historical passage are flagged, kept out of the
+    store, and left to the caller's trim/drop policy). The annotation
+    is materialized (``localCheckpoint``) BEFORE the append so the
+    returned frame can never lazily re-read the store post-append and
+    see the batch's own windows as "history".
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "doc_id",
+        window: int = 8,
+    ) -> None:
+        super().__init__(spark, path)
+        self.id_col = id_col
+        self.window = window
+
+    def windows_for(self, df: DataFrame, text_col: str) -> DataFrame:
+        """``(_id, pos, h)`` window table of ``df`` under the store's
+        parameters."""
+        return window_table(df, self.id_col, text_col, self.window)
+
+    def bootstrap(self, corpus: DataFrame, text_col: str) -> None:
+        """Initialize (overwrite) the store from a deduped corpus."""
+        self.windows_for(corpus, text_col).write.mode("overwrite").parquet(
+            self.path
+        )
+
+    def ingest(
+        self,
+        batch: DataFrame,
+        text_col: str,
+        min_run_tokens: int = 16,
+        max_df: int | None = None,
+        max_df_quantile: float | None = None,
+        quantile_headroom: int = 10,
+    ) -> DataFrame:
+        """Check ``batch`` for shared passages against the store and
+        append the novel documents' windows. Returns the materialized
+        per-batch annotation ``(id, max_run_tokens, n_hist_matches,
+        best_match_id, is_new)`` — ``best_match_id`` is the history
+        document with the LONGEST shared run (ties to the smaller id,
+        via the same type-agnostic min_by-on-(-run, id) form as the
+        signature store's best match), NULL for novel documents.
+
+        Cache discipline mirrors :meth:`SignatureStore.ingest`: the
+        batch window pin, the operator's internal twin of it
+        (sameResult reuse), and any valve pins live inside a
+        cache_scope, so a long-lived foreachBatch loop neither leaks a
+        pin per micro-batch nor serves a later batch a STALE
+        pre-append cache; the annotation is checkpointed before the
+        append inside the scope."""
+        from .caching import cache_scope
+
+        self._require_bootstrapped()
+        with cache_scope():
+            wb = pin(self.windows_for(batch, text_col))
+            pairs = incremental_substring_spans(
+                None,
+                batch,
+                self.id_col,
+                text_col,
+                window=self.window,
+                min_run_tokens=min_run_tokens,
+                max_df=max_df,
+                max_df_quantile=max_df_quantile,
+                quantile_headroom=quantile_headroom,
+                history_windows=self.read(),
+            )
+            per_doc = pairs.groupBy(F.col("inc_id").alias(self.id_col)).agg(
+                F.max("longest_run_tokens").alias("max_run_tokens"),
+                F.count(F.lit(1)).alias("n_hist_matches"),
+                F.expr(
+                    "min_by(hist_id, struct(-longest_run_tokens, hist_id))"
+                ).alias("best_match_id"),
+            )
+            res = (
+                batch.select(self.id_col)
+                .join(per_doc, self.id_col, "left")
+                .select(
+                    self.id_col,
+                    F.coalesce(F.col("max_run_tokens"), F.lit(0)).alias(
+                        "max_run_tokens"
+                    ),
+                    F.coalesce(F.col("n_hist_matches"), F.lit(0)).alias(
+                        "n_hist_matches"
+                    ),
+                    "best_match_id",
+                    F.when(F.col("max_run_tokens").isNull(), 1)
+                    .otherwise(0)
+                    .alias("is_new"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_ids = res.filter(F.col("is_new") == 1).select(self.id_col)
+            wb.join(
+                new_ids.withColumnRenamed(self.id_col, "_id"), "_id", "left_semi"
+            ).write.mode("append").parquet(self.path)
         return res

@@ -410,6 +410,132 @@ def test_foreachbatch_incremental_dedup_against_static_history(
     assert got == want
 
 
+def test_window_store_multi_day_ingest(spark, oracle_sf_dir, tmp_path):
+    """The exact-substring production loop (WindowStore, the substring
+    analog of the signature store): three simulated days through
+    foreachBatch must (a) reproduce an in-memory sequential reference
+    loop exactly; (b) resolve a planted day-2/day-3 copy of a day-1
+    NOVEL passage to the day-1 document — proving the append is live
+    AND that flagged documents' windows are NOT appended (day 3 must
+    match day 1, never day 2); (c) grow the store by exactly the novel
+    documents' windows; (d) leak no pins across micro-batches."""
+    import os
+    import time
+
+    from git_log_to_sqlite_spark.operators import (
+        WindowStore,
+        incremental_substring_spans,
+        release_caches,
+    )
+    from git_log_to_sqlite_spark.operators.caching import _LIVE
+    from git_log_to_sqlite_spark.plans.registry import table as t
+
+    docs = t(spark, oracle_sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+
+    passage = (
+        "entirely novel sentinel passage planted for the window store "
+        "multi day loop test"  # 13 tokens > min_run_tokens=12
+    )
+    planted = {
+        0: [(20_000_001, f"alpha beta {passage} gamma delta")],
+        1: [(20_000_002, f"one two three {passage} four")],
+        2: [(20_000_003, f"five six {passage} seven eight nine")],
+    }
+    days = [
+        increment.filter((F.col("doc_id") / 5).cast("long") % 3 == d).unionByName(
+            spark.createDataFrame(planted[d], "doc_id long, text string")
+        )
+        for d in range(3)
+    ]
+
+    store = WindowStore(spark, str(tmp_path / "winstore"), id_col="doc_id", window=6)
+    assert not store.exists()
+    with pytest.raises(FileNotFoundError, match="bootstrap"):
+        store.ingest(days[0], "text")
+    store.bootstrap(history, "text")
+    n_hist = store.read().count()
+
+    inc_dir = str(tmp_path / "inc")
+    for d, day in enumerate(days):
+        p = os.path.join(inc_dir, f"day{d}")
+        day.coalesce(1).write.parquet(p)
+        stamp = time.time() - 300 + d * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    n_live_before = len(_LIVE)
+    got: dict[int, tuple] = {}
+
+    def _ingest(batch_df, batch_id):
+        for r in store.ingest(batch_df, "text", min_run_tokens=12).collect():
+            got[r["doc_id"]] = (
+                r["max_run_tokens"], r["n_hist_matches"],
+                r["best_match_id"], r["is_new"],
+            )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("latestFirst", "false")
+        .parquet(inc_dir)
+        .writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(_LIVE) == n_live_before  # (d) no per-batch pin leaked
+    release_caches()
+
+    # (b) the planted passage chain resolves to day 1 across days —
+    # day 2's copy was flagged, so its windows were never appended
+    n_pass = len(passage.split(" "))
+    assert got[20_000_001][3] == 1 and got[20_000_001][2] is None
+    assert got[20_000_002][:1] == (n_pass,) and got[20_000_002][2] == 20_000_001
+    assert got[20_000_003][:1] == (n_pass,) and got[20_000_003][2] == 20_000_001
+    assert got[20_000_002][3] == 0 and got[20_000_003][3] == 0
+
+    # (a) parquet-store loop == in-memory sequential reference
+    ref_windows = store.windows_for(history, "text").localCheckpoint()
+    ref: dict[int, tuple] = {}
+    for day in days:
+        pairs = incremental_substring_spans(
+            None, day, "doc_id", "text", window=6, min_run_tokens=12,
+            history_windows=ref_windows,
+        ).collect()
+        by: dict[int, list] = {}
+        for r in pairs:
+            by.setdefault(r["inc_id"], []).append(
+                (r["longest_run_tokens"], r["hist_id"])
+            )
+        day_ids = [r["doc_id"] for r in day.select("doc_id").collect()]
+        new_ids = []
+        for d_id in day_ids:
+            if d_id in by:
+                mx = max(x[0] for x in by[d_id])
+                best = min(h for run, h in by[d_id] if run == mx)
+                ref[d_id] = (mx, len(by[d_id]), best, 0)
+            else:
+                ref[d_id] = (0, 0, None, 1)
+                new_ids.append(d_id)
+        new_w = store.windows_for(
+            day.filter(F.col("doc_id").isin(new_ids)), "text"
+        )
+        ref_windows = ref_windows.unionByName(new_w).localCheckpoint()
+    release_caches()
+    assert got == ref
+
+    # (c) the store grew by exactly the novel documents' windows
+    n_new_windows = sum(
+        1 for r in store.read().collect()
+    ) - n_hist
+    want_new = ref_windows.count() - n_hist
+    assert n_new_windows == want_new > 0
+
+
 def test_signature_store_ingest_requires_bootstrap(spark, tmp_path):
     """ingest() on a never-bootstrapped store must fail FAST with an
     error naming bootstrap(), not a path-not-found AnalysisException
