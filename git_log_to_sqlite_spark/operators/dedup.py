@@ -937,10 +937,13 @@ def incremental_substring_spans(
     argument as the minhash probe valve).
 
     ``history_windows`` is deliberately NOT pinned (at scale it is a
-    column-pruned parquet scan consumed once); windows derived from
-    ``history`` text are not pinned either — unlike minhash signatures
-    the window table is consumed exactly once here, so a cache would
-    only add write cost.
+    column-pruned parquet scan, and a scan or two is cheaper than
+    caching a corpus-scale table — the same rationale as the minhash
+    twin's provided signature table). Windows DERIVED from ``history``
+    text are pinned when a cap is requested — the valve's count
+    aggregation and the probe join each consume the table, and
+    re-deriving means re-tokenizing history; without a cap the derived
+    table is consumed once and a cache would only add write cost.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -966,6 +969,11 @@ def incremental_substring_spans(
         wh = history_windows
     else:
         wh = window_table(history, id_col, text_col, window)
+        if max_df is not None or max_df_quantile is not None:
+            # consumed twice under a cap (the valve's count aggregation
+            # + the probe join): pin so history tokenizes once; see the
+            # docstring for why a PROVIDED table stays unpinned
+            wh = pin(wh)
     wi = window_table(increment, id_col, text_col, window)
     if max_df is not None or max_df_quantile is not None:
         hot = _hot_key_set(

@@ -129,7 +129,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INC_MOD = 5  # history/increment split modulus for the incremental gates
+_INC_MOD = 5  # history/increment split for the incremental gate queries:
+# every 5th doc plays the "daily batch"; the rest are already-ingested history
 _SUBSTR_K = 6  # window width in tokens
 _SUBSTR_MIN_RUN = 12  # report pairs sharing a verbatim run >= this many tokens
 _SUBSTR_Q = 0.92  # quantile anchor for the window occurrence spread guard
@@ -139,16 +140,18 @@ _SUBSTR_HEADROOM = 10  # cap = headroom x p92 (minhash-valve form: run
 # equals uncapped exactly while degenerate windows stay bounded)
 
 
-# Shared CTE chain of the two substring oracles (spans + groups):
-# positional windows -> occurrence spread guard -> match cells ->
-# gaps-and-islands runs. Kept as ONE constant so the cap arithmetic
-# cannot drift between the twins.
-_SQL_SUBSTR_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+# Shared CTE chains of the THREE substring oracles (spans, groups,
+# incremental): positional-window arithmetic in ONE constant
+# (_SQL_WIN_CTES) and the batch spread-guard chain in another, so the
+# window and cap arithmetic cannot drift between the twins.
+_SQL_WIN_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
     wins AS (
       SELECT doc_id, g.i AS pos,
              array_to_string(list_slice(a, g.i, g.i + {_SUBSTR_K - 1}), ' ') AS gram
       FROM toks, LATERAL (
-        SELECT unnest(generate_series(1, len(a) - {_SUBSTR_K - 1})) AS i) g),
+        SELECT unnest(generate_series(1, len(a) - {_SUBSTR_K - 1})) AS i) g)"""
+
+_SQL_SUBSTR_CTES = f"""{_SQL_WIN_CTES},
     sfreq AS (SELECT gram, COUNT(*) AS d FROM wins GROUP BY gram),
     caps AS ({_sql_quantile_cap("sfreq", _SUBSTR_Q)}),
     w2 AS (
@@ -210,12 +213,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental_substring",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-    wins AS (
-      SELECT doc_id, g.i AS pos,
-             array_to_string(list_slice(a, g.i, g.i + {_SUBSTR_K - 1}), ' ') AS gram
-      FROM toks, LATERAL (
-        SELECT unnest(generate_series(1, len(a) - {_SUBSTR_K - 1})) AS i) g),
+    WITH {_SQL_WIN_CTES},
     hwins AS (SELECT * FROM wins WHERE doc_id % {_INC_MOD} <> 0),
     iwins AS (SELECT * FROM wins WHERE doc_id % {_INC_MOD} = 0),
     hfreq AS (SELECT gram, COUNT(*) AS d FROM hwins GROUP BY gram),
@@ -1299,10 +1297,6 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "n_chars", budget=2000, domain_col="source"
     )
     return out.select("doc_id", "source", "n_chars", "cum_before")
-
-
-# Increment membership for the incremental-dedup query: every 5th doc
-# plays the "daily batch"; the rest are the already-ingested history.
 
 
 @register(
