@@ -311,6 +311,32 @@ def test_curate_pipeline_two_phase_prefix_sum(spark, sf):
     assert "existingrdd" in plan.lower()
 
 
+def test_substring_islands_ride_the_window_exchange(spark, sf):
+    """dedup_substring_spans' island aggregate must ride the
+    (id_a, id_b, diag) window exchange — grouping on a SUPERSET of the
+    window's partition keys needs no re-shuffle — and there must be no
+    exchange between the window and that aggregate. Also pins: no
+    cartesian product anywhere, and exactly one exchange keyed on the
+    pair-diag triple (the islands window) plus one on the bare pair
+    (the final aggregate)."""
+    import re
+
+    df = plans.REGISTRY["dedup_substring_spans"].fn(spark, sf)
+    # the simple-mode physical string inlines hashpartitioning keys
+    # (formatted mode hides them in the arguments section)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # normalize expr ids for counting
+    norm = re.sub(r"#\d+L?", "", plan)
+    tri = len(re.findall(r"Exchange hashpartitioning\(id_a, id_b, diag, ", norm))
+    pair = len(re.findall(r"Exchange hashpartitioning\(id_a, id_b, ", norm))
+    # `pair` matches the triple's prefix too, so pair-only = pair - tri
+    assert tri == 1, f"expected exactly one pair-diag exchange, got {tri}"
+    assert pair - tri == 1, (
+        f"expected exactly one bare-pair exchange, got {pair - tri}"
+    )
+
+
 def test_gate_prefix_is_hash_checkable_by_construction():
     """Rotation invariants the external 50-query gate depends on:
     every name in the enumeration prefix has a DuckDB oracle (the gate
