@@ -309,6 +309,114 @@ def image_near_dup_pairs(
     )
 
 
+def _band_energies_stub(
+    payload: bytes, frames: int, bands: int
+) -> list[list[float]]:
+    """Deterministic fake spectral energies: mean byte value of
+    equal slices of the payload, one slice per (frame, band) cell.
+    Content-blind like the other stubs (a re-encoded clip gets
+    different bytes — only a real audio decoder normalizes encodings);
+    keeps the operator runnable, and tests plant twins by passing an
+    energy_fn that parses a raw-energy payload format."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decoder available")
+    n_cells = frames * bands
+    step = max(1, len(payload) // n_cells)
+    out = []
+    for f in range(frames):
+        row = []
+        for b in range(bands):
+            i = (f * bands + b) * step
+            chunk = payload[i:i + step] or payload[-1:]
+            row.append(sum(chunk) / len(chunk))
+        out.append(row)
+    return out
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frames: int = 7,
+    bands: int = 11,
+    energy_fn: Callable[[bytes, int, int], list[list[float]]] | None = None,
+) -> DataFrame:
+    """Per-clip acoustic fingerprint (``media_id, afp``) via the
+    Haitsma-Kalker bit derivation — the standard public audio-
+    fingerprint recipe: bit (f, b) is the sign of the band-energy
+    difference's TIME DERIVATIVE, ``(E[f][b] - E[f][b+1]) -
+    (E[f-1][b] - E[f-1][b+1]) > 0``, robust to volume and mild
+    re-encoding because both differences cancel level shifts. The
+    default 7 frames x (11-1) band deltas = 60 bits keeps the
+    signature a non-negative BIGINT, directly compatible with
+    :func:`~git_log_to_sqlite_spark.operators.dedup.hamming_pairs`.
+
+    ``energy_fn(payload, frames, bands) -> frames x bands floats`` is
+    the decode seam. No audio library ships in this container, so the
+    DEFAULT is the deterministic byte-slice stub — honest plumbing
+    only; swap in a real decoder (e.g. an FFT over resampled PCM) the
+    same way the image operators swap Pillow in. The Spark-side shape
+    (Arrow-batched mapInPandas over the media convention, integer
+    hash math driver-free) is the real, tested part.
+    """
+    if (frames - 1) * (bands - 1) > 60:
+        raise ValueError(
+            f"(frames-1)*(bands-1) = {(frames - 1) * (bands - 1)} bits "
+            "exceeds the 60-bit BIGINT signature budget (see hamming_pairs)"
+        )
+    if frames < 2 or bands < 2:
+        raise ValueError("need frames >= 2 and bands >= 2 for the derivative")
+    energy_fn = energy_fn or _band_energies_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for payload in pdf["payload"]:
+                e = energy_fn(payload, frames, bands)
+                h = 0
+                for f in range(1, frames):
+                    for b in range(bands - 1):
+                        d = (e[f][b] - e[f][b + 1]) - (e[f - 1][b] - e[f - 1][b + 1])
+                        h = (h << 1) | (1 if d > 0 else 0)
+                fps.append(h)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})
+
+    return media.mapInPandas(run, schema="media_id long, afp long")
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    frames: int = 7,
+    bands: int = 11,
+    max_hamming: int = 3,
+    lsh_bands: int = 4,
+    energy_fn: Callable[[bytes, int, int], list[list[float]]] | None = None,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation=None,
+) -> DataFrame:
+    """Audio near-duplicate pairs: :func:`audio_fingerprint` feeding
+    the shared :func:`~git_log_to_sqlite_spark.operators.dedup.
+    hamming_pairs` band stage — the third modality (after text simhash
+    and image dHash) on the one pigeonhole-exact pair machinery.
+    Returns ``(id_a, id_b, hamming)``."""
+    from .caching import pin
+    from .dedup import _validate_banding, hamming_pairs
+
+    bits = (frames - 1) * (bands - 1)
+    _validate_banding(bits, lsh_bands, max_hamming)  # before the pin
+    sig = pin(audio_fingerprint(media, frames, bands, energy_fn))
+    return hamming_pairs(
+        sig,
+        "media_id",
+        "afp",
+        bits=bits,
+        bands=lsh_bands,
+        max_hamming=max_hamming,
+        max_band_size=max_band_size,
+        band_size_quantile=band_size_quantile,
+        observation=observation,
+    )
+
+
 def sample_frames(media: DataFrame, every_nth_byte: int = 256) -> DataFrame:
     """Frame-sampling shape: 1 media row -> N frame rows (here: one
     'frame' per every_nth_byte slice — stands in for video frame

@@ -1256,6 +1256,80 @@ def test_image_near_dup_planted_twins(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_audio_near_dup_planted_twins(spark):
+    """Haitsma-Kalker fingerprint + hamming_pairs over a raw-energy
+    payload format (the energy_fn seam makes the bit math testable
+    without an audio decoder): operator signatures must equal a pure-
+    python reference of the same derivation, volume shifts must be
+    invariant (the double difference cancels level), and the pair set
+    must equal a brute-force Hamming scan."""
+    import random
+
+    from git_log_to_sqlite_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    F_, B = 7, 11
+    rng = random.Random(11)
+
+    def clip():
+        return [[rng.randint(0, 200) for _ in range(B)] for _ in range(F_)]
+
+    def ref_fp(e):
+        h = 0
+        for f in range(1, F_):
+            for b in range(B - 1):
+                d = (e[f][b] - e[f][b + 1]) - (e[f - 1][b] - e[f - 1][b + 1])
+                h = (h << 1) | (1 if d > 0 else 0)
+        return h
+
+    base = clip()
+    louder = [[v + 40 for v in row] for row in base]  # level shift
+    perturbed = [list(row) for row in base]
+    perturbed[3][4] += 90  # local spectral change -> a few bit flips
+    clips = {1: base, 2: louder, 3: perturbed, 4: clip(), 5: clip()}
+    media = spark.createDataFrame(
+        [
+            (i, bytes(v for row in e for v in row), "audio/raw",
+             F_ * B)
+            for i, e in clips.items()
+        ],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    energy_fn = lambda p, fr, ba: [  # noqa: E731 — parse the raw grid
+        [float(p[f * ba + b]) for b in range(ba)] for f in range(fr)
+    ]
+    got_sigs = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(media, F_, B, energy_fn=energy_fn).collect()
+    }
+    assert got_sigs == {i: ref_fp(e) for i, e in clips.items()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert got_sigs[1] == got_sigs[2]  # volume-invariant
+    assert 1 <= ham(got_sigs[1], got_sigs[3]) <= 6  # local change, few bits
+
+    k = max(3, ham(got_sigs[1], got_sigs[3]))
+    want = {
+        (a, b): ham(got_sigs[a], got_sigs[b])
+        for a in clips
+        for b in clips
+        if a < b and ham(got_sigs[a], got_sigs[b]) <= k
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dup_pairs(
+            media, F_, B, max_hamming=k, energy_fn=energy_fn
+        ).collect()
+    }
+    assert got == want and (1, 2) in got
+
+    with pytest.raises(ValueError, match="60-bit"):
+        audio_fingerprint(media, frames=9, bands=10)
+    with pytest.raises(ValueError, match="frames >= 2"):
+        audio_fingerprint(media, frames=1, bands=11)
+
+
 def test_image_dhash_validation_and_stub_plumbing(docs):
     """The 60-bit budget is enforced, and the default Pillow-or-stub
     grid path runs end-to-end on arbitrary binary payloads."""
@@ -1267,6 +1341,12 @@ def test_image_dhash_validation_and_stub_plumbing(docs):
     rows = image_dhash(media).collect()
     assert len(rows) == media.count()
     assert all(0 <= r["dhash"] < (1 << 60) for r in rows)
+    # audio stub plumbing end-to-end on the same payloads
+    from git_log_to_sqlite_spark.operators.multimodal import audio_fingerprint
+
+    arows = audio_fingerprint(media).collect()
+    assert len(arows) == media.count()
+    assert all(0 <= r["afp"] < (1 << 60) for r in arows)
 
 
 @pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this environment")
