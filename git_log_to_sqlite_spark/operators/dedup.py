@@ -1097,7 +1097,9 @@ def simhash_pairs(
     # any side effect — pin() registers a persist in the cache
     # registry, and an invalid-arguments exception after it would leak
     # that never-materialized entry until release_caches().
-    _validate_banding(bits, bands, max_hamming)
+    _validate_banding(
+        bits, bands, max_hamming, max_band_size, band_size_quantile, observation
+    )
     sig = pin(simhash(df, id_col, text_col, bits))
     return hamming_pairs(
         sig,
@@ -1112,10 +1114,23 @@ def simhash_pairs(
     )
 
 
-def _validate_banding(bits: int, bands: int, max_hamming: int) -> None:
+def _validate_banding(
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation: "Observation | None" = None,
+) -> None:
     """Shared banding-argument validation for the Hamming pair stage —
     called by every entry point BEFORE any side effect (pins run first
-    otherwise and would leak registry entries on invalid calls)."""
+    otherwise and would leak registry entries on invalid calls).  The
+    valve-argument checks (cap mutual exclusion, observation-requires-
+    a-cap) live here too, not only in :func:`_capped_bands`: the
+    entry points pin the signature frame before the bands stage runs,
+    so a check that fires only inside ``_capped_bands`` would leak a
+    never-materialized cache-registry entry until ``release_caches()``
+    — the exact failure this pre-pin validation exists to prevent."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
@@ -1125,6 +1140,19 @@ def _validate_banding(bits: int, bands: int, max_hamming: int) -> None:
         raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
+    if max_band_size is not None and band_size_quantile is not None:
+        raise ValueError("max_band_size and band_size_quantile are mutually exclusive")
+    if (
+        observation is not None
+        and max_band_size is None
+        and band_size_quantile is None
+    ):
+        raise ValueError(
+            "observation requires a cap (max_band_size or "
+            "band_size_quantile); without one it would never be "
+            "attached and Observation.get would block/raise far "
+            "from the cause"
+        )
 
 
 def hamming_pairs(
@@ -1152,7 +1180,9 @@ def hamming_pairs(
     ``sig`` must carry one row per id; signatures are non-negative
     BIGINTs below 2^bits. Returns ``(id_a, id_b, hamming)``.
     """
-    _validate_banding(bits, bands, max_hamming)
+    _validate_banding(
+        bits, bands, max_hamming, max_band_size, band_size_quantile, observation
+    )
     width = bits // bands
     mask = (1 << width) - 1
     band_entries = F.array(

@@ -294,7 +294,10 @@ def image_near_dup_pairs(
     from .caching import pin
     from .dedup import _validate_banding, hamming_pairs
 
-    _validate_banding(rows * cols, bands, max_hamming)  # before the pin
+    _validate_banding(  # all arg checks before the pin (incl. valve args)
+        rows * cols, bands, max_hamming, max_band_size, band_size_quantile,
+        observation,
+    )
     sig = pin(image_dhash(media, rows, cols, grid_fn))
     return hamming_pairs(
         sig,
@@ -345,8 +348,8 @@ def audio_fingerprint(
     difference's TIME DERIVATIVE, ``(E[f][b] - E[f][b+1]) -
     (E[f-1][b] - E[f-1][b+1]) > 0``, robust to volume and mild
     re-encoding because both differences cancel level shifts. The
-    default 7 frames x (11-1) band deltas = 60 bits keeps the
-    signature a non-negative BIGINT, directly compatible with
+    default (7-1) frame derivatives x (11-1) band deltas = 60 bits
+    keeps the signature a non-negative BIGINT, directly compatible with
     :func:`~git_log_to_sqlite_spark.operators.dedup.hamming_pairs`.
 
     ``energy_fn(payload, frames, bands) -> frames x bands floats`` is
@@ -402,7 +405,10 @@ def audio_near_dup_pairs(
     from .dedup import _validate_banding, hamming_pairs
 
     bits = (frames - 1) * (bands - 1)
-    _validate_banding(bits, lsh_bands, max_hamming)  # before the pin
+    _validate_banding(  # all arg checks before the pin (incl. valve args)
+        bits, lsh_bands, max_hamming, max_band_size, band_size_quantile,
+        observation,
+    )
     sig = pin(audio_fingerprint(media, frames, bands, energy_fn))
     return hamming_pairs(
         sig,

@@ -608,6 +608,27 @@ def test_banding_validation_precedes_pins(spark):
     with pytest.raises(ValueError, match="must exceed max_hamming"):
         image_near_dup_pairs(media, max_hamming=5, bands=4)
     assert _LIVE == []
+    # observation-without-cap must ALSO fail pre-pin: pre-fix this
+    # check lived only in _capped_bands, which runs after the
+    # signature pin in every Hamming entry point (ADVICE r9).
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators.multimodal import audio_near_dup_pairs
+
+    for call in (
+        lambda: simhash_pairs(docs, "doc_id", "text", observation=Observation()),
+        lambda: image_near_dup_pairs(media, observation=Observation()),
+        lambda: audio_near_dup_pairs(media, observation=Observation()),
+    ):
+        with pytest.raises(ValueError, match="observation requires a cap"):
+            call()
+        assert _LIVE == []
+    # both caps at once is the other _capped_bands-only check hoisted
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        simhash_pairs(
+            docs, "doc_id", "text", max_band_size=2, band_size_quantile=0.9
+        )
+    assert _LIVE == []
 
 
 def test_signature_store_exists_distinguishes_missing_from_broken(spark, tmp_path):
