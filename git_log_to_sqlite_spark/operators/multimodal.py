@@ -256,18 +256,28 @@ def image_dhash(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for payload in pdf["payload"]:
-                g = grid_fn(payload, rows, cols)
-                h = 0
-                for r in range(rows):
-                    base = r * (cols + 1)
-                    for c in range(cols):
-                        h = (h << 1) | (1 if g[base + c + 1] > g[base + c] else 0)
-                hashes.append(h)
+            hashes = [
+                _grid_dhash(grid_fn(payload, rows, cols), rows, cols)
+                for payload in pdf["payload"]
+            ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": hashes})
 
     return media.mapInPandas(run, schema="media_id long, dhash long")
+
+
+def _grid_dhash(g: list[int], rows: int, cols: int) -> int:
+    """The dHash bit derivation over one row-major ``rows x (cols+1)``
+    luma grid — bit (r, c) set iff luma increases from column c to
+    c+1; MSB-first in row-major order, so bit position ``rows*cols -
+    1 - (r*cols + c)`` in the returned BIGINT.  Shared by the
+    per-image and per-video-frame hashers so the two modalities
+    cannot drift."""
+    h = 0
+    for r in range(rows):
+        base = r * (cols + 1)
+        for c in range(cols):
+            h = (h << 1) | (1 if g[base + c + 1] > g[base + c] else 0)
+    return h
 
 
 def image_near_dup_pairs(
@@ -443,4 +453,142 @@ def sample_frames(media: DataFrame, every_nth_byte: int = 256) -> DataFrame:
 
     return media.mapInPandas(
         run, schema="media_id long, frame_no int, byte_offset int"
+    )
+
+
+def video_frame_dhash(
+    media: DataFrame,
+    rows: int = 6,
+    cols: int = 10,
+    frame_bytes: int = 256,
+    grid_fn: Callable[[bytes, int, int], list[int]] | None = None,
+) -> DataFrame:
+    """Per-frame perceptual hashes for video clips: one ``(media_id,
+    frame_no, dhash)`` row per sampled frame — the explode-shaped
+    output of :func:`sample_frames` fused with :func:`image_dhash`'s
+    bit math (shared ``_grid_dhash``, so a video frame and a still
+    image of the same grid hash identically).
+
+    Frame extraction follows :func:`sample_frames`' decode
+    convention: the clip payload splits into consecutive
+    ``frame_bytes`` slices, ``max(1, len // frame_bytes)`` full
+    frames (a clip shorter than one frame is its own single frame;
+    a trailing partial slice is dropped, mirroring sample_frames'
+    offset arithmetic).  Each slice runs through the same
+    Pillow-or-stub ``grid_fn`` seam as the image operators — with a
+    real decoder the slice would be a container-demuxed keyframe;
+    the byte-slice stand-in keeps the plumbing (1 clip row -> N
+    frame rows through one Arrow batch, payloads never leaving
+    their partition) real and testable.
+    """
+    grid_fn = grid_fn or luma_grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    raise NotImplementedError("empty payload: no decoder available")
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(n_frames):
+                    chunk = payload[i * frame_bytes:(i + 1) * frame_bytes]
+                    ids.append(mid)
+                    frame_nos.append(i)
+                    hashes.append(_grid_dhash(grid_fn(chunk, rows, cols), rows, cols))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "dhash": hashes}
+            )
+
+    return media.mapInPandas(run, schema="media_id long, frame_no int, dhash long")
+
+
+def video_fingerprint(
+    media: DataFrame,
+    rows: int = 6,
+    cols: int = 10,
+    frame_bytes: int = 256,
+    grid_fn: Callable[[bytes, int, int], list[int]] | None = None,
+) -> DataFrame:
+    """Per-clip video fingerprint (``media_id, vfp``): bitwise
+    MAJORITY VOTE of the clip's per-frame dHashes — bit k of the clip
+    signature is set iff a strict majority of frames set bit k (ties
+    break to 0, so the vote is deterministic for any frame count).
+    Frame-voting is the standard clip-level aggregation of per-frame
+    perceptual hashes: a re-encoded twin keeps every frame hash, and
+    a trimmed or lightly-edited twin changes a minority of frames, so
+    the majority bit survives — clip-level Hamming distance stays
+    within a near-dup budget while unrelated clips differ in ~half
+    of 60 bits.
+
+    The vote is a distributed JVM-side aggregation, NOT per-clip
+    Python: :func:`video_frame_dhash`'s frame table groups by
+    ``media_id`` with one map-combinable ``sum((dhash >> k) & 1)``
+    per bit plus a frame count — partial aggregation combines
+    map-side, so a clip with millions of frames costs one row per
+    partition in the shuffle, and the signature assembly is a pure
+    column expression over the 60 sums.  (``rows * cols`` must stay
+    within the 60-bit BIGINT budget — see ``hamming_pairs``.)
+    """
+    bits = rows * cols
+    if bits > 60:
+        raise ValueError(
+            f"rows*cols = {bits} bits exceeds the 60-bit BIGINT "
+            "signature budget (see hamming_pairs)"
+        )
+    frames = video_frame_dhash(media, rows, cols, frame_bytes, grid_fn)
+    sums = [
+        F.sum(F.shiftright(F.col("dhash"), k).bitwiseAND(F.lit(1))).alias(f"_b{k}")
+        for k in range(bits)
+    ]
+    agg = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("_n"), *sums
+    )
+    vfp = None
+    for k in range(bits):
+        term = F.when(
+            F.col(f"_b{k}") * 2 > F.col("_n"), F.lit(1 << k).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        vfp = term if vfp is None else vfp + term
+    return agg.select("media_id", vfp.alias("vfp"))
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    rows: int = 6,
+    cols: int = 10,
+    frame_bytes: int = 256,
+    max_hamming: int = 3,
+    bands: int = 4,
+    grid_fn: Callable[[bytes, int, int], list[int]] | None = None,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation=None,
+) -> DataFrame:
+    """Video near-duplicate pairs: :func:`video_fingerprint` feeding
+    the shared :func:`~git_log_to_sqlite_spark.operators.dedup.
+    hamming_pairs` band stage — the fourth and final modality (text
+    simhash, image dHash, audio Haitsma-Kalker, video frame-vote) on
+    the one pigeonhole-exact pair machinery.  Returns ``(id_a, id_b,
+    hamming)`` over clip-level signatures; the same valve/telemetry
+    contract as every Hamming caller (degenerate clips — e.g. black
+    frames majority-voting to 0 — are exactly the hot-band
+    pathology the valve bounds)."""
+    from .caching import pin
+    from .dedup import _validate_banding, hamming_pairs
+
+    _validate_banding(  # all arg checks before the pin (incl. valve args)
+        rows * cols, bands, max_hamming, max_band_size, band_size_quantile,
+        observation,
+    )
+    sig = pin(video_fingerprint(media, rows, cols, frame_bytes, grid_fn))
+    return hamming_pairs(
+        sig,
+        "media_id",
+        "vfp",
+        bits=rows * cols,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_band_size=max_band_size,
+        band_size_quantile=band_size_quantile,
+        observation=observation,
     )

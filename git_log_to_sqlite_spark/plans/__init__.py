@@ -52,88 +52,35 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 
-# Round-9 rotation (executing the plan pre-staged in round 8, plus
-# this round's additions): the five queries with no driver row yet
-# lead — `dedup_substring_spans` + `dedup_substring_groups` +
-# `dedup_incremental_substring` (NEW: exact-substring dedup — pairs,
-# transitive-closure groups, and the daily-increment-vs-history
-# production shape), `sim_ann_ivf_assign` (NEW: the oracle-gated
-# deterministic tail of IVF ANN), and `dedup_simhash_pairs`
-# (registered in round 8) — per the standing new-query precedent.
-# Then the seven zero-shuffle projections that spilled past round 8's
-# slot 50 (oldest driver rows — round 6), then the round-7-gated
-# block in its standing gate order.  5 + 7 + 50 names against a
-# 50-slot prefix means twelve round-7 rows spill to round 10; per the
-# standing precedent the spill is steered onto the lowest-risk
-# deterministic tail of that block (the five setops, the two sorts,
-# the fn_higher_order / fn_cast / fn_map scalar projections, and the
-# bounded 25-nation join_cross / join_self_nation_pairs — each a pure
-# Catalyst plan over static parquet, no timestamp, streaming, or
-# encoding surface), never onto the streaming-replay, ETL-parity, or
-# composite-pipeline rows, so those twelve move to the list tail and
-# lead the pre-staged round-10 rotation.  The corpus is 117
-# registered queries (112 oracle-bearing, 5 oracle-less tail) against
-# a 2x50 gate — a 12-name oracle overhang, so the freshness cycle
-# stays ~2.3 rounds; grow the corpus further only if the gate grows.
+# Round-10 rotation (executing the plan pre-staged in round 9, plus
+# this round's additions): the two NEW binary-modality queries lead —
+# `mm_image_near_dup` (image dHash + hamming_pairs, the
+# mapInPandas decode path's first driver row) and
+# `mm_video_near_dup` (per-frame dHash + distributed majority-vote
+# clip fingerprint, the fourth modality on the shared Hamming stage)
+# — per the standing new-query precedent.  Then the twelve round-7
+# rows spilled past round 9's slot 50 (oldest driver rows), then the
+# round-8-gated block in CORRECTNESS_r08's key order.  2 + 12 + 50
+# names against a 50-slot prefix means fourteen round-8 rows spill
+# to round 11; per the standing precedent the spill is steered onto
+# the lowest-risk deterministic tail of that block (the seven fn_*
+# scalar projections, the text_pii_mask / text_clean per-row text
+# projections, and the five projection-shaped UDF-surface demos
+# udf_scalar_python / udf_pandas_vectorized / udf_map_in_pandas /
+# udf_table_function / udf_native_udtf — each a zero-shuffle plan
+# over static parquet), never onto the streaming-replay, ETL-parity,
+# or composite-pipeline rows, so those fourteen move past slot 50
+# and lead the pre-staged round-11 rotation.  The corpus is 119
+# registered queries (114 oracle-bearing, 5 oracle-less tail)
+# against a 2x50 gate — freshness cycle ~2.4 rounds; grow the corpus
+# further only if the gate grows.
 _prioritize(
     first=[
         # --- new queries with no driver row yet ---
-        "dedup_substring_spans",
-        "dedup_substring_groups",
-        "dedup_incremental_substring",
-        "sim_ann_ivf_assign",
-        "dedup_simhash_pairs",
-        # --- round-6 holdovers (oldest driver rows; spilled past
-        #     round 8's slot 50) ---
-        "fn_array",
-        "fn_explode",
-        "text_langid",
-        "text_quality",
-        "text_tokens",
-        "text_fingerprint",
-        "mm_binary_meta",
-        # --- round-7-gated block, standing gate order (38 of 50
-        #     names; the twelve setop/sort/scalar/cross rows below
-        #     spill to round 10) ---
-        "pipeline_pretrain_corpus",
-        "dedup_decontaminate",
-        "text_repetition",
-        "sample_token_budget",
-        "dedup_incremental_lsh",
-        "agg_rollup",
-        "agg_cube",
-        "agg_collect_sorted",
-        "join_revenue_per_customer",
-        "join_region_revenue",
-        "join_left_outer",
-        "join_full_outer",
-        "join_right_outer",
-        "join_merge_hint",
-        "join_semi",
-        "join_anti",
-        "join_range_bands",
-        "join_asof_last_event",
-        "agg_grouping_sets",
-        "dedup_dropduplicates_subset",
-        "agg_salted_skew",
-        "agg_pivot",
-        "win_topk_per_group",
-        "win_ranking_suite",
-        "win_lag_lead",
-        "win_running_frames",
-        "win_first_last_nth",
-        "win_range_between",
-        "win_time_bucket",
-        "events_sessionize",
-        "events_cohort_retention",
-        "sample_domain_mix",
-        "pipeline_curate_corpus",
-        "dedup_embedding_groups",
-        "stream_tumbling_replay",
-        "stream_session_replay",
-        "stream_join_replay",
-        "etl_logs_parity",
-        # --- spill past slot 50 → lead the round-10 rotation ---
+        "mm_image_near_dup",
+        "mm_video_near_dup",
+        # --- round-7 holdovers (oldest driver rows; spilled past
+        #     round 9's slot 50) ---
         "sort_topk_orders",
         "sort_multikey_nulls",
         "setop_union",
@@ -146,6 +93,60 @@ _prioritize(
         "fn_map",
         "join_cross",
         "join_self_nation_pairs",
+        # --- round-8-gated block, CORRECTNESS_r08 key order (36 of
+        #     50 names; the fourteen scalar/projection rows below
+        #     spill to round 11) ---
+        "text_chunk_overlap",
+        "etl_repos_skipped_parity",
+        "stream_dedup_replay",
+        "agg_pricing_summary",
+        "agg_percentiles",
+        "agg_global",
+        "agg_distinct",
+        "agg_stats",
+        "events_window_tumbling",
+        "events_funnel_depth",
+        "events_window_sliding",
+        "events_top_paths",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_group_assign",
+        "dedup_minhash_lsh",
+        "dedup_minhash_groups",
+        "dedup_simhash",
+        "asof_event_value",
+        "text_topk_terms",
+        "text_tfidf_topk",
+        "text_pack_shards",
+        "sample_weighted_reservoir",
+        "sim_cosine_topk",
+        "sim_ann_bucketed",
+        "sim_pairs_threshold",
+        "dedup_embedding_cosine",
+        "sim_centroid_per_label",
+        "sim_ann_multiprobe",
+        "udf_grouped_map",
+        "udf_grouped_agg",
+        "sql_correlated_exists",
+        "sql_not_exists",
+        "sql_scalar_subquery",
+        "sql_correlated_scalar_agg",
+        "sql_in_subquery",
+        # --- spill past slot 50 → lead the round-11 rotation ---
+        "fn_math",
+        "fn_conditional",
+        "fn_strings",
+        "fn_regex",
+        "fn_dates",
+        "fn_json",
+        "fn_from_json_struct",
+        "text_pii_mask",
+        "text_clean",
+        "udf_scalar_python",
+        "udf_pandas_vectorized",
+        "udf_map_in_pandas",
+        "udf_table_function",
+        "udf_native_udtf",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

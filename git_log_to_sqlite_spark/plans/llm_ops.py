@@ -731,6 +731,146 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_dhash_terms(byte_expr, rows: int = 6, cols: int = 10) -> str:
+    """The dHash bit derivation as DuckDB SQL — one CASE term per bit,
+    weights matching ``operators.multimodal._grid_dhash``'s MSB-first
+    row-major packing, over grid bytes produced by ``byte_expr(j)``
+    (an SQL expression for row-major grid byte j). Generated
+    programmatically so the 60-term sum cannot drift from the
+    operator's bit order."""
+    bits = rows * cols
+    terms = []
+    for r in range(rows):
+        base = r * (cols + 1)
+        for c in range(cols):
+            k = r * cols + c
+            w = 1 << (bits - 1 - k)
+            terms.append(
+                f"CASE WHEN {byte_expr(base + c + 1)} > {byte_expr(base + c)}"
+                f" THEN {w} ELSE 0 END"
+            )
+    return " + ".join(terms)
+
+
+def _mm_image_oracle() -> str:
+    """DuckDB twin of ``mm_image_near_dup``: the stub luma grid cycles
+    payload bytes into the 6 x 11 grid, so grid byte j of an ASCII
+    text payload is ``ascii(substr(text, (j % length) + 1, 1))`` —
+    byte-exact because the documents corpus is pure ASCII (verified:
+    octet_length(encode(text)) == length(text) at every SF). The pair
+    stage brute-forces all n(n-1)/2 signature pairs — an oracle can
+    afford O(n^2); the Spark side must not (it bands)."""
+
+    def byte(j: int) -> str:
+        return f"ascii(substr(text, ({j} % length(text)) + 1, 1))"
+
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, CAST({_sql_dhash_terms(byte)} AS BIGINT) AS dhash
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """
+
+
+@register(
+    "mm_image_near_dup",
+    oracle=_mm_image_oracle(),
+    doc="Image near-duplicate pairs end-to-end: text bytes stand in "
+    "for raw image payloads (the multimodal convention), decoded by "
+    "the deterministic stub grid (pinned explicitly so the query is "
+    "environment-independent even where Pillow exists), hashed by "
+    "image_dhash's Arrow-batched mapInPandas, and paired by the "
+    "shared hamming_pairs band stage — the binary-modality machinery's "
+    "driver-gated row (operators/multimodal.py:229, dedup.py:1156).",
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents")
+    media = mm.as_media(d, "doc_id", "text", mime="image/raw")
+    return mm.image_near_dup_pairs(
+        media, rows=6, cols=10, max_hamming=3, grid_fn=mm._luma_grid_stub
+    )
+
+
+_VIDEO_FRAME_BYTES = 64
+
+
+def _mm_video_oracle(fb: int = _VIDEO_FRAME_BYTES) -> str:
+    """DuckDB twin of ``mm_video_near_dup``: frame f of a payload of
+    length L is the slice [f*fb, (f+1)*fb) (max(1, L // fb) full
+    frames, the sample_frames convention; a short payload is its own
+    single frame), the stub grid cycles each slice, per-frame dHash
+    bits vote by strict majority per bit position, and the pair stage
+    brute-forces the clip signatures."""
+
+    def byte(j: int) -> str:
+        return f"ascii(substr(text, f*{fb} + (({j}) % cl) + 1, 1))"
+
+    bit_cols = []
+    for r in range(6):
+        base = r * 11
+        for c in range(10):
+            k = r * 10 + c
+            bit_cols.append(
+                f"CASE WHEN {byte(base + c + 1)} > {byte(base + c)}"
+                f" THEN 1 ELSE 0 END AS b{k}"
+            )
+    sum_cols = ", ".join(f"sum(b{k}) AS s{k}" for k in range(60))
+    # per-frame bit k sits at long position 59-k (MSB-first packing);
+    # the vote preserves positions, so the weight is the same 2^(59-k)
+    vote = " + ".join(
+        f"CASE WHEN 2*s{k} > n THEN {1 << (59 - k)} ELSE 0 END" for k in range(60)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) >= {fb} THEN {fb} ELSE length(text) END AS cl,
+             greatest(1, length(text) // {fb}) AS nf
+      FROM documents),
+    fr AS (
+      SELECT doc_id, {', '.join(bit_cols)}
+      FROM d, LATERAL (SELECT unnest(range(nf)) AS f) t),
+    v AS (
+      SELECT doc_id, COUNT(*) AS n, {sum_cols} FROM fr GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id, CAST({vote} AS BIGINT) AS vfp FROM v)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.vfp, b.vfp)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
+    """
+
+
+@register(
+    "mm_video_near_dup",
+    oracle=_mm_video_oracle(),
+    doc="Video near-duplicate pairs end-to-end: payloads slice into "
+    "byte-range frames (sample_frames' convention), per-frame dHash "
+    "over the stub grid seam, clip signature by distributed bitwise "
+    "majority vote (60 map-combinable sums, one shuffle row per clip "
+    "per partition), pairs via the shared hamming_pairs band stage — "
+    "the fourth modality on one pair machinery "
+    "(operators/multimodal.py:video_fingerprint).",
+)
+def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents")
+    media = mm.as_media(d, "doc_id", "text", mime="video/raw")
+    return mm.video_near_dup_pairs(
+        media,
+        rows=6,
+        cols=10,
+        frame_bytes=_VIDEO_FRAME_BYTES,
+        max_hamming=3,
+        grid_fn=mm._luma_grid_stub,
+    )
+
+
 # ----------------------------------------------------------------------
 # General event-time as-of join
 # ----------------------------------------------------------------------

@@ -1351,6 +1351,150 @@ def test_audio_near_dup_planted_twins(spark):
         audio_fingerprint(media, frames=1, bands=11)
 
 
+def test_video_near_dup_planted_twins(spark):
+    """Frame-vote video fingerprint + hamming_pairs over a raw-grid
+    frame format (frame_bytes=66 makes every payload slice one 6x11
+    luma grid, so the grid_fn seam parses it directly): the per-frame
+    hashes must equal image_dhash of the same chunks (the shared
+    _grid_dhash cannot drift between modalities), the clip signature
+    must equal a pure-python majority-vote reference, and planted
+    twins — a re-encoded copy, a trimmed clip, a minority-edited
+    clip, a majority-edited clip — must pair exactly as a
+    brute-force Hamming scan over the clip signatures says."""
+    import random
+
+    from git_log_to_sqlite_spark.operators.multimodal import (
+        image_dhash,
+        video_fingerprint,
+        video_frame_dhash,
+        video_near_dup_pairs,
+    )
+
+    rows, cols = 6, 10
+    W = cols + 1
+    fb = rows * W  # 66: one frame slice == one raw grid
+    rng = random.Random(7)
+    base = [rng.choice([40, 200]) for _ in range(rows * W)]
+    other = [rng.choice([40, 200]) for _ in range(rows * W)]
+
+    def flip_rows(g, which):
+        out = list(g)
+        for r in which:
+            prev = out[r * W + W - 2]
+            last = out[r * W + W - 1]
+            out[r * W + W - 1] = 30 if last > prev else 210  # 1 bit per row
+        return out
+
+    edited = flip_rows(base, [0, 1])  # hamming 2 vs base, per frame
+    clips = {
+        1: [base] * 9,
+        2: [base] * 9,                          # re-encoded: same frames
+        3: [base] * 5,                          # trimmed: fewer frames
+        4: [edited] * 5 + [base] * 4,           # majority edited -> 2 bits
+        5: [base] * 7 + [edited] * 2,           # minority edited -> 0 bits
+        6: [other] * 9,                         # unrelated
+    }
+    media = spark.createDataFrame(
+        [
+            (i, b"".join(bytes(g) for g in frames), "video/raw", fb * len(frames))
+            for i, frames in clips.items()
+        ],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    grid_fn = lambda p, r, c: list(p[: r * (c + 1)])  # noqa: E731
+
+    # per-frame hashes == image_dhash of the same chunks, frame counts right
+    frame_rows = video_frame_dhash(
+        media, rows, cols, frame_bytes=fb, grid_fn=grid_fn
+    ).collect()
+    got_frames = {}
+    for r in frame_rows:
+        got_frames.setdefault(r["media_id"], {})[r["frame_no"]] = r["dhash"]
+    assert {i: len(f) for i, f in got_frames.items()} == {
+        i: len(frames) for i, frames in clips.items()
+    }
+    still = spark.createDataFrame(
+        [(0, bytes(base), "image/raw", fb), (1, bytes(edited), "image/raw", fb)],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    stills = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(still, rows, cols, grid_fn=grid_fn).collect()
+    }
+    assert got_frames[1][0] == stills[0] and got_frames[4][0] == stills[1]
+
+    # clip signature == pure-python majority vote of the frame hashes
+    def ref_vote(hashes):
+        n = len(hashes)
+        v = 0
+        for k in range(rows * cols):
+            if 2 * sum((h >> k) & 1 for h in hashes) > n:
+                v |= 1 << k
+        return v
+
+    want_sigs = {
+        i: ref_vote([got_frames[i][f] for f in sorted(got_frames[i])])
+        for i in clips
+    }
+    got_sigs = {
+        r["media_id"]: r["vfp"]
+        for r in video_fingerprint(
+            media, rows, cols, frame_bytes=fb, grid_fn=grid_fn
+        ).collect()
+    }
+    assert got_sigs == want_sigs
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert got_sigs[1] == got_sigs[2] == got_sigs[3]  # re-encode + trim survive
+    assert got_sigs[5] == got_sigs[1]  # minority edit out-voted
+    assert ham(got_sigs[1], got_sigs[4]) == 2  # majority edit flips its bits
+
+    # pair set == brute-force Hamming scan over the clip signatures
+    want = {
+        (a, b): ham(got_sigs[a], got_sigs[b])
+        for a in clips
+        for b in clips
+        if a < b and ham(got_sigs[a], got_sigs[b]) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in video_near_dup_pairs(
+            media, rows, cols, frame_bytes=fb, max_hamming=3, grid_fn=grid_fn
+        ).collect()
+    }
+    assert got == want
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(1, 4)] == 2
+    assert all(6 not in pair for pair in got)
+
+    # exact ties vote to 0 (deterministic for even frame counts): two
+    # frames disagreeing on 6 bits -> those bits all land 0
+    tie = spark.createDataFrame(
+        [(9, bytes(base) + bytes(flip_rows(base, range(rows))), "video/raw", 2 * fb)],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    [tie_row] = video_fingerprint(
+        tie, rows, cols, frame_bytes=fb, grid_fn=grid_fn
+    ).collect()
+    tie_hashes = {
+        r["frame_no"]: r["dhash"]
+        for r in video_frame_dhash(
+            tie, rows, cols, frame_bytes=fb, grid_fn=grid_fn
+        ).collect()
+    }
+    assert tie_row["vfp"] == ref_vote([tie_hashes[0], tie_hashes[1]])
+    disagree = tie_hashes[0] ^ tie_hashes[1]
+    assert disagree != 0 and (tie_row["vfp"] & disagree) == 0
+
+    # short payload (< one frame) is its own single frame
+    short = spark.createDataFrame(
+        [(10, b"abc", "video/raw", 3)],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    assert video_frame_dhash(short, rows, cols, frame_bytes=fb).count() == 1
+
+    with pytest.raises(ValueError, match="60-bit"):
+        video_fingerprint(media, rows=8, cols=10)
+
+
 def test_image_dhash_validation_and_stub_plumbing(docs):
     """The 60-bit budget is enforced, and the default Pillow-or-stub
     grid path runs end-to-end on arbitrary binary payloads."""
