@@ -10,7 +10,7 @@ decode, merge_asof fallback).
 
 from .asof import asof_join
 from .caching import cache_scope, pin, release_caches
-from .clustering import assign_clusters, kmeans
+from .clustering import assign_clusters, kmeans, kmeans_fit_sample
 from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
 from .sampling import domain_mix, token_budget_sample, weighted_reservoir
@@ -60,6 +60,7 @@ __all__ = [
     "assign_clusters",
     "assign_dedup_groups",
     "kmeans",
+    "kmeans_fit_sample",
     "connected_components",
     "ordered_row_number",
     "ordered_running_sum",

@@ -369,14 +369,35 @@ class IvfIndex:
         self.id_col = id_col
         self.vec_col = vec_col
 
-    def build(self, corpus: DataFrame, k: int = 8, max_iter: int = 10) -> None:
-        """Fit the quantizer on ``corpus`` and (over)write the index."""
-        from .clustering import assign_clusters, kmeans
+    def build(
+        self,
+        corpus: DataFrame,
+        k: int = 8,
+        max_iter: int = 10,
+        fit_sample_size: int | None = 4096,
+    ) -> None:
+        """Fit the quantizer on ``corpus`` and (over)write the index.
+
+        The fit defaults to the bounded-sample quantizer training
+        (:func:`~git_log_to_sqlite_spark.operators.clustering.
+        kmeans_fit_sample`, ``fit_sample_size`` vectors): one
+        bounded-output job however large the corpus, versus
+        ``max_iter`` full scans for the distributed loop — the FAISS
+        IVF training shape, and the difference between an O(sample)
+        and an O(corpus x iterations) rebuild at 100 TB. Pass
+        ``fit_sample_size=None`` for the full-corpus Lloyd's fit."""
+        from .clustering import assign_clusters, kmeans, kmeans_fit_sample
 
         fit = corpus.select(
             self.id_col, _as_double(F.col(self.vec_col)).alias("_v")
         )
-        _, centroids = kmeans(fit, self.id_col, "_v", k=k, max_iter=max_iter)
+        if fit_sample_size is None:
+            _, centroids = kmeans(fit, self.id_col, "_v", k=k, max_iter=max_iter)
+        else:
+            centroids = kmeans_fit_sample(
+                fit, self.id_col, "_v", k=k, max_iter=max_iter,
+                sample_size=fit_sample_size,
+            )
         indexed = assign_clusters(
             corpus.select(
                 F.col(self.id_col).alias("neighbor_id"),
@@ -389,10 +410,16 @@ class IvfIndex:
         indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{self.path}/index"
         )
+        # repartition(1), NOT coalesce(1): a Python-parallelized
+        # LocalRelation spreads over defaultParallelism pickled
+        # partitions, and coalesce makes ONE task deserialize each of
+        # them through a serial Python-worker round-trip (~170 ms x 32
+        # partitions = ~5.5 s measured for these 8 rows); repartition
+        # deserializes in parallel map tasks and shuffles 8 rows.
         self.spark.createDataFrame(
             [(j, c) for j, c in enumerate(centroids)],
             "cell int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        ).repartition(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
 
     def centroids(self) -> list[list[float]]:
         rows = (

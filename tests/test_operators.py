@@ -930,8 +930,10 @@ def test_ivf_index_persisted_probe(clustered_vectors, tmp_path):
     _, centroids = kmeans(fit, "kid", "embedding", k=4, max_iter=10)
 
     idx = IvfIndex(e.sparkSession, str(tmp_path / "ivf"))
-    idx.build(fit.select("kid", "embedding").withColumnRenamed("kid", "vec_id"),
-              k=4, max_iter=10)
+    corpus_df = fit.select("kid", "embedding").withColumnRenamed("kid", "vec_id")
+    # fit_sample_size=None pins the full-corpus distributed Lloyd's —
+    # this test's contract is build == the in-memory kmeans fit
+    idx.build(corpus_df, k=4, max_iter=10, fit_sample_size=None)
     assert idx.centroids() == centroids  # same deterministic fit
 
     q = fit.select(F.col("kid").alias("vec_id"), "embedding").filter(
@@ -953,6 +955,64 @@ def test_ivf_index_persisted_probe(clustered_vectors, tmp_path):
     assert "dynamicpruning" in buf.getvalue().lower(), (
         "probe join must dynamically prune the cell-partitioned scan"
     )
+
+
+def test_kmeans_fit_sample_quality_and_determinism(clustered_vectors, tmp_path):
+    """The bounded-sample quantizer fit (IvfIndex.build's default):
+    deterministic across runs (md5-total sample order + argmin ties),
+    recovers the planted clusters as cleanly as the full fit (every
+    planted cluster lands in one Voronoi cell), and the index built
+    with it reproduces the in-memory operator under ITS OWN centroids
+    — the build == probe consistency the persisted deployment needs."""
+    from git_log_to_sqlite_spark.operators import (
+        IvfIndex,
+        assign_clusters,
+        ivf_ann_topk,
+        kmeans_fit_sample,
+    )
+
+    e = clustered_vectors
+    c1 = kmeans_fit_sample(e, "vec_id", "embedding", k=4, max_iter=10,
+                           sample_size=64)
+    c2 = kmeans_fit_sample(e, "vec_id", "embedding", k=4, max_iter=10,
+                           sample_size=64)
+    assert c1 == c2 and len(c1) == 4  # deterministic fit
+
+    # quality: every planted cluster lands whole in one distinct cell
+    # (clustered_vectors' "cluster" col is the planted label — renamed
+    # so assign_clusters' output column can't shadow it)
+    assigned2 = assign_clusters(
+        e.select("vec_id", F.col("cluster").alias("planted"),
+                 F.col("embedding").alias("_v")),
+        "_v", c1,
+    )
+    cells = {}
+    for r in assigned2.collect():
+        cells.setdefault(r["planted"], set()).add(r["cluster"])
+    assert all(len(v) == 1 for v in cells.values())  # one cell per cluster
+    assert len({next(iter(v)) for v in cells.values()}) == 4  # distinct cells
+
+    # sampled-fit index == in-memory operator under the same centroids
+    idx = IvfIndex(e.sparkSession, str(tmp_path / "ivf_sample"))
+    idx.build(e.select("vec_id", "embedding"), k=4, max_iter=10)  # default path
+    got_c = idx.centroids()
+    q = e.filter(F.col("vec_id") < 12).select("vec_id", "embedding")
+    mem = {
+        tuple(r)
+        for r in ivf_ann_topk(
+            q, e.select("vec_id", "embedding"), "vec_id", "embedding",
+            got_c, n_probe=2, k=5,
+        ).collect()
+    }
+    got = {tuple(r) for r in idx.probe(q, n_probe=2, k=5).collect()}
+    assert got == mem and len(got) > 0
+
+    with pytest.raises(ValueError, match="sample_size"):
+        kmeans_fit_sample(e, "vec_id", "embedding", k=8, sample_size=4)
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_fit_sample(
+            e.filter(F.col("vec_id") < 2), "vec_id", "embedding", k=4
+        )
 
 
 def test_ann_probe_chunking_is_exact(clustered_vectors, tmp_path):
