@@ -136,7 +136,13 @@ def main() -> None:
     for name in ("pipeline_pretrain_corpus", "dedup_incremental_lsh",
                  "dedup_decontaminate", "dedup_embedding_cosine",
                  "dedup_simhash_pairs", "dedup_substring_spans",
-                 "dedup_incremental_substring"):
+                 "dedup_incremental_substring",
+                 # round-10 additions: the connected-components closure
+                 # consumers (pairs -> groups) and the two binary-
+                 # modality gate queries (mapInPandas decode + shared
+                 # Hamming pair stage)
+                 "dedup_substring_groups", "dedup_minhash_groups",
+                 "mm_image_near_dup", "mm_video_near_dup"):
         try:
             runs = []
             for _ in range(3):
