@@ -142,7 +142,8 @@ def main() -> None:
                  # modality gate queries (mapInPandas decode + shared
                  # Hamming pair stage)
                  "dedup_substring_groups", "dedup_minhash_groups",
-                 "mm_image_near_dup", "mm_video_near_dup"):
+                 "mm_image_near_dup", "mm_video_near_dup",
+                 "mm_audio_near_dup"):
         try:
             runs = []
             for _ in range(3):

@@ -53,32 +53,36 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 # Round-10 rotation (executing the plan pre-staged in round 9, plus
-# this round's additions): the two NEW binary-modality queries lead —
-# `mm_image_near_dup` (image dHash + hamming_pairs, the
-# mapInPandas decode path's first driver row) and
-# `mm_video_near_dup` (per-frame dHash + distributed majority-vote
-# clip fingerprint, the fourth modality on the shared Hamming stage)
-# — per the standing new-query precedent.  Then the twelve round-7
-# rows spilled past round 9's slot 50 (oldest driver rows), then the
-# round-8-gated block in CORRECTNESS_r08's key order.  2 + 12 + 50
-# names against a 50-slot prefix means fourteen round-8 rows spill
-# to round 11; per the standing precedent the spill is steered onto
-# the lowest-risk deterministic tail of that block (the seven fn_*
-# scalar projections, the text_pii_mask / text_clean per-row text
-# projections, and the five projection-shaped UDF-surface demos
-# udf_scalar_python / udf_pandas_vectorized / udf_map_in_pandas /
-# udf_table_function / udf_native_udtf — each a zero-shuffle plan
-# over static parquet), never onto the streaming-replay, ETL-parity,
-# or composite-pipeline rows, so those fourteen move past slot 50
-# and lead the pre-staged round-11 rotation.  The corpus is 119
-# registered queries (114 oracle-bearing, 5 oracle-less tail)
-# against a 2x50 gate — freshness cycle ~2.4 rounds; grow the corpus
-# further only if the gate grows.
+# this round's additions): the three NEW binary-modality queries
+# lead — `mm_image_near_dup` (image dHash + hamming_pairs, the
+# mapInPandas decode path's first driver row), `mm_video_near_dup`
+# (per-frame dHash + distributed majority-vote clip fingerprint, the
+# fourth modality on the shared Hamming stage), and
+# `mm_audio_near_dup` (the Haitsma-Kalker fingerprint under an
+# exact-IEEE-mirror oracle) — per the standing new-query precedent.
+# Then the twelve round-7 rows spilled past round 9's slot 50
+# (oldest driver rows), then the round-8-gated block in
+# CORRECTNESS_r08's key order.  3 + 12 + 50 names against a 50-slot
+# prefix means fifteen round-8 rows spill to round 11; per the
+# standing precedent the spill is steered onto the lowest-risk
+# deterministic tail of that block (the seven fn_* scalar
+# projections, the text_chunk_overlap / text_pii_mask / text_clean
+# per-row text projections, and the five projection-shaped
+# UDF-surface demos udf_scalar_python / udf_pandas_vectorized /
+# udf_map_in_pandas / udf_table_function / udf_native_udtf — each a
+# zero-shuffle plan over static parquet), never onto the
+# streaming-replay, ETL-parity, or composite-pipeline rows, so those
+# fifteen move past slot 50 and lead the pre-staged round-11
+# rotation.  The corpus is 120 registered queries (115
+# oracle-bearing, 5 oracle-less tail) against a 2x50 gate —
+# freshness cycle ~2.4 rounds; grow the corpus further only if the
+# gate grows.
 _prioritize(
     first=[
         # --- new queries with no driver row yet ---
         "mm_image_near_dup",
         "mm_video_near_dup",
+        "mm_audio_near_dup",
         # --- round-7 holdovers (oldest driver rows; spilled past
         #     round 9's slot 50) ---
         "sort_topk_orders",
@@ -94,9 +98,8 @@ _prioritize(
         "join_cross",
         "join_self_nation_pairs",
         # --- round-8-gated block, CORRECTNESS_r08 key order (36 of
-        #     50 names; the fourteen scalar/projection rows below
+        #     50 names; the fifteen scalar/projection rows below
         #     spill to round 11) ---
-        "text_chunk_overlap",
         "etl_repos_skipped_parity",
         "stream_dedup_replay",
         "agg_pricing_summary",
@@ -140,6 +143,7 @@ _prioritize(
         "fn_dates",
         "fn_json",
         "fn_from_json_struct",
+        "text_chunk_overlap",
         "text_pii_mask",
         "text_clean",
         "udf_scalar_python",

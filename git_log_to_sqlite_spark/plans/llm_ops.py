@@ -871,6 +871,87 @@ def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_FRAMES = 7
+_AUDIO_BANDS = 11
+
+
+def _mm_audio_oracle(frames: int = _AUDIO_FRAMES, bands: int = _AUDIO_BANDS) -> str:
+    """DuckDB twin of ``mm_audio_near_dup``: the stub band energies are
+    byte-slice MEANS (cell (f, b) averages payload bytes [i, i+step),
+    i = (f*bands+b)*step, step = max(1, len // cells); an out-of-range
+    cell falls back to the last byte), and the Haitsma-Kalker bit is
+    the sign of the double-difference of four such means.  Means are
+    rational, so the oracle mirrors the FLOAT arithmetic exactly — the
+    registry's deterministic-division rule: both engines compute
+    ``CAST(int_sum AS DOUBLE) / int_len`` (one correctly-rounded IEEE
+    division of identical operands) and the same parenthesized
+    double-difference, so the sign comparison cannot diverge by an
+    ulp.  An exact-rational comparison would NOT be safe the other
+    way: a tie in exact arithmetic can land off-zero in floats."""
+    cells = frames * bands
+    cell_cols = []
+    for c in range(cells):
+        i0 = f"({c} * step)"
+        cell_cols.append(
+            f"CASE WHEN {i0} >= len"
+            f" THEN CAST(ascii(substr(text, len, 1)) AS DOUBLE)"
+            f" ELSE CAST(list_sum(list_transform(generate_series({i0} + 1,"
+            f" {i0} + least(step, len - {i0})),"
+            f" j -> ascii(substr(text, j, 1)))) AS DOUBLE)"
+            f" / least(step, len - {i0}) END AS e{c}"
+        )
+    bits = (frames - 1) * (bands - 1)
+    bit_terms = []
+    for f in range(1, frames):
+        for b in range(bands - 1):
+            k = (f - 1) * (bands - 1) + b
+            w = 1 << (bits - 1 - k)
+            d = (
+                f"((e{f * bands + b} - e{f * bands + b + 1})"
+                f" - (e{(f - 1) * bands + b} - e{(f - 1) * bands + b + 1}))"
+            )
+            bit_terms.append(f"CASE WHEN {d} > 0 THEN {w} ELSE 0 END")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len,
+             greatest(1, length(text) // {cells}) AS step
+      FROM documents),
+    cells AS (
+      SELECT doc_id, {', '.join(cell_cols)} FROM d),
+    sigs AS (
+      SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS afp FROM cells)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """
+
+
+@register(
+    "mm_audio_near_dup",
+    oracle=_mm_audio_oracle(),
+    doc="Audio near-duplicate pairs end-to-end: text bytes as raw "
+    "audio payloads, the deterministic byte-slice energy stub (pinned "
+    "— the honest decode seam, operators/multimodal.py:352), the "
+    "Haitsma-Kalker double-difference fingerprint over Arrow-batched "
+    "mapInPandas, and the shared hamming_pairs band stage — with this "
+    "row all four modalities (text simhash, image, audio, video) "
+    "carry hash-verified driver evidence on the one pair machinery.",
+)
+def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents")
+    media = mm.as_media(d, "doc_id", "text", mime="audio/raw")
+    return mm.audio_near_dup_pairs(
+        media,
+        frames=_AUDIO_FRAMES,
+        bands=_AUDIO_BANDS,
+        max_hamming=3,
+        energy_fn=mm._band_energies_stub,
+    )
+
+
 # ----------------------------------------------------------------------
 # General event-time as-of join
 # ----------------------------------------------------------------------
