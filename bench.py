@@ -138,7 +138,7 @@ def main() -> None:
                  "dedup_simhash_pairs", "dedup_substring_spans",
                  "dedup_incremental_substring",
                  # round-10 additions: the connected-components closure
-                 # consumers (pairs -> groups) and the two binary-
+                 # consumers (pairs -> groups) and the three binary-
                  # modality gate queries (mapInPandas decode + shared
                  # Hamming pair stage)
                  "dedup_substring_groups", "dedup_minhash_groups",

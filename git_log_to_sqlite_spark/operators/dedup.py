@@ -274,6 +274,32 @@ def _hot_key_set(
     return pin(hot.filter(F.col("d").cast("long") > cap).select(*key_cols))
 
 
+def _validate_band_caps(
+    max_band_size: int | None,
+    band_size_quantile: float | None,
+    observation: "Observation | None",
+) -> None:
+    """Valve-argument validation shared by every band-valve caller —
+    invoked by each ENTRY POINT before its signature pin (a check that
+    fires only inside :func:`_capped_bands` runs after the pin and
+    leaks a never-materialized cache-registry entry until
+    ``release_caches()``), and again by ``_capped_bands`` itself for
+    direct callers."""
+    if max_band_size is not None and band_size_quantile is not None:
+        raise ValueError("max_band_size and band_size_quantile are mutually exclusive")
+    if (
+        observation is not None
+        and max_band_size is None
+        and band_size_quantile is None
+    ):
+        raise ValueError(
+            "observation requires a cap (max_band_size or "
+            "band_size_quantile); without one it would never be "
+            "attached and Observation.get would block/raise far "
+            "from the cause"
+        )
+
+
 def _capped_bands(
     bands: DataFrame,
     max_band_size: int | None,
@@ -357,16 +383,8 @@ def _capped_bands(
     """
     if join_shape not in ("self", "probe"):
         raise ValueError(f"join_shape must be 'self' or 'probe', got {join_shape!r}")
-    if max_band_size is not None and band_size_quantile is not None:
-        raise ValueError("max_band_size and band_size_quantile are mutually exclusive")
+    _validate_band_caps(max_band_size, band_size_quantile, observation)
     if max_band_size is None and band_size_quantile is None:
-        if observation is not None:
-            raise ValueError(
-                "observation requires a cap (max_band_size or "
-                "band_size_quantile); without one it would never be "
-                "attached and Observation.get would block/raise far "
-                "from the cause"
-            )
         return bands
     hot = _hot_key_set(
         bands,
@@ -410,6 +428,9 @@ def minhash_lsh_pairs(
     Pass an :class:`~pyspark.sql.Observation` to receive
     ``bands_dropped`` / ``pairs_avoided`` telemetry.
     """
+    _validate_band_caps(  # before the pin — a bad call must not leak a cache entry
+        max_band_size, band_size_quantile, observation
+    )
     # The signature table is referenced 4x downstream (both band-join
     # branches + both agreement joins); without persisting, Spark
     # recomputes the shingle explode + K-way min aggregate per branch.
@@ -1140,19 +1161,7 @@ def _validate_banding(
         raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
-    if max_band_size is not None and band_size_quantile is not None:
-        raise ValueError("max_band_size and band_size_quantile are mutually exclusive")
-    if (
-        observation is not None
-        and max_band_size is None
-        and band_size_quantile is None
-    ):
-        raise ValueError(
-            "observation requires a cap (max_band_size or "
-            "band_size_quantile); without one it would never be "
-            "attached and Observation.get would block/raise far "
-            "from the cause"
-        )
+    _validate_band_caps(max_band_size, band_size_quantile, observation)
 
 
 def hamming_pairs(
@@ -1357,6 +1366,9 @@ def incremental_minhash_dedup(
         raise ValueError(
             "exactly one of history / history_signatures is required"
         )
+    _validate_band_caps(  # before the pins — a bad call must not leak a cache entry
+        max_band_size, band_size_quantile, observation
+    )
     if history_signatures is not None:
         missing = {id_col, *(f"mh_{j}" for j in range(num_hashes))} - set(
             history_signatures.columns

@@ -97,7 +97,7 @@ _prioritize(
         "fn_map",
         "join_cross",
         "join_self_nation_pairs",
-        # --- round-8-gated block, CORRECTNESS_r08 key order (36 of
+        # --- round-8-gated block, CORRECTNESS_r08 key order (35 of
         #     50 names; the fifteen scalar/projection rows below
         #     spill to round 11) ---
         "etl_repos_skipped_parity",

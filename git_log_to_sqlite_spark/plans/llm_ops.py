@@ -731,25 +731,32 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dhash_terms(byte_expr, rows: int = 6, cols: int = 10) -> str:
-    """The dHash bit derivation as DuckDB SQL — one CASE term per bit,
-    weights matching ``operators.multimodal._grid_dhash``'s MSB-first
-    row-major packing, over grid bytes produced by ``byte_expr(j)``
-    (an SQL expression for row-major grid byte j). Generated
-    programmatically so the 60-term sum cannot drift from the
-    operator's bit order."""
-    bits = rows * cols
-    terms = []
+def _sql_dhash_bits(byte_expr, rows: int = 6, cols: int = 10) -> list[str]:
+    """The dHash bit derivation as DuckDB SQL — one boolean condition
+    per bit IN DERIVATION ORDER (bit k of the list sits at BIGINT
+    position ``rows*cols - 1 - k``, matching ``operators.multimodal.
+    _grid_dhash``'s MSB-first row-major packing), over grid bytes
+    produced by ``byte_expr(j)`` (an SQL expression for row-major grid
+    byte j). The ONE source of the (r, c) -> comparison/weight mapping
+    for every image/video oracle — generated programmatically so a
+    twin cannot drift from the operator's bit order."""
+    conds = []
     for r in range(rows):
         base = r * (cols + 1)
         for c in range(cols):
-            k = r * cols + c
-            w = 1 << (bits - 1 - k)
-            terms.append(
-                f"CASE WHEN {byte_expr(base + c + 1)} > {byte_expr(base + c)}"
-                f" THEN {w} ELSE 0 END"
-            )
-    return " + ".join(terms)
+            conds.append(f"{byte_expr(base + c + 1)} > {byte_expr(base + c)}")
+    return conds
+
+
+def _sql_dhash_terms(byte_expr, rows: int = 6, cols: int = 10) -> str:
+    """:func:`_sql_dhash_bits` assembled into the weighted 60-term sum
+    — the whole-signature form the image oracle uses."""
+    conds = _sql_dhash_bits(byte_expr, rows, cols)
+    bits = len(conds)
+    return " + ".join(
+        f"CASE WHEN {cond} THEN {1 << (bits - 1 - k)} ELSE 0 END"
+        for k, cond in enumerate(conds)
+    )
 
 
 def _mm_image_oracle() -> str:
@@ -810,20 +817,18 @@ def _mm_video_oracle(fb: int = _VIDEO_FRAME_BYTES) -> str:
     def byte(j: int) -> str:
         return f"ascii(substr(text, f*{fb} + (({j}) % cl) + 1, 1))"
 
-    bit_cols = []
-    for r in range(6):
-        base = r * 11
-        for c in range(10):
-            k = r * 10 + c
-            bit_cols.append(
-                f"CASE WHEN {byte(base + c + 1)} > {byte(base + c)}"
-                f" THEN 1 ELSE 0 END AS b{k}"
-            )
-    sum_cols = ", ".join(f"sum(b{k}) AS s{k}" for k in range(60))
-    # per-frame bit k sits at long position 59-k (MSB-first packing);
-    # the vote preserves positions, so the weight is the same 2^(59-k)
+    conds = _sql_dhash_bits(byte)  # same (r, c) -> bit mapping as the image twin
+    bits = len(conds)
+    bit_cols = [
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS b{k}"
+        for k, cond in enumerate(conds)
+    ]
+    sum_cols = ", ".join(f"sum(b{k}) AS s{k}" for k in range(bits))
+    # derivation-order bit k sits at long position bits-1-k (MSB-first
+    # packing); the vote preserves positions, so the weight is the same
     vote = " + ".join(
-        f"CASE WHEN 2*s{k} > n THEN {1 << (59 - k)} ELSE 0 END" for k in range(60)
+        f"CASE WHEN 2*s{k} > n THEN {1 << (bits - 1 - k)} ELSE 0 END"
+        for k in range(bits)
     )
     return f"""
     WITH d AS (

@@ -629,6 +629,29 @@ def test_banding_validation_precedes_pins(spark):
             docs, "doc_id", "text", max_band_size=2, band_size_quantile=0.9
         )
     assert _LIVE == []
+    # the minhash entry points pin signatures too (the review-pass
+    # gap: the Hamming fix alone left these leaking)
+    from git_log_to_sqlite_spark.operators import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    for call in (
+        lambda: minhash_lsh_pairs(
+            docs, "doc_id", "text", max_band_size=2, band_size_quantile=0.9
+        ),
+        lambda: minhash_lsh_pairs(docs, "doc_id", "text", observation=Observation()),
+        lambda: incremental_minhash_dedup(
+            docs, docs.limit(1), "doc_id", "text",
+            max_band_size=2, band_size_quantile=0.9,
+        ),
+        lambda: incremental_minhash_dedup(
+            docs, docs.limit(1), "doc_id", "text", observation=Observation()
+        ),
+    ):
+        with pytest.raises(ValueError, match="mutually exclusive|requires a cap"):
+            call()
+        assert _LIVE == []
 
 
 def test_signature_store_exists_distinguishes_missing_from_broken(spark, tmp_path):
