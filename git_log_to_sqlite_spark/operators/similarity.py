@@ -429,6 +429,67 @@ class IvfIndex:
         )
         return [list(r["centroid"]) for r in rows]
 
+    def exists(self) -> bool:
+        """True iff the index has been built at ``path`` — mapping
+        ONLY a missing location to False (any other failure
+        propagates, mirroring ``SignatureStore.exists``'s contract: a
+        transient read error must not advise a destructive rebuild)."""
+        try:
+            self.spark.read.parquet(f"{self.path}/centroids")
+            return True
+        except Exception as exc:  # noqa: BLE001 — classify, don't swallow
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return False
+            raise
+
+    def append(self, new_vectors: DataFrame) -> None:
+        """Grow the index WITHOUT refitting — the daily-ingest shape of
+        the persisted-index family (``SignatureStore.ingest`` for
+        minhash, ``WindowStore`` for substring windows): the quantizer
+        is model state fitted at build time, so new vectors are
+        assigned to the EXISTING cells (one codegen projection, no
+        shuffle beyond the partitioned write) and appended to the
+        cell-partitioned parquet. The existing index is never
+        re-scanned or re-written — an append touches only the new
+        rows, so daily growth costs O(increment) however large the
+        index. Probes see appended rows immediately (the cell scan
+        reads every file of the probed partitions). Rebuild when the
+        corpus distribution drifts; :meth:`cell_sizes` is the
+        observable (a cell absorbing a disproportionate share of
+        appends means the Voronoi tessellation no longer fits the
+        data and probe candidate mass is skewing)."""
+        if not self.exists():
+            raise ValueError(
+                f"no index at {self.path}: build() first — appending to "
+                "an unbuilt index would silently create an empty-"
+                "quantizer store"
+            )
+        from .clustering import assign_clusters
+
+        assigned = assign_clusters(
+            new_vectors.select(
+                F.col(self.id_col).alias("neighbor_id"),
+                _as_double(F.col(self.vec_col)).alias("_cv"),
+                vnorm(F.col(self.vec_col)).alias("_cn"),
+            ),
+            "_cv",
+            self.centroids(),
+        ).withColumnRenamed("cluster", "cell")
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            f"{self.path}/index"
+        )
+
+    def cell_sizes(self) -> DataFrame:
+        """``(cell, n_vectors)`` — the index-health observable: cell
+        balance is the quantizer's job, and a skewing cell after
+        appends is the rebuild signal. Partition-pruned count per
+        cell (parquet row-group metadata makes this near-free)."""
+        return (
+            self.spark.read.parquet(f"{self.path}/index")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+        )
+
     def probe(
         self,
         queries: DataFrame,

@@ -1038,6 +1038,53 @@ def test_kmeans_fit_sample_quality_and_determinism(clustered_vectors, tmp_path):
         )
 
 
+def test_ivf_index_append_grows_without_refit(clustered_vectors, tmp_path):
+    """The daily-ingest shape of the persisted index: append() assigns
+    new vectors to the EXISTING cells and appends to the partitioned
+    parquet — probing the grown index must equal probing an index
+    whose build saw everything, because the quantizer (model state) is
+    identical and assignment is deterministic. Also: appended mass is
+    visible to cell_sizes(), and an un-built path fails fast instead
+    of creating an empty-quantizer store (the SignatureStore ingest
+    contract)."""
+    from git_log_to_sqlite_spark.operators import IvfIndex, ivf_ann_topk
+
+    e = clustered_vectors.select("vec_id", "embedding")
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    second = e.filter(F.col("vec_id") % 2 == 1)
+
+    idx = IvfIndex(e.sparkSession, str(tmp_path / "ivf_grow"))
+    idx.build(first, k=4, max_iter=10, fit_sample_size=64)
+    cents = idx.centroids()
+    q = e.filter(F.col("vec_id") < 12)
+    before = {tuple(r) for r in idx.probe(q, n_probe=2, k=5).collect()}
+    idx.append(second)
+    assert idx.centroids() == cents  # append never touches the quantizer
+
+    # grown index == the in-memory operator over the FULL corpus under
+    # the same quantizer (assignment is deterministic, so append(half)
+    # is indistinguishable from having indexed everything at build)
+    got = {tuple(r) for r in idx.probe(q, n_probe=2, k=5).collect()}
+    want = {
+        tuple(r)
+        for r in ivf_ann_topk(
+            q, e, "vec_id", "embedding", cents, n_probe=2, k=5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert got != before  # the appended half participates
+
+    # appended mass visible; totals add up
+    sizes = {r["cell"]: r["n_vectors"] for r in idx.cell_sizes().collect()}
+    assert sum(sizes.values()) == e.count()
+
+    # un-built path fails fast
+    empty = IvfIndex(e.sparkSession, str(tmp_path / "ivf_nope"))
+    assert not empty.exists()
+    with pytest.raises(ValueError, match="build\\(\\) first"):
+        empty.append(second)
+
+
 def test_ann_probe_chunking_is_exact(clustered_vectors, tmp_path):
     """The documented escape hatch of the probe-side broadcast HARD
     CONTRACT (IvfIndex.probe / bucketed_ann_topk force-broadcast the

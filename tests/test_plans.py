@@ -572,3 +572,29 @@ def test_weighted_reservoir_map_side_topk_prune(spark, sf):
     plan = plan_of(plans.REGISTRY["sample_weighted_reservoir"].fn(spark, sf))
     node_lines = [l for l in plan.splitlines() if l.startswith("(")]
     assert sum("WindowGroupLimit" in l for l in node_lines) >= 2, node_lines
+
+
+def test_video_fingerprint_vote_combines_map_side(spark, sf):
+    """The clip majority vote must be a JVM-side hash-aggregate pair
+    with MAP-SIDE partial bit sums below the media_id exchange (a
+    clip's frames combine within their partition before shuffling —
+    one row per clip per partition crosses the wire, the property
+    that makes a million-frame clip affordable), never a per-clip
+    Python aggregation; the only Python stage is the single
+    MapInPandas frame decode."""
+    from git_log_to_sqlite_spark.operators import multimodal as mm
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    media = mm.as_media(
+        table(spark, sf, "documents"), "doc_id", "text", mime="video/raw"
+    )
+    df = mm.video_fingerprint(media, frame_bytes=64, grid_fn=mm._luma_grid_stub)
+    plan = plan_of(df)
+    node_lines = [l for l in plan.splitlines() if l.strip().startswith("(")]
+    assert sum("MapInPandas" in l for l in node_lines) == 1, node_lines
+    assert not any("BatchEvalPython" in l or "ArrowEvalPython" in l
+                   for l in node_lines), node_lines
+    assert sum("Exchange" in l for l in node_lines) == 1, node_lines
+    assert sum("HashAggregate" in l for l in node_lines) == 2, node_lines
+    # the partial (map-side) aggregate carries the per-bit sums
+    assert "partial_sum" in plan and "shiftright" in plan
