@@ -758,3 +758,59 @@ def test_stream_static_join_equals_batch(spark, oracle_sf_dir, replay_dir):
     run_to_memory(stream, "out_stream_static", output_mode="complete")
     got = _rows(spark.sql("SELECT * FROM out_stream_static"))
     assert got == _rows(batch)
+
+
+def test_ivf_index_streaming_append(spark, oracle_sf_dir, tmp_path):
+    """The persisted ANN index's daily-ingest loop (IvfIndex.append —
+    the index analog of SignatureStore.ingest / WindowStore.ingest):
+    build on the day-0 corpus, stream three daily embedding batches
+    through foreachBatch append, and the grown index must probe
+    IDENTICALLY to the in-memory operator over the full corpus under
+    the build-time quantizer — append never refits mid-stream, every
+    appended row lands in its deterministic cell, and cell_sizes
+    accounts for the whole corpus."""
+    import os
+    import time
+
+    from git_log_to_sqlite_spark.operators import IvfIndex, ivf_ann_topk
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    day0 = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = IvfIndex(spark, str(tmp_path / "ivf_stream"))
+    idx.build(day0, k=4, max_iter=10, fit_sample_size=64)
+    cents = idx.centroids()
+
+    inc_dir = str(tmp_path / "ivf_days")
+    for d in (1, 2, 3):
+        p = os.path.join(inc_dir, f"day{d}")
+        emb.filter(F.col("vec_id") % 4 == d).coalesce(1).write.parquet(p)
+        stamp = time.time() - 300 + d * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(inc_dir)
+        .writeStream.foreachBatch(lambda batch_df, _id: idx.append(batch_df))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert idx.centroids() == cents  # the stream never refit the quantizer
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = {tuple(r) for r in idx.probe(queries, n_probe=2, k=5).collect()}
+    want = {
+        tuple(r)
+        for r in ivf_ann_topk(
+            queries, emb, "vec_id", "embedding", cents, n_probe=2, k=5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    sizes = {r["cell"]: r["n_vectors"] for r in idx.cell_sizes().collect()}
+    assert sum(sizes.values()) == emb.count()
