@@ -1625,6 +1625,34 @@ def test_video_near_dup_planted_twins(spark):
         video_fingerprint(media, rows=8, cols=10)
 
 
+def test_grid_dhash_batch_equals_scalar():
+    """The vectorized batch hasher (the Arrow-batch hot path) must be
+    bit-identical to the scalar reference on random grids, including
+    equal-luma plateaus (strict > on both paths), over-long grids
+    (sliced like the scalar form's indexing), and empty batches."""
+    import random
+
+    from git_log_to_sqlite_spark.operators.multimodal import (
+        _grid_dhash,
+        _grid_dhash_batch,
+    )
+
+    rng = random.Random(17)
+    for rows, cols in ((6, 10), (3, 4), (1, 1)):
+        n = rows * (cols + 1)
+        grids = [
+            [rng.choice([0, 1, 40, 200, 255]) for _ in range(n)]
+            for _ in range(50)
+        ]
+        grids.append([7] * n)  # all-equal plateau -> hash 0
+        assert _grid_dhash_batch(grids, rows, cols) == [
+            _grid_dhash(g, rows, cols) for g in grids
+        ]
+    over = [[rng.randrange(256) for _ in range(100)] for _ in range(5)]
+    assert _grid_dhash_batch(over, 6, 10) == [_grid_dhash(g, 6, 10) for g in over]
+    assert _grid_dhash_batch([], 6, 10) == []
+
+
 def test_image_dhash_validation_and_stub_plumbing(docs):
     """The 60-bit budget is enforced, and the default Pillow-or-stub
     grid path runs end-to-end on arbitrary binary payloads."""
