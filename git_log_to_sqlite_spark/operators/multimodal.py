@@ -191,10 +191,12 @@ def resize_images(
     )
 
 
-def _luma_grid_pil(payload: bytes, rows: int, cols: int) -> list[int]:
+def _luma_grid_pil(payload: bytes, rows: int, cols: int) -> bytes:
     """Real grid provider: Pillow decode -> grayscale -> resize to
     (cols+1) x rows — the +1 column is what dHash differences over.
-    Returns row-major luma bytes."""
+    Returns row-major luma ``bytes`` (mode-L ``tobytes()`` IS the
+    row-major grid), so the batch hasher's zero-copy fast path
+    engages in real-decoder deployments too, not just the stub."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: no decoder available")
     import io
@@ -203,7 +205,7 @@ def _luma_grid_pil(payload: bytes, rows: int, cols: int) -> list[int]:
 
     with Image.open(io.BytesIO(payload)) as img:
         small = img.convert("L").resize((cols + 1, rows))
-        return list(small.getdata())
+        return small.tobytes()
 
 
 def _luma_grid_stub(payload: bytes, rows: int, cols: int) -> bytes:
@@ -304,7 +306,11 @@ def _grid_dhash_batch(grids, rows: int, cols: int) -> "list[int]":
     else:
         # slice to the grid size: the scalar form indexes only the
         # first rows*(cols+1) entries, so an over-long grid_fn is legal
-        g = np.asarray([list(gr[:n]) for gr in grids], dtype=np.int64)
+        # float64, not int64: a custom grid_fn may return fractional
+        # lumas (e.g. averaged), and truncation would flip comparison
+        # bits vs the scalar reference; float64 is exact for every
+        # integer luma the byte paths produce
+        g = np.asarray([list(gr[:n]) for gr in grids], dtype=np.float64)
     parts = [
         g[:, r * (cols + 1) + 1: r * (cols + 1) + cols + 1]
         > g[:, r * (cols + 1): r * (cols + 1) + cols]

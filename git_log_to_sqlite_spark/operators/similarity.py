@@ -431,14 +431,19 @@ class IvfIndex:
 
     def exists(self) -> bool:
         """True iff the index has been built at ``path`` — mapping
-        ONLY a missing location to False (any other failure
-        propagates, mirroring ``SignatureStore.exists``'s contract: a
-        transient read error must not advise a destructive rebuild)."""
+        ONLY a missing location (the analyzer's PATH_NOT_FOUND) to
+        False, exactly ``SignatureStore.exists``'s contract: any
+        other failure — transient IO, permissions, a momentarily
+        unreachable object store — propagates, because conflating it
+        with "never built" would make :meth:`append`'s guard advise a
+        rebuild whose ``mode("overwrite")`` destroys a live index."""
+        from pyspark.errors import AnalysisException
+
         try:
-            self.spark.read.parquet(f"{self.path}/centroids")
+            self.spark.read.parquet(f"{self.path}/centroids").schema
             return True
-        except Exception as exc:  # noqa: BLE001 — classify, don't swallow
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc):
                 return False
             raise
 

@@ -1651,6 +1651,21 @@ def test_grid_dhash_batch_equals_scalar():
     over = [[rng.randrange(256) for _ in range(100)] for _ in range(5)]
     assert _grid_dhash_batch(over, 6, 10) == [_grid_dhash(g, 6, 10) for g in over]
     assert _grid_dhash_batch([], 6, 10) == []
+    # the zero-copy BYTES fast path (exact-length bytes grids — the
+    # stub's and the PIL provider's output) must agree with both the
+    # scalar reference and the list fallback on the same values
+    bgrids = [bytes(rng.randrange(256) for _ in range(66)) for _ in range(64)]
+    want = [_grid_dhash(g, 6, 10) for g in bgrids]
+    assert _grid_dhash_batch(bgrids, 6, 10) == want
+    assert _grid_dhash_batch([list(g) for g in bgrids], 6, 10) == want
+    # a mixed batch (one list grid) must drop to the fallback, not crash
+    assert _grid_dhash_batch([bgrids[0], list(bgrids[1])], 6, 10) == want[:2]
+    # fractional lumas (a custom averaging grid_fn) must not truncate:
+    # 1.5 > 1.2 is a set bit the int cast would erase
+    fr = [1.2, 1.5] + [0.0] * 64
+    got_fr = _grid_dhash_batch([fr], 6, 10)
+    assert got_fr == [_grid_dhash(fr, 6, 10)]
+    assert got_fr[0] & (1 << 59)  # the (0,0) comparison survived
 
 
 def test_image_dhash_validation_and_stub_plumbing(docs):
