@@ -843,8 +843,37 @@ def substring_span_pairs(
             "without one it would never be attached and Observation.get "
             "would block/raise far from the cause"
         )
-    k = window
-    w = window_table(df, id_col, text_col, k)
+    return _span_pairs_from_windows(
+        window_table(df, id_col, text_col, window),
+        window,
+        min_run_tokens,
+        max_df,
+        max_df_quantile,
+        quantile_headroom,
+        observation,
+    )
+
+
+def _span_pairs_from_windows(
+    w: DataFrame,
+    k: int,
+    min_run_tokens: int,
+    max_df: int | None,
+    max_df_quantile: float | None,
+    quantile_headroom: int,
+    observation: "Observation | None",
+    dropped_name: str = "windows_dropped",
+) -> DataFrame:
+    """The substring pair pipeline downstream of the window table —
+    occurrence cap (cap-before-collect), postings, c(c-1)/2 ordered
+    pair explode, gaps-and-islands — factored out so ANY ``(_id, pos,
+    h)`` positional-hash sequence runs through it: token windows
+    (:func:`substring_span_pairs`) and per-frame perceptual hashes
+    (:func:`~git_log_to_sqlite_spark.operators.multimodal.
+    video_shared_scene_pairs` — shared scenes are verbatim runs in
+    frame-hash space, the same gaps-and-islands recovery).  ``k`` is
+    the tokens-per-cell width (run length = islands + k - 1; a
+    one-frame cell passes k=1)."""
     if max_df is not None or max_df_quantile is not None:
         hot = _hot_key_set(
             w,
@@ -853,7 +882,7 @@ def substring_span_pairs(
             max_df_quantile,
             quantile_headroom=quantile_headroom,
             observation=observation,
-            dropped_name="windows_dropped",
+            dropped_name=dropped_name,
             avoided="pairs",
         )
         w = w.join(hot, "h", "left_anti")

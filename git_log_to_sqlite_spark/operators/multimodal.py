@@ -597,6 +597,85 @@ def video_fingerprint(
     return agg.select("media_id", vfp.alias("vfp"))
 
 
+def video_shared_scene_pairs(
+    media: DataFrame,
+    rows: int = 6,
+    cols: int = 10,
+    frame_bytes: int = 256,
+    min_run_frames: int = 4,
+    max_df: int | None = None,
+    max_df_quantile: float | None = None,
+    quantile_headroom: int = 10,
+    grid_fn: Callable[[bytes, int, int], Sequence[int]] | None = None,
+    observation=None,
+) -> DataFrame:
+    """Scene-level video dedup: for every clip pair sharing a verbatim
+    run of >= ``min_run_frames`` consecutive frames, report the
+    longest shared run and the total shared frame cells — the video
+    analog of exact-substring passage dedup, and invisible to the
+    clip-level fingerprint exactly the way a copied passage is
+    invisible to a document-level minhash (a 10-second scene spliced
+    into an otherwise-different clip moves at most a few majority-vote
+    bits).  Returns ``(id_a, id_b, longest_run_frames,
+    n_shared_frames)``.
+
+    Pure composition of two existing stages: :func:`video_frame_dhash`
+    produces the ``(clip, frame_no, 60-bit hash)`` sequence, and the
+    exact-substring machinery's inverted-index pipeline
+    (``dedup._span_pairs_from_windows`` — occurrence cap before
+    collect, c(c-1)/2 ordered pair explode, ONE gaps-and-islands
+    window per (pair, diagonal) riding its own exchange) recovers the
+    longest aligned runs, with ``k=1`` since each cell is one frame.
+    Same scale discipline as the text modality: the shuffle carries
+    (id, pos, 8-byte hash) cells, candidate mass is bounded by the
+    occurrence cap, never clips^2.
+
+    Two semantic trades, both lower-bounding (a reported scene is
+    real; a real scene may be under-reported): (1) matching is EXACT
+    frame-hash equality — robustness to re-encoding comes from the
+    perceptual hash upstream, and a frame whose dHash flips a bit
+    splits the run (the documented trade of every exact-hash
+    substring recovery); (2) ``max_df`` / ``max_df_quantile`` cap
+    degenerate frames — black/title-card frames shared by half the
+    corpus are this operator's d(d-1)/2 skew unit, exactly the
+    boilerplate-window pathology of the text operator, and the valve
+    reports ``frames_dropped`` / ``pairs_avoided`` telemetry through
+    the standard eager contract."""
+    from .dedup import _span_pairs_from_windows
+
+    if min_run_frames < 1:
+        raise ValueError(f"min_run_frames must be >= 1, got {min_run_frames}")
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("max_df and max_df_quantile are mutually exclusive")
+    if observation is not None and max_df is None and max_df_quantile is None:
+        raise ValueError(
+            "observation requires a cap (max_df or max_df_quantile); "
+            "without one it would never be attached and Observation.get "
+            "would block/raise far from the cause"
+        )
+    frames = video_frame_dhash(media, rows, cols, frame_bytes, grid_fn)
+    w = frames.select(
+        F.col("media_id").alias("_id"),
+        F.col("frame_no").alias("pos"),
+        F.col("dhash").alias("h"),
+    )
+    return _span_pairs_from_windows(
+        w,
+        k=1,  # one frame per cell: run length == island size
+        min_run_tokens=min_run_frames,
+        max_df=max_df,
+        max_df_quantile=max_df_quantile,
+        quantile_headroom=quantile_headroom,
+        observation=observation,
+        dropped_name="frames_dropped",
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("longest_run_tokens").alias("longest_run_frames"),
+        F.col("n_shared_windows").alias("n_shared_frames"),
+    )
+
+
 def video_near_dup_pairs(
     media: DataFrame,
     rows: int = 6,

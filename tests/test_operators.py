@@ -1668,6 +1668,112 @@ def test_grid_dhash_batch_equals_scalar():
     assert got_fr[0] & (1 << 59)  # the (0,0) comparison survived
 
 
+def test_video_shared_scene_pairs_planted(spark):
+    """Scene-level video dedup (the substring machinery over per-frame
+    hashes): a 6-frame scene spliced into an otherwise-different clip,
+    an exact clip copy, and sub-threshold 1-2 frame overlaps must
+    resolve exactly as a brute-force longest-aligned-run scan over the
+    frame-hash sequences says; a degenerate black frame planted across
+    the corpus is capped with honest telemetry, splitting only the
+    runs that crossed it."""
+    import random
+
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators.multimodal import (
+        _grid_dhash,
+        video_shared_scene_pairs,
+    )
+
+    rows_, cols = 6, 10
+    fb = rows_ * (cols + 1)  # 66: one slice per frame grid
+    rng = random.Random(23)
+
+    def frame():
+        return bytes(rng.choice([30, 90, 160, 220]) for _ in range(fb))
+
+    a = [frame() for _ in range(12)]
+    g = [frame() for _ in range(12)]
+    clips = {
+        1: a,
+        2: g[0:3] + a[2:8] + [g[3]],       # 6-frame scene from clip 1
+        3: [frame() for _ in range(8)],    # unrelated
+        4: list(a),                        # exact copy: run 12
+        5: [a[0], g[9], a[2], a[3], g[10]],  # runs of 1 and 2: below 4
+    }
+    media = spark.createDataFrame(
+        [(i, b"".join(fs), "video/raw", fb * len(fs)) for i, fs in clips.items()],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    grid_fn = lambda p, r, c: p[: r * (c + 1)]  # noqa: E731 — raw grid
+
+    # brute-force reference over the scalar frame-hash sequences
+    seqs = {
+        i: [_grid_dhash(f, rows_, cols) for f in fs] for i, fs in clips.items()
+    }
+
+    def runs(sa, sb):
+        best, total = 0, 0
+        for diag in range(-len(sb) + 1, len(sa)):
+            run = 0
+            for pb in range(len(sb)):
+                pa = pb + diag
+                if 0 <= pa < len(sa) and sa[pa] == sb[pb]:
+                    run += 1
+                    best = max(best, run)
+                else:
+                    if run:
+                        total += run
+                    run = 0
+            total += run
+        return best, total
+
+    want = {}
+    for x in clips:
+        for y in clips:
+            if x < y:
+                best, total = runs(seqs[x], seqs[y])
+                if best >= 4:
+                    want[(x, y)] = (best, total)
+    got = {
+        (r["id_a"], r["id_b"]): (r["longest_run_frames"], r["n_shared_frames"])
+        for r in video_shared_scene_pairs(
+            media, rows_, cols, frame_bytes=fb, min_run_frames=4, grid_fn=grid_fn
+        ).collect()
+    }
+    assert got == want
+    assert got[(1, 2)][0] == 6 and got[(1, 4)][0] == 12 and got[(2, 4)][0] == 6
+    assert (1, 5) not in got and not any(3 in p for p in got)
+
+    # degenerate black frame across every clip: the cap drops it and
+    # reports honest telemetry; run recovery elsewhere is untouched
+    black = bytes([0]) * fb
+    capped_clips = {i: [black] + fs + [black] for i, fs in clips.items()}
+    media_b = spark.createDataFrame(
+        [(i, b"".join(fs), "video/raw", fb * len(fs))
+         for i, fs in capped_clips.items()],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    obs = Observation()
+    got_b = {
+        (r["id_a"], r["id_b"]): r["longest_run_frames"]
+        for r in video_shared_scene_pairs(
+            media_b, rows_, cols, frame_bytes=fb, min_run_frames=4,
+            max_df=4, grid_fn=grid_fn, observation=obs,
+        ).collect()
+    }
+    assert obs.get["frames_dropped"] >= 1 and obs.get["pairs_avoided"] > 0
+    # interior scenes survive the cap (black frames were at the edges)
+    assert got_b[(1, 2)] == 6 and got_b[(1, 4)] == 12
+
+    with pytest.raises(ValueError, match="min_run_frames"):
+        video_shared_scene_pairs(media, min_run_frames=0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        video_shared_scene_pairs(media, max_df=2, max_df_quantile=0.9)
+    with pytest.raises(ValueError, match="requires a cap"):
+        video_shared_scene_pairs(media, observation=Observation())
+
+
 def test_image_dhash_validation_and_stub_plumbing(docs):
     """The 60-bit budget is enforced, and the default Pillow-or-stub
     grid path runs end-to-end on arbitrary binary payloads."""
