@@ -41,6 +41,21 @@ from .similarity import (
     lsh_bucket,
     multiprobe_ann_topk,
 )
+from .multimodal import (
+    as_media,
+    audio_fingerprint,
+    audio_near_dup_pairs,
+    audio_shared_segment_pairs,
+    extract_image_features,
+    image_dhash,
+    image_near_dup_pairs,
+    resize_images,
+    sample_frames,
+    video_fingerprint,
+    video_frame_dhash,
+    video_near_dup_pairs,
+    video_shared_scene_pairs,
+)
 from .skew import salted_aggregate, salted_join
 from .text import (
     add_text_stats,
@@ -53,6 +68,19 @@ from .text import (
 )
 
 __all__ = [
+    "as_media",
+    "audio_fingerprint",
+    "audio_near_dup_pairs",
+    "audio_shared_segment_pairs",
+    "extract_image_features",
+    "image_dhash",
+    "image_near_dup_pairs",
+    "resize_images",
+    "sample_frames",
+    "video_fingerprint",
+    "video_frame_dhash",
+    "video_near_dup_pairs",
+    "video_shared_scene_pairs",
     "asof_join",
     "cache_scope",
     "pin",

@@ -475,6 +475,136 @@ def audio_near_dup_pairs(
     )
 
 
+def _frame_band_energies_stub(
+    payload: bytes, frame_bytes: int, bands: int
+) -> list[list[float]]:
+    """Length-proportional spectral-energy stub for the SEQUENCE audio
+    operators: ``max(2, len // frame_bytes)`` frames (a clip's frame
+    count tracks its duration, unlike :func:`_band_energies_stub`'s
+    fixed whole-clip grid), each frame's ``bands`` energies the byte-
+    slice means of its chunk. Content-blind like every stub; the real
+    seam is an FFT over resampled PCM windows with the same
+    ``(payload, frame_bytes, bands) -> n_frames x bands`` shape."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decoder available")
+    n_frames = max(2, len(payload) // frame_bytes)
+    rows = []
+    for f in range(n_frames):
+        chunk = payload[f * frame_bytes:(f + 1) * frame_bytes] or payload[-1:]
+        step = max(1, len(chunk) // bands)
+        row = []
+        for b in range(bands):
+            cell = chunk[b * step:(b + 1) * step] or chunk[-1:]
+            row.append(sum(cell) / len(cell))
+        rows.append(row)
+    return rows
+
+
+def audio_frame_fingerprints(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    bands: int = 11,
+    energy_fn: Callable[[bytes, int, int], list[list[float]]] | None = None,
+) -> DataFrame:
+    """Haitsma-Kalker SUB-FINGERPRINT sequence per clip — the shape
+    the original scheme actually defines (one (bands-1)-bit word per
+    frame TRANSITION; the whole-clip :func:`audio_fingerprint` is the
+    collapsed near-dup form): bit b of transition f is the sign of
+    ``(E[f][b] - E[f][b+1]) - (E[f-1][b] - E[f-1][b+1])`` — the
+    volume-cancelling double difference — so a level-shifted copy
+    emits the IDENTICAL word sequence. Returns ``(media_id, frame_no,
+    sfp)`` with ``frame_no`` indexing transitions (0-based), the
+    positional-hash sequence :func:`audio_shared_segment_pairs` feeds
+    to the substring machinery. Arrow-batched ``mapInPandas`` like
+    every decode stage; ``energy_fn`` follows
+    :func:`_frame_band_energies_stub`'s seam."""
+    if bands < 2 or bands - 1 > 60:
+        raise ValueError(f"need 2 <= bands <= 61 for the sub-fingerprint, got {bands}")
+    energy_fn = energy_fn or _frame_band_energies_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, sfps = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                e = energy_fn(payload, frame_bytes, bands)
+                for f in range(1, len(e)):
+                    h = 0
+                    for b in range(bands - 1):
+                        d = (e[f][b] - e[f][b + 1]) - (e[f - 1][b] - e[f - 1][b + 1])
+                        h = (h << 1) | (1 if d > 0 else 0)
+                    ids.append(mid)
+                    frame_nos.append(f - 1)
+                    sfps.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "sfp": sfps}
+            )
+
+    return media.mapInPandas(run, schema="media_id long, frame_no int, sfp long")
+
+
+def audio_shared_segment_pairs(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    bands: int = 11,
+    min_run: int = 4,
+    max_df: int | None = None,
+    max_df_quantile: float | None = None,
+    quantile_headroom: int = 10,
+    energy_fn: Callable[[bytes, int, int], list[list[float]]] | None = None,
+    observation=None,
+) -> DataFrame:
+    """Segment-level audio dedup: clip pairs sharing >= ``min_run``
+    consecutive identical sub-fingerprints at a fixed alignment — a
+    sampled jingle, a spliced quote, a re-broadcast segment — through
+    the same inverted-index pipeline as text passages and video
+    scenes (``dedup._span_pairs_from_windows``, k=1). Volume shifts
+    cancel in the sub-fingerprint, so a louder copy of a segment
+    matches verbatim. Returns ``(id_a, id_b, longest_run_subfps,
+    n_shared_subfps)``.
+
+    The (bands-1)-bit word space is small (10 bits at the default),
+    so single-cell collisions are expected background — discrimination
+    comes from RUN LENGTH (``min_run`` consecutive word collisions at
+    one alignment ~ 2^-(10*min_run) for unrelated audio), and
+    degenerate words (silence — zero energies in every band) are this
+    operator's boilerplate pathology: cap them (``max_df`` /
+    ``max_df_quantile``) with ``subfps_dropped`` telemetry, the same
+    valve contract as every pair stage."""
+    from .dedup import _span_pairs_from_windows
+
+    if min_run < 1:
+        raise ValueError(f"min_run must be >= 1, got {min_run}")
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("max_df and max_df_quantile are mutually exclusive")
+    if observation is not None and max_df is None and max_df_quantile is None:
+        raise ValueError(
+            "observation requires a cap (max_df or max_df_quantile); "
+            "without one it would never be attached and Observation.get "
+            "would block/raise far from the cause"
+        )
+    sfps = audio_frame_fingerprints(media, frame_bytes, bands, energy_fn)
+    w = sfps.select(
+        F.col("media_id").alias("_id"),
+        F.col("frame_no").alias("pos"),
+        F.col("sfp").alias("h"),
+    )
+    return _span_pairs_from_windows(
+        w,
+        k=1,
+        min_run_tokens=min_run,
+        max_df=max_df,
+        max_df_quantile=max_df_quantile,
+        quantile_headroom=quantile_headroom,
+        observation=observation,
+        dropped_name="subfps_dropped",
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("longest_run_tokens").alias("longest_run_subfps"),
+        F.col("n_shared_windows").alias("n_shared_subfps"),
+    )
+
+
 def sample_frames(media: DataFrame, every_nth_byte: int = 256) -> DataFrame:
     """Frame-sampling shape: 1 media row -> N frame rows (here: one
     'frame' per every_nth_byte slice — stands in for video frame

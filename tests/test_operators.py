@@ -1774,6 +1774,117 @@ def test_video_shared_scene_pairs_planted(spark):
         video_shared_scene_pairs(media, observation=Observation())
 
 
+def test_audio_shared_segment_pairs_planted(spark):
+    """Segment-level audio dedup (the substring machinery over
+    Haitsma-Kalker sub-fingerprint sequences): a 6-frame segment
+    spliced into another clip, a volume-shifted full copy (the double
+    difference cancels level, so every sub-fingerprint matches), and
+    unrelated audio must resolve exactly as a brute-force longest-
+    aligned-run scan; planted silence (the degenerate zero-word) is
+    capped with honest telemetry."""
+    import random
+
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators.multimodal import (
+        audio_shared_segment_pairs,
+    )
+
+    BA = 11
+    rng = random.Random(31)
+
+    def fr():
+        return [rng.randint(0, 200) for _ in range(BA)]
+
+    a = [fr() for _ in range(14)]
+    clips = {
+        1: a,
+        2: [fr(), fr(), fr()] + a[4:10] + [fr()],   # 6 copied frames
+        3: [[v + 35 for v in row] for row in a],    # louder full copy
+        4: [fr() for _ in range(10)],               # unrelated
+    }
+
+    def payload(frames):
+        return bytes(v for row in frames for v in row)
+
+    media = spark.createDataFrame(
+        [(i, payload(fs), "audio/raw", BA * len(fs)) for i, fs in clips.items()],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    energy = lambda p, fb, ba: [  # noqa: E731 — parse raw frame rows
+        [float(p[f * ba + b]) for b in range(ba)] for f in range(len(p) // ba)
+    ]
+
+    def subfps(e):
+        out = []
+        for f in range(1, len(e)):
+            h = 0
+            for b in range(BA - 1):
+                d = (e[f][b] - e[f][b + 1]) - (e[f - 1][b] - e[f - 1][b + 1])
+                h = (h << 1) | (1 if d > 0 else 0)
+            out.append(h)
+        return out
+
+    seqs = {i: subfps(fs) for i, fs in clips.items()}
+    assert seqs[1] == seqs[3]  # volume invariance, sequence-exact
+
+    def runs(sa, sb):
+        best, total = 0, 0
+        for diag in range(-len(sb) + 1, len(sa)):
+            run = 0
+            for pb in range(len(sb)):
+                pa = pb + diag
+                if 0 <= pa < len(sa) and sa[pa] == sb[pb]:
+                    run += 1
+                    best = max(best, run)
+                else:
+                    total += run
+                    run = 0
+            total += run
+        return best, total
+
+    want = {}
+    for x in clips:
+        for y in clips:
+            if x < y:
+                best, total = runs(seqs[x], seqs[y])
+                if best >= 4:
+                    want[(x, y)] = (best, total)
+    got = {
+        (r["id_a"], r["id_b"]): (r["longest_run_subfps"], r["n_shared_subfps"])
+        for r in audio_shared_segment_pairs(
+            media, frame_bytes=BA, bands=BA, min_run=4, energy_fn=energy
+        ).collect()
+    }
+    assert got == want
+    assert got[(1, 3)][0] == 13 and got[(1, 2)][0] == 5  # 6 frames = 5 words
+    assert not any(4 in p for p in got)
+
+    # planted trailing silence: the zero word repeats across every
+    # clip; the cap drops it and reports, interior segments survive
+    silent = [[0] * BA] * 4
+    media_s = spark.createDataFrame(
+        [(i, payload(fs + silent), "audio/raw", BA * (len(fs) + 4))
+         for i, fs in clips.items()],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    obs = Observation()
+    got_s = {
+        (r["id_a"], r["id_b"]): r["longest_run_subfps"]
+        for r in audio_shared_segment_pairs(
+            media_s, frame_bytes=BA, bands=BA, min_run=4,
+            max_df=8, energy_fn=energy, observation=obs,
+        ).collect()
+    }
+    assert obs.get["subfps_dropped"] >= 1 and obs.get["pairs_avoided"] > 0
+    assert got_s[(1, 3)] >= 13 and got_s[(1, 2)] == 5
+
+    with pytest.raises(ValueError, match="min_run"):
+        audio_shared_segment_pairs(media, min_run=0)
+    with pytest.raises(ValueError, match="requires a cap"):
+        audio_shared_segment_pairs(media, observation=Observation())
+
+
 def test_image_dhash_validation_and_stub_plumbing(docs):
     """The 60-bit budget is enforced, and the default Pillow-or-stub
     grid path runs end-to-end on arbitrary binary payloads."""
