@@ -44,6 +44,7 @@ from .similarity import (
 from .multimodal import (
     as_media,
     audio_fingerprint,
+    audio_frame_fingerprints,
     audio_near_dup_pairs,
     audio_shared_segment_pairs,
     extract_image_features,
@@ -70,6 +71,7 @@ from .text import (
 __all__ = [
     "as_media",
     "audio_fingerprint",
+    "audio_frame_fingerprints",
     "audio_near_dup_pairs",
     "audio_shared_segment_pairs",
     "extract_image_features",

@@ -300,6 +300,27 @@ def _validate_band_caps(
         )
 
 
+def _validate_df_caps(
+    max_df: int | None,
+    max_df_quantile: float | None,
+    observation: "Observation | None",
+) -> None:
+    """Occurrence-cap argument validation shared by every
+    inverted-index caller (batch/incremental substring, video scenes,
+    audio segments) — the ``max_df`` vocabulary twin of
+    :func:`_validate_band_caps`, called by each entry point BEFORE
+    any pin and again by :func:`_span_pairs_from_windows` for direct
+    callers."""
+    if max_df is not None and max_df_quantile is not None:
+        raise ValueError("max_df and max_df_quantile are mutually exclusive")
+    if observation is not None and max_df is None and max_df_quantile is None:
+        raise ValueError(
+            "observation requires a cap (max_df or max_df_quantile); "
+            "without one it would never be attached and Observation.get "
+            "would block/raise far from the cause"
+        )
+
+
 def _capped_bands(
     bands: DataFrame,
     max_band_size: int | None,
@@ -620,14 +641,7 @@ def ngram_jaccard_pairs(
             F.size(shingles(F.split(F.col(text_col), " "), shingle_n)).alias("n_sh"),
         )
     )
-    if max_df is not None and max_df_quantile is not None:
-        raise ValueError("max_df and max_df_quantile are mutually exclusive")
-    if observation is not None and max_df is None and max_df_quantile is None:
-        raise ValueError(
-            "observation requires a cap (max_df or max_df_quantile); "
-            "without one it would never be attached and Observation.get "
-            "would block/raise far from the cause"
-        )
+    _validate_df_caps(max_df, max_df_quantile, observation)
     if max_df is not None or max_df_quantile is not None:
         # Two-phase cap (round 7): bound the AGGREGATE, not just its
         # output. Filtering posting lists after collect_list still
@@ -835,14 +849,7 @@ def substring_span_pairs(
             f"min_run_tokens ({min_run_tokens}) must be >= window ({window}): "
             "a shorter run has no complete window and cannot be observed"
         )
-    if max_df is not None and max_df_quantile is not None:
-        raise ValueError("max_df and max_df_quantile are mutually exclusive")
-    if observation is not None and max_df is None and max_df_quantile is None:
-        raise ValueError(
-            "observation requires a cap (max_df or max_df_quantile); "
-            "without one it would never be attached and Observation.get "
-            "would block/raise far from the cause"
-        )
+    _validate_df_caps(max_df, max_df_quantile, observation)
     return _span_pairs_from_windows(
         window_table(df, id_col, text_col, window),
         window,
@@ -873,7 +880,17 @@ def _span_pairs_from_windows(
     video_shared_scene_pairs` — shared scenes are verbatim runs in
     frame-hash space, the same gaps-and-islands recovery).  ``k`` is
     the tokens-per-cell width (run length = islands + k - 1; a
-    one-frame cell passes k=1)."""
+    one-frame cell passes k=1).
+
+    Under a cap, ``w`` is consumed twice (the valve's count aggregate
+    and the anti-joined main stream).  Whether to pin it is the
+    CALLER's trade, not this helper's: text windows are one row per
+    token (~24 B x corpus tokens — caching is corpus-sized, and
+    re-tokenizing is the cheaper side of the round-7 jaccard
+    decision), while the multimodal callers' ``w`` derives from an
+    expensive Python decode over far fewer rows (one per frame), so
+    THOSE callers pin before passing it here."""
+    _validate_df_caps(max_df, max_df_quantile, observation)
     if max_df is not None or max_df_quantile is not None:
         hot = _hot_key_set(
             w,
@@ -1002,14 +1019,7 @@ def incremental_substring_spans(
             f"min_run_tokens ({min_run_tokens}) must be >= window ({window}): "
             "a shorter run has no complete window and cannot be observed"
         )
-    if max_df is not None and max_df_quantile is not None:
-        raise ValueError("max_df and max_df_quantile are mutually exclusive")
-    if observation is not None and max_df is None and max_df_quantile is None:
-        raise ValueError(
-            "observation requires a cap (max_df or max_df_quantile); "
-            "without one it would never be attached and Observation.get "
-            "would block/raise far from the cause"
-        )
+    _validate_df_caps(max_df, max_df_quantile, observation)
     if (history is None) == (history_windows is None):
         raise ValueError("exactly one of history / history_windows is required")
     if history_windows is not None:

@@ -520,6 +520,8 @@ def audio_frame_fingerprints(
     :func:`_frame_band_energies_stub`'s seam."""
     if bands < 2 or bands - 1 > 60:
         raise ValueError(f"need 2 <= bands <= 61 for the sub-fingerprint, got {bands}")
+    if frame_bytes < 1:
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
     energy_fn = energy_fn or _frame_band_energies_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -547,6 +549,7 @@ def audio_shared_segment_pairs(
     frame_bytes: int = 256,
     bands: int = 11,
     min_run: int = 4,
+    window: int = 4,
     max_df: int | None = None,
     max_df_quantile: float | None = None,
     quantile_headroom: int = 10,
@@ -557,40 +560,69 @@ def audio_shared_segment_pairs(
     consecutive identical sub-fingerprints at a fixed alignment — a
     sampled jingle, a spliced quote, a re-broadcast segment — through
     the same inverted-index pipeline as text passages and video
-    scenes (``dedup._span_pairs_from_windows``, k=1). Volume shifts
-    cancel in the sub-fingerprint, so a louder copy of a segment
-    matches verbatim. Returns ``(id_a, id_b, longest_run_subfps,
-    n_shared_subfps)``.
+    scenes (``dedup._span_pairs_from_windows``). Volume shifts cancel
+    in the sub-fingerprint, so a louder copy of a segment matches
+    verbatim. Returns ``(id_a, id_b, longest_run_subfps,
+    n_shared_subfps)`` with run lengths in sub-fingerprint words.
 
-    The (bands-1)-bit word space is small (10 bits at the default),
-    so single-cell collisions are expected background — discrimination
-    comes from RUN LENGTH (``min_run`` consecutive word collisions at
-    one alignment ~ 2^-(10*min_run) for unrelated audio), and
-    degenerate words (silence — zero energies in every band) are this
-    operator's boilerplate pathology: cap them (``max_df`` /
-    ``max_df_quantile``) with ``subfps_dropped`` telemetry, the same
-    valve contract as every pair stage."""
-    from .dedup import _span_pairs_from_windows
+    THE JOIN KEY IS A ``window``-WORD SLIDING WINDOW, NOT A SINGLE
+    WORD — the text modality's own discipline applied to the word
+    sequence. A single (bands-1)-bit word (10 bits at the default)
+    has only 1024 distinct values, so single-word posting lists would
+    grow linearly with the corpus and the pair explode quadratically,
+    and no occurrence cap could bound them without dropping every key
+    (each word's expected df exceeds any cap at scale). Hashing
+    ``window`` consecutive words through ``xxhash64`` (one Spark
+    window spec of ``window - 1`` leads per clip — the shuffle the
+    pipeline needs anyway) makes keys carry ~``10 x window`` bits:
+    postings are sparse, runs of >= ``min_run`` words surface as
+    >= ``min_run - window + 1`` consecutive window matches, and the
+    gaps-and-islands tail recovers exact word-run lengths with
+    ``k = window``. ``min_run >= window`` for observability — the
+    identical contract as text's ``min_run_tokens >= window``.
+
+    Degenerate windows (silence — runs of zero-words shared by half
+    the corpus) are this operator's boilerplate pathology: cap them
+    (``max_df`` / ``max_df_quantile``) with ``subfps_dropped``
+    telemetry, the standard valve contract. Under a cap the window
+    table is consumed twice, so it is PINNED here — it derives from
+    the Python decode, the modality's dominant cost (see
+    ``_span_pairs_from_windows``'s caller-owns-the-pin note)."""
+    from .caching import pin
+    from .dedup import _span_pairs_from_windows, _validate_df_caps
 
     if min_run < 1:
         raise ValueError(f"min_run must be >= 1, got {min_run}")
-    if max_df is not None and max_df_quantile is not None:
-        raise ValueError("max_df and max_df_quantile are mutually exclusive")
-    if observation is not None and max_df is None and max_df_quantile is None:
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_run < window:
         raise ValueError(
-            "observation requires a cap (max_df or max_df_quantile); "
-            "without one it would never be attached and Observation.get "
-            "would block/raise far from the cause"
+            f"min_run ({min_run}) must be >= window ({window}): a shorter "
+            "run has no complete window and cannot be observed"
         )
+    _validate_df_caps(max_df, max_df_quantile, observation)  # before the pin
     sfps = audio_frame_fingerprints(media, frame_bytes, bands, energy_fn)
-    w = sfps.select(
-        F.col("media_id").alias("_id"),
-        F.col("frame_no").alias("pos"),
-        F.col("sfp").alias("h"),
+    from pyspark.sql import Window as W
+
+    seq = W.partitionBy("media_id").orderBy("frame_no")
+    words = [F.col("sfp")] + [
+        F.lead("sfp", i).over(seq).alias(f"_w{i}") for i in range(1, window)
+    ]
+    w = (
+        sfps.select(
+            F.col("media_id").alias("_id"),
+            F.col("frame_no").alias("pos"),
+            F.xxhash64(F.struct(*words)).alias("h"),
+            words[-1].alias("_last") if window > 1 else F.col("sfp").alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
     )
+    if max_df is not None or max_df_quantile is not None:
+        w = pin(w)
     return _span_pairs_from_windows(
         w,
-        k=1,
+        k=window,
         min_run_tokens=min_run,
         max_df=max_df,
         max_df_quantile=max_df_quantile,
@@ -653,6 +685,8 @@ def video_frame_dhash(
     frame rows through one Arrow batch, payloads never leaving
     their partition) real and testable.
     """
+    if frame_bytes < 1:
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
     grid_fn = grid_fn or luma_grid
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -771,24 +805,23 @@ def video_shared_scene_pairs(
     boilerplate-window pathology of the text operator, and the valve
     reports ``frames_dropped`` / ``pairs_avoided`` telemetry through
     the standard eager contract."""
-    from .dedup import _span_pairs_from_windows
+    from .caching import pin
+    from .dedup import _span_pairs_from_windows, _validate_df_caps
 
     if min_run_frames < 1:
         raise ValueError(f"min_run_frames must be >= 1, got {min_run_frames}")
-    if max_df is not None and max_df_quantile is not None:
-        raise ValueError("max_df and max_df_quantile are mutually exclusive")
-    if observation is not None and max_df is None and max_df_quantile is None:
-        raise ValueError(
-            "observation requires a cap (max_df or max_df_quantile); "
-            "without one it would never be attached and Observation.get "
-            "would block/raise far from the cause"
-        )
+    _validate_df_caps(max_df, max_df_quantile, observation)  # before the pin
     frames = video_frame_dhash(media, rows, cols, frame_bytes, grid_fn)
     w = frames.select(
         F.col("media_id").alias("_id"),
         F.col("frame_no").alias("pos"),
         F.col("dhash").alias("h"),
     )
+    if max_df is not None or max_df_quantile is not None:
+        # consumed twice under a cap (valve count + anti-joined main
+        # stream); the upstream is the Python frame decode — pin so it
+        # runs once (the caller-owns-the-pin note on the helper)
+        w = pin(w)
     return _span_pairs_from_windows(
         w,
         k=1,  # one frame per cell: run length == island size

@@ -1668,6 +1668,45 @@ def test_grid_dhash_batch_equals_scalar():
     assert got_fr[0] & (1 << 59)  # the (0,0) comparison survived
 
 
+def _aligned_run_lengths(sa, sb):
+    """Brute-force reference shared by the video-scene and
+    audio-segment tests: lengths of every maximal run of equal
+    elements between sequences ``sa`` and ``sb`` at a fixed alignment,
+    across all diagonals."""
+    out = []
+    for diag in range(-len(sb) + 1, len(sa)):
+        run = 0
+        for pb in range(len(sb)):
+            pa = pb + diag
+            if 0 <= pa < len(sa) and sa[pa] == sb[pb]:
+                run += 1
+            else:
+                if run:
+                    out.append(run)
+                run = 0
+        if run:
+            out.append(run)
+    return out
+
+
+def _span_expect(seqs, min_run, window=1):
+    """Expected (longest, n_cells) per pair from the run lengths: a
+    run of t elements carries t - window + 1 complete window cells
+    (none when t < window); pairs report iff the longest observable
+    run >= min_run."""
+    want = {}
+    for x in seqs:
+        for y in seqs:
+            if x < y:
+                runs = [t for t in _aligned_run_lengths(seqs[x], seqs[y])
+                        if t >= window]
+                if runs and max(runs) >= min_run:
+                    want[(x, y)] = (
+                        max(runs), sum(t - window + 1 for t in runs)
+                    )
+    return want
+
+
 def test_video_shared_scene_pairs_planted(spark):
     """Scene-level video dedup (the substring machinery over per-frame
     hashes): a 6-frame scene spliced into an otherwise-different clip,
@@ -1711,30 +1750,7 @@ def test_video_shared_scene_pairs_planted(spark):
     seqs = {
         i: [_grid_dhash(f, rows_, cols) for f in fs] for i, fs in clips.items()
     }
-
-    def runs(sa, sb):
-        best, total = 0, 0
-        for diag in range(-len(sb) + 1, len(sa)):
-            run = 0
-            for pb in range(len(sb)):
-                pa = pb + diag
-                if 0 <= pa < len(sa) and sa[pa] == sb[pb]:
-                    run += 1
-                    best = max(best, run)
-                else:
-                    if run:
-                        total += run
-                    run = 0
-            total += run
-        return best, total
-
-    want = {}
-    for x in clips:
-        for y in clips:
-            if x < y:
-                best, total = runs(seqs[x], seqs[y])
-                if best >= 4:
-                    want[(x, y)] = (best, total)
+    want = _span_expect(seqs, min_run=4)
     got = {
         (r["id_a"], r["id_b"]): (r["longest_run_frames"], r["n_shared_frames"])
         for r in video_shared_scene_pairs(
@@ -1766,6 +1782,9 @@ def test_video_shared_scene_pairs_planted(spark):
     # interior scenes survive the cap (black frames were at the edges)
     assert got_b[(1, 2)] == 6 and got_b[(1, 4)] == 12
 
+    from git_log_to_sqlite_spark.operators import release_caches
+
+    release_caches()  # the capped runs pin the frame table
     with pytest.raises(ValueError, match="min_run_frames"):
         video_shared_scene_pairs(media, min_run_frames=0)
     with pytest.raises(ValueError, match="mutually exclusive"):
@@ -1828,43 +1847,28 @@ def test_audio_shared_segment_pairs_planted(spark):
     seqs = {i: subfps(fs) for i, fs in clips.items()}
     assert seqs[1] == seqs[3]  # volume invariance, sequence-exact
 
-    def runs(sa, sb):
-        best, total = 0, 0
-        for diag in range(-len(sb) + 1, len(sa)):
-            run = 0
-            for pb in range(len(sb)):
-                pa = pb + diag
-                if 0 <= pa < len(sa) and sa[pa] == sb[pb]:
-                    run += 1
-                    best = max(best, run)
-                else:
-                    total += run
-                    run = 0
-            total += run
-        return best, total
-
-    want = {}
-    for x in clips:
-        for y in clips:
-            if x < y:
-                best, total = runs(seqs[x], seqs[y])
-                if best >= 4:
-                    want[(x, y)] = (best, total)
+    # windowed join keys (the 10-bit-word scale fix): runs report in
+    # words, cells in complete window positions (t - window + 1)
+    want = _span_expect(seqs, min_run=4, window=4)
     got = {
         (r["id_a"], r["id_b"]): (r["longest_run_subfps"], r["n_shared_subfps"])
         for r in audio_shared_segment_pairs(
-            media, frame_bytes=BA, bands=BA, min_run=4, energy_fn=energy
+            media, frame_bytes=BA, bands=BA, min_run=4, window=4,
+            energy_fn=energy,
         ).collect()
     }
     assert got == want
     assert got[(1, 3)][0] == 13 and got[(1, 2)][0] == 5  # 6 frames = 5 words
+    assert got[(1, 2)][1] == 2  # a 5-word run carries 2 four-word windows
     assert not any(4 in p for p in got)
 
-    # planted trailing silence: the zero word repeats across every
-    # clip; the cap drops it and reports, interior segments survive
-    silent = [[0] * BA] * 4
+    # planted trailing silence (8 frames -> a 7-zero-word run -> 4
+    # complete all-zero windows per clip): the degenerate window key
+    # repeats across every clip; the cap drops it and reports, the
+    # interior segments survive
+    silent = [[0] * BA] * 8
     media_s = spark.createDataFrame(
-        [(i, payload(fs + silent), "audio/raw", BA * (len(fs) + 4))
+        [(i, payload(fs + silent), "audio/raw", BA * (len(fs) + 8))
          for i, fs in clips.items()],
         "media_id long, payload binary, mime_type string, byte_len int",
     )
@@ -1872,17 +1876,38 @@ def test_audio_shared_segment_pairs_planted(spark):
     got_s = {
         (r["id_a"], r["id_b"]): r["longest_run_subfps"]
         for r in audio_shared_segment_pairs(
-            media_s, frame_bytes=BA, bands=BA, min_run=4,
+            media_s, frame_bytes=BA, bands=BA, min_run=4, window=4,
             max_df=8, energy_fn=energy, observation=obs,
         ).collect()
     }
     assert obs.get["subfps_dropped"] >= 1 and obs.get["pairs_avoided"] > 0
     assert got_s[(1, 3)] >= 13 and got_s[(1, 2)] == 5
 
+    # the default length-proportional stub path runs end-to-end (the
+    # seam every real deployment replaces; regressions must not hide
+    # behind the custom energy_fn the planted cases use)
+    stub_rows = audio_shared_segment_pairs(
+        media, frame_bytes=16, bands=BA, min_run=4, window=4
+    ).collect()
+    assert isinstance(stub_rows, list)  # identical clips 1/3 diverge
+    from git_log_to_sqlite_spark.operators import audio_frame_fingerprints
+
+    n_words = audio_frame_fingerprints(media, frame_bytes=16, bands=BA).count()
+    assert n_words > 0
+
+    from git_log_to_sqlite_spark.operators import release_caches
+
+    release_caches()  # the capped runs pin the window table
     with pytest.raises(ValueError, match="min_run"):
         audio_shared_segment_pairs(media, min_run=0)
+    with pytest.raises(ValueError, match="must be >= window"):
+        audio_shared_segment_pairs(media, min_run=2, window=4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        audio_shared_segment_pairs(media, max_df=2, max_df_quantile=0.9)
     with pytest.raises(ValueError, match="requires a cap"):
         audio_shared_segment_pairs(media, observation=Observation())
+    with pytest.raises(ValueError, match="frame_bytes"):
+        audio_shared_segment_pairs(media, frame_bytes=0)
 
 
 def test_image_dhash_validation_and_stub_plumbing(docs):

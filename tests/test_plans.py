@@ -248,6 +248,14 @@ def test_jaccard_no_cartesian(spark, sf):
     anything else nested-looping here is a real regression."""
     import re
 
+    from git_log_to_sqlite_spark.operators import release_caches
+
+    # pins left live by earlier operator tests substitute into this
+    # query's executed plan by sameResult (InMemoryTableScan replaces
+    # the cap branch and the BNLJ node disappears) — assert the COLD
+    # plan, which is what a fresh pipeline compiles
+    release_caches()
+    spark.catalog.clearCache()
     df = plans.REGISTRY["dedup_ngram_jaccard"].fn(spark, sf)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
