@@ -20,6 +20,7 @@ from .dedup import (
     decontaminate,
     exact_dedup,
     hamming_pairs,
+    hamming_probe,
     incremental_minhash_dedup,
     incremental_substring_spans,
     minhash_lsh_pairs,
@@ -49,6 +50,7 @@ from .multimodal import (
     audio_shared_segment_pairs,
     extract_image_features,
     image_dhash,
+    image_in_video_frames,
     image_near_dup_pairs,
     resize_images,
     sample_frames,
@@ -76,6 +78,7 @@ __all__ = [
     "audio_shared_segment_pairs",
     "extract_image_features",
     "image_dhash",
+    "image_in_video_frames",
     "image_near_dup_pairs",
     "resize_images",
     "sample_frames",
@@ -102,6 +105,7 @@ __all__ = [
     "decontaminate",
     "exact_dedup",
     "hamming_pairs",
+    "hamming_probe",
     "incremental_minhash_dedup",
     "incremental_substring_spans",
     "minhash_lsh_pairs",

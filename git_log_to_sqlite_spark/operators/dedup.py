@@ -1203,6 +1203,107 @@ def _validate_banding(
     _validate_band_caps(max_band_size, band_size_quantile, observation)
 
 
+def _sig_bands(
+    sig: DataFrame, key_cols: list[str], sig_col: str, bits: int, bands: int
+) -> DataFrame:
+    """Explode a signature table into its ``(key_cols..., band,
+    band_key)`` bit-slice rows — the shared candidate-key projection
+    of the self-join (:func:`hamming_pairs`) and probe
+    (:func:`hamming_probe`) stages."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        *[F.col(c) for c in key_cols], F.explode(band_entries).alias("e")
+    ).select(
+        *key_cols, F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
+
+
+def hamming_probe(
+    probe: DataFrame,
+    corpus: DataFrame,
+    probe_id: "str | list[str]",
+    corpus_id: "str | list[str]",
+    sig_col: str,
+    bits: int,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation: "Observation | None" = None,
+) -> DataFrame:
+    """Probe-shaped Hamming lookup: every (probe row, corpus row) pair
+    within ``max_hamming`` bits — the content-ID / lookup twin of
+    :func:`hamming_pairs`, mirroring
+    :func:`incremental_minhash_dedup`'s shape: the CORPUS is never
+    self-joined (a query batch against a billion-signature index must
+    not pay the index's own pair mass), candidates come from the
+    probe-bands x corpus-bands equi-join on (band, band_key), and the
+    pigeonhole guarantee (``bands > max_hamming``) is EXACT across
+    the two sides exactly as within one. Returns one row per match:
+    ``(*probe_id, *corpus_id, hamming)`` — the two id sets must be
+    disjoint column names (alias before calling; a probe that is a
+    subset of the corpus matches itself at hamming 0, filter if
+    unwanted). In production the corpus side is a persisted signature
+    table (``SignatureStore`` for minhash; the same parquet shape
+    works for any <= 60-bit signature), so a lookup never re-hashes
+    the corpus.
+
+    The hot-band valve caps the CORPUS side only (``join_shape=
+    'probe'``: candidates per band key are |probe bucket| x |corpus
+    bucket|, so capping the corpus bucket bounds every key at
+    |probe| x cap — and telemetry reports ``rows_dropped``, the
+    honest per-side number). Same keyspace-sizing caveat as
+    :func:`simhash_pairs`: size ``bits/bands`` to the CORPUS."""
+    p_ids = [probe_id] if isinstance(probe_id, str) else list(probe_id)
+    c_ids = [corpus_id] if isinstance(corpus_id, str) else list(corpus_id)
+    clash = set(p_ids) & set(c_ids)
+    if clash:
+        raise ValueError(
+            f"probe and corpus id columns must be disjoint, both have {sorted(clash)}"
+        )
+    _validate_banding(
+        bits, bands, max_hamming, max_band_size, band_size_quantile, observation
+    )
+    bands_c = _capped_bands(
+        _sig_bands(corpus, c_ids, sig_col, bits, bands),
+        max_band_size,
+        band_size_quantile,
+        observation,
+        join_shape="probe",
+    )
+    bands_p = _sig_bands(probe, p_ids, sig_col, bits, bands)
+    cand = (
+        bands_p.join(bands_c, ["band", "band_key"])
+        .select(*p_ids, *c_ids)
+        .distinct()
+    )
+    sp = probe.select(
+        *[F.col(c) for c in p_ids], F.col(sig_col).alias("_sp")
+    )
+    sc = corpus.select(
+        *[F.col(c) for c in c_ids], F.col(sig_col).alias("_sc")
+    )
+    ham = F.bit_count(F.col("_sp").bitwiseXOR(F.col("_sc")))
+    return (
+        cand.join(sp, p_ids)
+        .join(sc, c_ids)
+        .filter(ham <= max_hamming)
+        .select(*p_ids, *c_ids, ham.cast("int").alias("hamming"))
+    )
+
+
 def hamming_pairs(
     sig: DataFrame,
     id_col: str,
@@ -1231,23 +1332,8 @@ def hamming_pairs(
     _validate_banding(
         bits, bands, max_hamming, max_band_size, band_size_quantile, observation
     )
-    width = bits // bands
-    mask = (1 << width) - 1
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col(sig_col), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
     bands_df = _capped_bands(
-        sig.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
-            id_col, F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
-        ),
+        _sig_bands(sig, [id_col], sig_col, bits, bands),
         max_band_size,
         band_size_quantile,
         observation,

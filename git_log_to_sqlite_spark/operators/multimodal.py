@@ -761,6 +761,64 @@ def video_fingerprint(
     return agg.select("media_id", vfp.alias("vfp"))
 
 
+def image_in_video_frames(
+    stills: DataFrame,
+    media: DataFrame,
+    rows: int = 6,
+    cols: int = 10,
+    frame_bytes: int = 256,
+    max_hamming: int = 3,
+    bands: int = 4,
+    grid_fn: Callable[[bytes, int, int], Sequence[int]] | None = None,
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation=None,
+) -> DataFrame:
+    """Cross-modal content lookup: which video frames (near-)match a
+    batch of still images — ``image_dhash`` over the stills probed
+    against ``video_frame_dhash`` over the clips through
+    :func:`~git_log_to_sqlite_spark.operators.dedup.hamming_probe`
+    (the content-ID shape: the frame corpus is never self-joined, so
+    a small query batch against a billion-frame index pays only
+    probe-bands x corpus-bands candidates). Returns ``(still_id,
+    media_id, frame_no, hamming)``. The shared ``_grid_dhash`` means
+    a still and a frame of the same content hash identically by
+    construction — the property that makes the cross-modal probe
+    exact under the pigeonhole guarantee. The valve caps the FRAME
+    side (black frames are the degenerate bucket; ``rows_dropped``
+    telemetry), mirroring every probe-shaped caller."""
+    from .caching import pin
+    from .dedup import _validate_banding, hamming_probe
+
+    _validate_banding(  # all arg checks before the pins (incl. valve args)
+        rows * cols, bands, max_hamming, max_band_size, band_size_quantile,
+        observation,
+    )
+    sig_p = pin(
+        image_dhash(stills, rows, cols, grid_fn).select(
+            F.col("media_id").alias("still_id"), F.col("dhash").alias("_sig")
+        )
+    )
+    sig_c = pin(
+        video_frame_dhash(media, rows, cols, frame_bytes, grid_fn).select(
+            "media_id", "frame_no", F.col("dhash").alias("_sig")
+        )
+    )
+    return hamming_probe(
+        sig_p,
+        sig_c,
+        probe_id="still_id",
+        corpus_id=["media_id", "frame_no"],
+        sig_col="_sig",
+        bits=rows * cols,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_band_size=max_band_size,
+        band_size_quantile=band_size_quantile,
+        observation=observation,
+    )
+
+
 def video_shared_scene_pairs(
     media: DataFrame,
     rows: int = 6,

@@ -1910,6 +1910,137 @@ def test_audio_shared_segment_pairs_planted(spark):
         audio_shared_segment_pairs(media, frame_bytes=0)
 
 
+def test_hamming_probe_matches_brute_force(spark):
+    """The probe-shaped Hamming lookup must equal a brute-force probe
+    x corpus scan at every max_hamming (pigeonhole exactness across
+    two sides), cap the CORPUS side with probe-shape telemetry
+    (rows_dropped), and reject colliding id names."""
+    import random
+
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import hamming_probe
+
+    rng = random.Random(41)
+    corpus_sigs = [(i, rng.getrandbits(32)) for i in range(60)]
+    # probes: two planted near-matches + copies + randoms
+    probe_sigs = [
+        (100, corpus_sigs[3][1]),                    # exact
+        (101, corpus_sigs[7][1] ^ 0b101),            # hamming 2
+        (102, corpus_sigs[7][1] ^ 0b10011),          # hamming 3
+        (103, rng.getrandbits(32)),
+        (104, rng.getrandbits(32)),
+    ]
+    corpus = spark.createDataFrame(corpus_sigs, "cid long, sig long")
+    probe = spark.createDataFrame(probe_sigs, "pid long, sig long")
+
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    want = {
+        (p, c, ham(sp, sc))
+        for p, sp in probe_sigs
+        for c, sc in corpus_sigs
+        if ham(sp, sc) <= 3
+    }
+    got = {
+        tuple(r)
+        for r in hamming_probe(
+            probe, corpus, "pid", "cid", "sig", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want and (100, 3, 0) in got and (101, 7, 2) in got
+
+    # corpus-side valve: a degenerate all-zero corpus bucket is capped
+    # with probe-shape telemetry; the planted matches elsewhere survive
+    degen = corpus.unionByName(
+        spark.createDataFrame([(i, 0) for i in range(500, 540)], "cid long, sig long")
+    )
+    obs = Observation()
+    got_d = {
+        tuple(r)
+        for r in hamming_probe(
+            probe, degen, "pid", "cid", "sig", bits=32, bands=4, max_hamming=3,
+            max_band_size=10, observation=obs,
+        ).collect()
+    }
+    m = obs.get
+    assert m["bands_dropped"] >= 1 and m["rows_dropped"] >= 40
+    assert (100, 3, 0) in got_d and (101, 7, 2) in got_d
+
+    with pytest.raises(ValueError, match="disjoint"):
+        hamming_probe(probe, corpus, "sig", "sig", "sig", bits=32)
+    with pytest.raises(ValueError, match="requires a cap"):
+        hamming_probe(
+            probe, corpus, "pid", "cid", "sig", bits=32, observation=Observation()
+        )
+
+
+def test_image_in_video_frames_planted(spark):
+    """Cross-modal content lookup: a still planted verbatim in one
+    clip and as a 2-bit variant in another must surface as (still_id,
+    media_id, frame_no) matches exactly as a brute-force scan over
+    the frame hashes says — the shared grid hash makes a still and a
+    frame of the same content hash identically by construction."""
+    import random
+
+    from git_log_to_sqlite_spark.operators import image_in_video_frames
+    from git_log_to_sqlite_spark.operators.multimodal import _grid_dhash
+
+    rows_, cols = 6, 10
+    W = cols + 1
+    fb = rows_ * W
+    rng = random.Random(47)
+
+    def frame():
+        return bytes(rng.choice([40, 200]) for _ in range(fb))
+
+    target = frame()
+    variant = bytearray(target)
+    # flip the final comparison of rows 0 and 1 -> exactly 2 bits
+    for r in (0, 1):
+        prev, last = variant[r * W + W - 2], variant[r * W + W - 1]
+        variant[r * W + W - 1] = 30 if last > prev else 210
+    variant = bytes(variant)
+
+    clips = {
+        1: [frame(), frame(), target, frame()],
+        2: [frame(), variant, frame()],
+        3: [frame() for _ in range(4)],
+    }
+    media = spark.createDataFrame(
+        [(i, b"".join(fs), "video/raw", fb * len(fs)) for i, fs in clips.items()],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    stills = spark.createDataFrame(
+        [(900, target, "image/raw", fb), (901, frame(), "image/raw", fb)],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    grid_fn = lambda p, r, c: p[: r * (c + 1)]  # noqa: E731
+
+    still_sigs = {900: _grid_dhash(target, rows_, cols)}
+    still_sigs[901] = _grid_dhash(
+        stills.filter(F.col("media_id") == 901).collect()[0]["payload"],
+        rows_, cols,
+    )
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    want = {
+        (s, m_, f, ham(ssig, _grid_dhash(fr, rows_, cols)))
+        for s, ssig in still_sigs.items()
+        for m_, fs in clips.items()
+        for f, fr in enumerate(fs)
+        if ham(ssig, _grid_dhash(fr, rows_, cols)) <= 3
+    }
+    got = {
+        tuple(r)
+        for r in image_in_video_frames(
+            stills, media, rows_, cols, frame_bytes=fb, max_hamming=3,
+            grid_fn=grid_fn,
+        ).collect()
+    }
+    assert got == want
+    assert (900, 1, 2, 0) in got and (900, 2, 1, 2) in got
+    assert not any(t[0] == 901 for t in got)
+
+
 def test_image_dhash_validation_and_stub_plumbing(docs):
     """The 60-bit budget is enforced, and the default Pillow-or-stub
     grid path runs end-to-end on arbitrary binary payloads."""
