@@ -15,6 +15,7 @@ from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
 from .sampling import domain_mix, token_budget_sample, weighted_reservoir
 from .dedup import (
+    HammingStore,
     SignatureStore,
     WindowStore,
     decontaminate,
@@ -104,6 +105,7 @@ __all__ = [
     "WindowStore",
     "decontaminate",
     "exact_dedup",
+    "HammingStore",
     "hamming_pairs",
     "hamming_probe",
     "incremental_minhash_dedup",

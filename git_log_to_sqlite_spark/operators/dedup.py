@@ -1751,6 +1751,114 @@ class SignatureStore(_ParquetStore):
         return res
 
 
+class HammingStore(_ParquetStore):
+    """Persisted <= 60-bit signature table maintained across daily
+    ingests — the Hamming-family analog of :class:`SignatureStore`,
+    and the production contract :func:`hamming_probe` promises: the
+    binary corpus (images, audio, video, simhashed text) is DECODED
+    once, only its 16 B/item ``(id, sig)`` table is probed, and each
+    day's novel items append their signature so tomorrow's batch
+    dedups against them.
+
+    Modality-agnostic by design: the store holds SIGNATURES, not
+    payloads — the caller picks the hasher (``image_dhash``,
+    ``audio_fingerprint``, ``video_fingerprint``, ``simhash``) and
+    passes its output to :meth:`bootstrap` / :meth:`ingest`, so one
+    store class serves every <= 60-bit modality and the decode cost
+    stays wherever the caller's Arrow-batched mapInPandas ran it.
+
+    :meth:`ingest` is the daily loop body: probe the batch against
+    the store (:func:`hamming_probe` — history never self-joins),
+    annotate ``(id, sig, dup_of, best_hamming, is_new)``, then append
+    ONLY the novel items' signatures. The annotation is materialized
+    (``localCheckpoint``) before the append so the returned frame can
+    never lazily re-read the store post-append and see the batch's
+    own signatures as history — the same ordering contract as every
+    sibling store."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "media_id",
+        sig_col: str = "sig",
+        bits: int = 60,
+    ) -> None:
+        super().__init__(spark, path)
+        self.id_col = id_col
+        self.sig_col = sig_col
+        self.bits = bits
+
+    def bootstrap(self, signatures: DataFrame) -> None:
+        """Initialize (overwrite) the store from a deduped corpus's
+        signature table (``id_col``, ``sig_col``)."""
+        signatures.select(self.id_col, self.sig_col).write.mode(
+            "overwrite"
+        ).parquet(self.path)
+
+    def ingest(
+        self,
+        signatures: DataFrame,
+        bands: int = 4,
+        max_hamming: int = 3,
+        max_band_size: int | None = None,
+        band_size_quantile: float | None = None,
+        observation: "Observation | None" = None,
+    ) -> DataFrame:
+        """Dedup a batch's signature table against the store and
+        append the novel items' signatures. Returns the materialized
+        annotation ``(id, sig, dup_of, best_hamming, is_new)`` —
+        ``dup_of`` is the closest history item (ties to the smaller
+        id: min over (hamming, id) structs, deterministic),
+        ``is_new`` = 1 when no history signature is within
+        ``max_hamming``. Cache hygiene mirrors
+        :meth:`SignatureStore.ingest` (everything in a cache_scope;
+        checkpoint before append)."""
+        from .caching import cache_scope
+
+        _validate_banding(
+            self.bits, bands, max_hamming, max_band_size,
+            band_size_quantile, observation,
+        )
+        self._require_bootstrapped()
+        with cache_scope():
+            sigs = pin(signatures.select(self.id_col, self.sig_col))
+            hist = self.read().withColumnRenamed(self.id_col, "_hist_id")
+            matches = hamming_probe(
+                sigs,
+                hist,
+                probe_id=self.id_col,
+                corpus_id="_hist_id",
+                sig_col=self.sig_col,
+                bits=self.bits,
+                bands=bands,
+                max_hamming=max_hamming,
+                max_band_size=max_band_size,
+                band_size_quantile=band_size_quantile,
+                observation=observation,
+            )
+            best = matches.groupBy(self.id_col).agg(
+                F.min(F.struct("hamming", "_hist_id")).alias("_best")
+            )
+            res = (
+                sigs.join(best, self.id_col, "left")
+                .select(
+                    self.id_col,
+                    self.sig_col,
+                    F.col("_best._hist_id").alias("dup_of"),
+                    F.col("_best.hamming").alias("best_hamming"),
+                    F.when(F.col("_best").isNull(), F.lit(1))
+                    .otherwise(F.lit(0))
+                    .alias("is_new"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            res.filter(F.col("is_new") == 1).select(
+                self.id_col, self.sig_col
+            ).write.mode("append").parquet(self.path)
+        return res
+
+
 class WindowStore(_ParquetStore):
     """Persisted positional-window table maintained across daily
     ingests — the exact-substring analog of :class:`SignatureStore`,

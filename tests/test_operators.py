@@ -2041,6 +2041,72 @@ def test_image_in_video_frames_planted(spark):
     assert not any(t[0] == 901 for t in got)
 
 
+def test_hamming_store_multi_day_ingest(spark, tmp_path):
+    """The Hamming family's daily-ingest loop (HammingStore — one
+    store class for every <= 60-bit modality): three days of signature
+    batches must (a) resolve a day-2 near-copy of a day-1 item to the
+    day-1 id; (b) resolve a day-3 copy of the day-2 DUPLICATE to the
+    day-1 original — proving flagged items' signatures are never
+    appended; (c) pick the closest match with deterministic ties;
+    (d) grow the store by exactly the novel items; (e) fail fast on
+    an un-bootstrapped path."""
+    import random
+
+    from git_log_to_sqlite_spark.operators import HammingStore
+
+    rng = random.Random(53)
+    base = {i: rng.getrandbits(60) for i in range(20)}
+    store = HammingStore(spark, str(tmp_path / "hstore"), id_col="mid",
+                         sig_col="sig", bits=60)
+    assert not store.exists()
+    with pytest.raises(FileNotFoundError, match="bootstrap"):
+        store.ingest(spark.createDataFrame([(1, 2)], "mid long, sig long"))
+    store.bootstrap(
+        spark.createDataFrame(list(base.items()), "mid long, sig long")
+    )
+
+    def ingest(rows):
+        return {
+            r["mid"]: (r["dup_of"], r["best_hamming"], r["is_new"])
+            for r in store.ingest(
+                spark.createDataFrame(rows, "mid long, sig long"),
+                bands=4, max_hamming=3,
+            ).collect()
+        }
+
+    # day 1: one novel item, one 2-bit near-copy of bootstrap item 7
+    novel_sig = rng.getrandbits(60)
+    d1 = ingest([(101, novel_sig), (102, base[7] ^ 0b101)])
+    assert d1[101] == (None, None, 1)
+    assert d1[102] == (7, 2, 0)
+
+    # day 2: a 1-bit variant of day-1's NOVEL item -> resolves to 101
+    # (the append is live); an exact copy of the day-1 DUPLICATE's
+    # signature -> resolves to 7, NOT 102 (102 was never appended)
+    d2 = ingest([(201, novel_sig ^ 0b1), (202, base[7] ^ 0b101)])
+    assert d2[201] == (101, 1, 0)
+    assert d2[202] == (7, 2, 0)
+
+    # day 3: equidistant tie between bootstrap ids 3 and 4 (plant two
+    # history sigs 2 bits from the probe) -> min (hamming, id) struct
+    probe = rng.getrandbits(60)
+    store2 = HammingStore(spark, str(tmp_path / "hstore2"), id_col="mid",
+                          sig_col="sig", bits=60)
+    store2.bootstrap(spark.createDataFrame(
+        [(3, probe ^ 0b11), (4, probe ^ 0b1100), (9, rng.getrandbits(60))],
+        "mid long, sig long",
+    ))
+    [r] = store2.ingest(
+        spark.createDataFrame([(301, probe)], "mid long, sig long"),
+        bands=4, max_hamming=3,
+    ).collect()
+    assert (r["dup_of"], r["best_hamming"]) == (3, 2)
+
+    # store grew by exactly the novel items: 20 bootstrap + 101
+    assert store.read().count() == 21
+    assert {r["mid"] for r in store.read().collect()} == set(base) | {101}
+
+
 def test_image_dhash_validation_and_stub_plumbing(docs):
     """The 60-bit budget is enforced, and the default Pillow-or-stub
     grid path runs end-to-end on arbitrary binary payloads."""
