@@ -1609,6 +1609,11 @@ class _ParquetStore:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    #: subclass hint for the fail-fast message — the bootstrap call
+    #: shape differs per store (text stores take (corpus, text_col),
+    #: the signature store takes a signatures frame)
+    _bootstrap_hint = "bootstrap(corpus, text_col)"
+
     def _require_bootstrapped(self) -> None:
         if not self.exists():
             # Fail HERE, not as a path-not-found AnalysisException from
@@ -1617,7 +1622,7 @@ class _ParquetStore:
             # setup error with an obvious fix.
             raise FileNotFoundError(
                 f"{type(self).__name__} at {self.path!r} has no table "
-                "yet; call bootstrap(corpus, text_col) once before the "
+                f"yet; call {self._bootstrap_hint} once before the "
                 "first ingest()"
             )
 
@@ -1774,7 +1779,13 @@ class HammingStore(_ParquetStore):
     (``localCheckpoint``) before the append so the returned frame can
     never lazily re-read the store post-append and see the batch's
     own signatures as history — the same ordering contract as every
-    sibling store."""
+    sibling store. BATCH-INTERNAL duplicates are deliberately out of
+    scope, exactly as in :func:`incremental_minhash_dedup`: two
+    identical novel signatures in one batch both annotate
+    ``is_new=1`` and both append — run :func:`hamming_pairs` on the
+    (small) batch first if the day's data may self-duplicate."""
+
+    _bootstrap_hint = "bootstrap(signatures)"
 
     def __init__(
         self,

@@ -794,6 +794,8 @@ def image_in_video_frames(
         rows * cols, bands, max_hamming, max_band_size, band_size_quantile,
         observation,
     )
+    if frame_bytes < 1:  # video_frame_dhash re-checks, but after sig_p pins
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
     sig_p = pin(
         image_dhash(stills, rows, cols, grid_fn).select(
             F.col("media_id").alias("still_id"), F.col("dhash").alias("_sig")

@@ -629,6 +629,12 @@ def test_banding_validation_precedes_pins(spark):
             docs, "doc_id", "text", max_band_size=2, band_size_quantile=0.9
         )
     assert _LIVE == []
+    # the cross-modal probe validates frame_bytes before its pins too
+    from git_log_to_sqlite_spark.operators import image_in_video_frames
+
+    with pytest.raises(ValueError, match="frame_bytes"):
+        image_in_video_frames(media, media, frame_bytes=0)
+    assert _LIVE == []
     # the minhash entry points pin signatures too (the review-pass
     # gap: the Hamming fix alone left these leaking)
     from git_log_to_sqlite_spark.operators import (
