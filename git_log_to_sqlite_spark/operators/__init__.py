@@ -20,6 +20,7 @@ from .dedup import (
     WindowStore,
     decontaminate,
     exact_dedup,
+    fuzzy_decontaminate,
     hamming_pairs,
     hamming_probe,
     incremental_minhash_dedup,
@@ -105,6 +106,7 @@ __all__ = [
     "WindowStore",
     "decontaminate",
     "exact_dedup",
+    "fuzzy_decontaminate",
     "HammingStore",
     "hamming_pairs",
     "hamming_probe",

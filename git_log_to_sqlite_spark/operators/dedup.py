@@ -1426,6 +1426,84 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    flag_col: str = "contaminated",
+    max_band_size: int | None = None,
+    band_size_quantile: float | None = None,
+    observation: "Observation | None" = None,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag training
+    documents whose simhash is within ``max_hamming`` bits of any
+    eval document — the fuzzy complement of :func:`decontaminate`
+    (exact n-gram overlap): a lightly-paraphrased or
+    whitespace-perturbed eval document shares few exact n-grams but
+    lands a handful of simhash bits away, and document-level leakage
+    of that kind is what this catches. Returns one row per TRAIN
+    document: ``(id, matched_evals, best_hamming, contaminated)`` —
+    all train rows kept (left join), a drop-in annotation table like
+    its exact sibling.
+
+    Scale shape: :func:`simhash` both sides (one corpus pass each,
+    8 B/doc signatures), then :func:`hamming_probe` with the TRAIN
+    side as the corpus and the benchmark as the probe — the benchmark
+    is MBs while the corpus is 100 TB, so the probe's band table is
+    the tiny side of the equi-join and the train corpus is never
+    self-joined; pigeonhole exactness (``bands > max_hamming``)
+    means recall 1.0 on the signature distance. The valve caps the
+    TRAIN side (near-empty documents majority-voting to one
+    signature are the degenerate bucket; ``rows_dropped``
+    telemetry). Same honest limit as every simhash operator: the
+    signature distance is a document-LEVEL proxy — passage-level
+    leakage belongs to :func:`decontaminate` or the substring
+    operators."""
+    _validate_banding(
+        bits, bands, max_hamming, max_band_size, band_size_quantile, observation
+    )
+    sig_t = pin(
+        simhash(train, id_col, text_col, bits).withColumnRenamed(
+            id_col, "_train_id"
+        )
+    )
+    sig_b = simhash(benchmark, id_col, text_col, bits).withColumnRenamed(
+        id_col, "_eval_id"
+    )
+    matches = hamming_probe(
+        sig_b,
+        sig_t,
+        probe_id="_eval_id",
+        corpus_id="_train_id",
+        sig_col="simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_band_size=max_band_size,
+        band_size_quantile=band_size_quantile,
+        observation=observation,
+    )
+    hits = matches.groupBy("_train_id").agg(
+        F.count(F.lit(1)).alias("matched_evals"),
+        F.min("hamming").alias("best_hamming"),
+    )
+    matched = F.coalesce(F.col("matched_evals"), F.lit(0).cast("long"))
+    return (
+        train.select(id_col)
+        .join(hits.withColumnRenamed("_train_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            matched.alias("matched_evals"),
+            F.col("best_hamming"),
+            (matched > 0).cast("int").alias(flag_col),
+        )
+    )
+
+
 def incremental_minhash_dedup(
     history: DataFrame | None,
     increment: DataFrame,

@@ -2113,6 +2113,57 @@ def test_hamming_store_multi_day_ingest(spark, tmp_path):
     assert {r["mid"] for r in store.read().collect()} == set(base) | {101}
 
 
+def test_fuzzy_decontaminate_flags_near_dup_leakage(spark):
+    """Fuzzy decontamination (simhash distance vs the eval set): a
+    verbatim eval copy and a lightly-perturbed copy must flag, clean
+    documents must not, the annotation must equal a brute-force
+    simhash Hamming scan (pigeonhole exactness on the signature
+    distance), and all train rows survive the left join."""
+    from git_log_to_sqlite_spark.operators import (
+        fuzzy_decontaminate,
+        release_caches,
+        simhash,
+    )
+
+    evals = [
+        (900, "the quick brown fox jumps over the lazy dog near the river"),
+        (901, "pack my box with five dozen liquor jugs for the long trip"),
+    ]
+    train = [
+        (1, evals[0][1]),                                    # verbatim copy
+        (2, evals[1][1] + " today"),                         # light perturbation
+        (3, "a completely different document about spark partitioning"),
+        (4, "another unrelated text concerning shuffle exchanges and joins"),
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["matched_evals"], r["best_hamming"], r["contaminated"])
+        for r in fuzzy_decontaminate(
+            tdf, edf, "doc_id", "text", bits=60, bands=6, max_hamming=5
+        ).collect()
+    }
+    release_caches()
+    assert set(got) == {1, 2, 3, 4}  # every train row annotated
+
+    # brute-force reference over the same signatures
+    tsig = {r["doc_id"]: r["simhash"]
+            for r in simhash(tdf, "doc_id", "text", 60).collect()}
+    esig = {r["doc_id"]: r["simhash"]
+            for r in simhash(edf, "doc_id", "text", 60).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    for tid in tsig:
+        hams = [ham(tsig[tid], s) for s in esig.values()]
+        matches = [h for h in hams if h <= 5]
+        want = (len(matches), min(matches) if matches else None,
+                1 if matches else 0)
+        assert got[tid] == want, (tid, got[tid], want)
+    assert got[1][2] == 1 and got[1][1] == 0  # verbatim: hamming 0
+    assert got[2][2] == 1 and 0 < got[2][1] <= 5  # perturbed copy flags
+    assert got[3][2] == 0 and got[4][2] == 0
+
+
 def test_image_dhash_validation_and_stub_plumbing(docs):
     """The 60-bit budget is enforced, and the default Pillow-or-stub
     grid path runs end-to-end on arbitrary binary payloads."""
