@@ -1456,10 +1456,20 @@ def fuzzy_decontaminate(
     is MBs while the corpus is 100 TB, so the probe's band table is
     the tiny side of the equi-join and the train corpus is never
     self-joined; pigeonhole exactness (``bands > max_hamming``)
-    means recall 1.0 on the signature distance. The valve caps the
-    TRAIN side (near-empty documents majority-voting to one
-    signature are the degenerate bucket; ``rows_dropped``
-    telemetry). Same honest limit as every simhash operator: the
+    means recall 1.0 on the signature distance — WHEN UNCAPPED.
+    Any valve cap (``max_band_size`` / ``band_size_quantile``) VOIDS
+    that guarantee in the dangerous direction: the valve anti-filters
+    hot TRAIN band buckets, so capped-away train docs are silently
+    exempted from matching — false negatives, the one failure mode a
+    decontamination operator must not hide. ``rows_dropped > 0`` in
+    the telemetry means some train docs were never probed. Default
+    to NO cap here (the benchmark side is tiny, so per-bucket
+    candidate mass is bounded by |benchmark bucket| x |train bucket|
+    with the probe side already small); reach for the valve only if
+    a degenerate bucket (near-empty documents majority-voting to one
+    signature) actually materializes, and treat its telemetry as a
+    recall warning, not bookkeeping. Same honest limit as every
+    simhash operator: the
     signature distance is a document-LEVEL proxy — passage-level
     leakage belongs to :func:`decontaminate` or the substring
     operators."""
@@ -1471,8 +1481,14 @@ def fuzzy_decontaminate(
             id_col, "_train_id"
         )
     )
-    sig_b = simhash(benchmark, id_col, text_col, bits).withColumnRenamed(
-        id_col, "_eval_id"
+    # pinned: hamming_probe consumes the probe side twice (band
+    # projection + signature join-back) — the benchmark is MBs, so
+    # the pin is cheap and saves a second tokenize+hash pass (the
+    # caller-owns-the-pin doctrine the multimodal callers follow)
+    sig_b = pin(
+        simhash(benchmark, id_col, text_col, bits).withColumnRenamed(
+            id_col, "_eval_id"
+        )
     )
     matches = hamming_probe(
         sig_b,
@@ -1492,8 +1508,11 @@ def fuzzy_decontaminate(
         F.min("hamming").alias("best_hamming"),
     )
     matched = F.coalesce(F.col("matched_evals"), F.lit(0).cast("long"))
+    # the annotation spine reuses the PINNED signature frame rather
+    # than re-scanning `train` — a column-pruned id-only scan is
+    # cheap, but at 100 TB it is still one avoidable corpus pass
     return (
-        train.select(id_col)
+        sig_t.select(F.col("_train_id").alias(id_col))
         .join(hits.withColumnRenamed("_train_id", id_col), id_col, "left")
         .select(
             id_col,

@@ -52,90 +52,36 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 
-# Round-10 rotation (executing the plan pre-staged in round 9, plus
-# this round's additions): the three NEW binary-modality queries
-# lead — `mm_image_near_dup` (image dHash + hamming_pairs, the
-# mapInPandas decode path's first driver row), `mm_video_near_dup`
-# (per-frame dHash + distributed majority-vote clip fingerprint, the
-# fourth modality on the shared Hamming stage), and
-# `mm_audio_near_dup` (the Haitsma-Kalker fingerprint under an
-# exact-IEEE-mirror oracle) — per the standing new-query precedent.
-# Then the twelve round-7 rows spilled past round 9's slot 50
-# (oldest driver rows), then the round-8-gated block in
-# CORRECTNESS_r08's key order.  3 + 12 + 50 names against a 50-slot
-# prefix means fifteen round-8 rows spill to round 11; per the
-# standing precedent the spill is steered onto the lowest-risk
-# deterministic tail of that block (the seven fn_* scalar
-# projections, the text_chunk_overlap / text_pii_mask / text_clean
-# per-row text projections, and the five projection-shaped
-# UDF-surface demos udf_scalar_python / udf_pandas_vectorized /
-# udf_map_in_pandas / udf_table_function / udf_native_udtf — each a
-# zero-shuffle plan over static parquet), never onto the
-# streaming-replay, ETL-parity, or composite-pipeline rows, so those
-# fifteen move past slot 50 and lead the pre-staged round-11
-# rotation.  The corpus is 120 registered queries (115
-# oracle-bearing, 5 oracle-less tail) against a 2x50 gate —
-# freshness cycle ~2.4 rounds; grow the corpus further only if the
-# gate grows.
+# Round-11 rotation (executing the plan pre-staged in round 10, plus
+# this round's additions): the three NEW gate rows for the round-10
+# operator wave lead — `mm_fuzzy_decontaminate` (simhash-distance
+# benchmark decontamination over the gate-green simhash CTE chain),
+# `mm_video_scene_pairs` (scene-level video dedup: frame dHash into
+# the substring gaps-and-islands recovery), and `mm_image_in_video`
+# (the cross-modal hamming_probe content-ID lookup, brute-force twin)
+# — per the standing new-query precedent.  Then the fifteen round-8
+# rows spilled past round 10's slot 50 (oldest driver rows), then
+# the round-9-gated block in CORRECTNESS_r09's key order.  3 + 15 +
+# 50 names against a 50-slot prefix means eighteen round-9 rows
+# spill to round 12; per the standing steering rule the spill lands
+# on the lowest-risk deterministic tail of that block (the fn_array /
+# fn_explode projections, the per-row text_* / mm_binary_meta
+# projections, the six win_* window suites, the agg_rollup /
+# agg_cube / agg_collect_sorted deterministic aggregates, and
+# win_time_bucket / text_repetition), never on the streaming-replay,
+# ETL-parity, or composite-pipeline rows — those stay in the prefix.
+# The corpus is 123 registered queries (118 oracle-bearing, 5
+# oracle-less tail) against a 2x50 gate — freshness cycle ~2.5
+# rounds; per the standing rule the registry now holds at this size
+# until the gate grows.
 _prioritize(
     first=[
         # --- new queries with no driver row yet ---
-        "mm_image_near_dup",
-        "mm_video_near_dup",
-        "mm_audio_near_dup",
-        # --- round-7 holdovers (oldest driver rows; spilled past
-        #     round 9's slot 50) ---
-        "sort_topk_orders",
-        "sort_multikey_nulls",
-        "setop_union",
-        "setop_intersect",
-        "setop_except",
-        "setop_intersect_all",
-        "setop_except_all",
-        "fn_higher_order",
-        "fn_cast",
-        "fn_map",
-        "join_cross",
-        "join_self_nation_pairs",
-        # --- round-8-gated block, CORRECTNESS_r08 key order (35 of
-        #     50 names; the fifteen scalar/projection rows below
-        #     spill to round 11) ---
-        "etl_repos_skipped_parity",
-        "stream_dedup_replay",
-        "agg_pricing_summary",
-        "agg_percentiles",
-        "agg_global",
-        "agg_distinct",
-        "agg_stats",
-        "events_window_tumbling",
-        "events_funnel_depth",
-        "events_window_sliding",
-        "events_top_paths",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_group_assign",
-        "dedup_minhash_lsh",
-        "dedup_minhash_groups",
-        "dedup_simhash",
-        "asof_event_value",
-        "text_topk_terms",
-        "text_tfidf_topk",
-        "text_pack_shards",
-        "sample_weighted_reservoir",
-        "sim_cosine_topk",
-        "sim_ann_bucketed",
-        "sim_pairs_threshold",
-        "dedup_embedding_cosine",
-        "sim_centroid_per_label",
-        "sim_ann_multiprobe",
-        "udf_grouped_map",
-        "udf_grouped_agg",
-        "sql_correlated_exists",
-        "sql_not_exists",
-        "sql_scalar_subquery",
-        "sql_correlated_scalar_agg",
-        "sql_in_subquery",
-        # --- spill past slot 50 → lead the round-11 rotation ---
+        "mm_fuzzy_decontaminate",
+        "mm_video_scene_pairs",
+        "mm_image_in_video",
+        # --- round-8 holdovers (oldest driver rows; spilled past
+        #     round 10's slot 50) ---
         "fn_math",
         "fn_conditional",
         "fn_strings",
@@ -151,6 +97,60 @@ _prioritize(
         "udf_map_in_pandas",
         "udf_table_function",
         "udf_native_udtf",
+        # --- round-9-gated block, CORRECTNESS_r09 key order (32 of
+        #     50 names; the eighteen deterministic scalar/window/agg
+        #     rows listed after the prefix spill to round 12) ---
+        "dedup_substring_spans",
+        "dedup_substring_groups",
+        "dedup_incremental_substring",
+        "sim_ann_ivf_assign",
+        "dedup_simhash_pairs",
+        "pipeline_pretrain_corpus",
+        "dedup_decontaminate",
+        "sample_token_budget",
+        "dedup_incremental_lsh",
+        "join_revenue_per_customer",
+        "join_region_revenue",
+        "join_left_outer",
+        "join_full_outer",
+        "join_right_outer",
+        "join_merge_hint",
+        "join_semi",
+        "join_anti",
+        "join_range_bands",
+        "join_asof_last_event",
+        "agg_grouping_sets",
+        "dedup_dropduplicates_subset",
+        "agg_salted_skew",
+        "agg_pivot",
+        "events_sessionize",
+        "events_cohort_retention",
+        "sample_domain_mix",
+        "pipeline_curate_corpus",
+        "dedup_embedding_groups",
+        "stream_tumbling_replay",
+        "stream_session_replay",
+        "stream_join_replay",
+        "etl_logs_parity",
+        # --- spill past slot 50 → lead the round-12 rotation ---
+        "fn_array",
+        "fn_explode",
+        "text_langid",
+        "text_quality",
+        "text_tokens",
+        "text_fingerprint",
+        "mm_binary_meta",
+        "text_repetition",
+        "win_topk_per_group",
+        "win_ranking_suite",
+        "win_lag_lead",
+        "win_running_frames",
+        "win_first_last_nth",
+        "win_range_between",
+        "win_time_bucket",
+        "agg_collect_sorted",
+        "agg_rollup",
+        "agg_cube",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

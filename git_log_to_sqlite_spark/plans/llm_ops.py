@@ -503,10 +503,11 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain of the THREE simhash oracles (signature, pairs,
+# fuzzy decontamination): the 32-bit md5-majority signature derivation
+# in ONE constant, so the twins cannot drift — the same
+# single-source rule as _SQL_WIN_CTES / _sql_dhash_bits.
+_SQL_SIMHASH_CTES = f"""toks AS (
       SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text,' '))) AS token
       FROM documents),
     bits AS (
@@ -514,11 +515,19 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN (({_SQL_MD5_LONG.format(x='token', n=8)}) >> i) & 1 = 1
                       THEN 1 ELSE -1 END) AS weight
       FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) pos
-      GROUP BY doc_id, i)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN weight > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM bits GROUP BY doc_id
+      GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN weight > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM bits GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sig
     """,
     doc="32-bit SimHash signature per document (operators.dedup."
     "simhash): bitwise majority over md5 token hashes; near-dup "
@@ -534,20 +543,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text,' '))) AS token
-      FROM documents),
-    bits AS (
-      SELECT doc_id, i,
-             SUM(CASE WHEN (({_SQL_MD5_LONG.format(x='token', n=8)}) >> i) & 1 = 1
-                      THEN 1 ELSE -1 END) AS weight
-      FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) pos
-      GROUP BY doc_id, i),
-    sig AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN weight > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
-               AS simhash
-      FROM bits GROUP BY doc_id),
+    WITH {_SQL_SIMHASH_CTES},
     bands AS (
       SELECT doc_id, bb.band, (simhash >> (bb.band * 8)) & 255 AS band_key
       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb),
@@ -954,6 +950,222 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_AUDIO_BANDS,
         max_hamming=3,
         energy_fn=mm._band_energies_stub,
+    )
+
+
+# ----------------------------------------------------------------------
+# Round 11: driver-gate rows for the round-10 operator wave — fuzzy
+# decontamination, scene-level video dedup, and the cross-modal
+# content-ID probe.  Each twin is assembled from oracle pieces that
+# are ALREADY gate-green (the simhash CTE chain, the dHash byte
+# arithmetic, the substring gaps-and-islands recovery), so a
+# divergence here isolates the NEW composition, not the shared math.
+# ----------------------------------------------------------------------
+
+_FUZZY_DECON_MOD = 29  # same eval-slice convention as _DECON_MOD below:
+# every 29th doc plays the held-out benchmark (~3.4% of the corpus)
+
+
+@register(
+    "mm_fuzzy_decontaminate",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_CTES},
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS matched_evals,
+             MIN(bit_count(xor(t.simhash, e.simhash))) AS best_hamming
+      FROM sig t JOIN sig e
+        ON e.doc_id % {_FUZZY_DECON_MOD} = 0
+       AND bit_count(xor(t.simhash, e.simhash)) <= 3
+      WHERE t.doc_id % {_FUZZY_DECON_MOD} <> 0
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.matched_evals, 0) AS BIGINT) AS matched_evals,
+           CAST(h.best_hamming AS INT) AS best_hamming,
+           CAST(COALESCE(h.matched_evals, 0) > 0 AS INT) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {_FUZZY_DECON_MOD} <> 0
+    """,
+    doc="NEAR-duplicate benchmark decontamination (operators.dedup."
+    "fuzzy_decontaminate): train docs whose 32-bit simhash lands "
+    "within Hamming 3 of any held-out eval doc — the fuzzy complement "
+    "of dedup_decontaminate (a paraphrased eval doc shares few exact "
+    "4-grams but few simhash bits move). The benchmark probes the "
+    "train corpus through hamming_probe, so the 100-TB side is never "
+    "self-joined; no valve at the gate, so pigeonhole recall is exact "
+    "and the oracle brute-forces the tiny eval x train distance scan "
+    "over the SAME simhash CTE chain the gated signature query uses.",
+)
+def mm_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % _FUZZY_DECON_MOD != 0)
+    bench = d.filter(F.col("doc_id") % _FUZZY_DECON_MOD == 0)
+    return dd.fuzzy_decontaminate(
+        train, bench, "doc_id", "text", bits=32, bands=4, max_hamming=3
+    )
+
+
+_SCENE_FRAME_BYTES = 64  # smaller than the near-dup query's 256: more
+# frames per clip, so verbatim-copy clip pairs carry runs the gate's
+# min_run threshold can see at sf0.01 text lengths
+_SCENE_MIN_RUN = 3
+
+
+def _mm_video_scene_oracle(
+    fb: int = _SCENE_FRAME_BYTES,
+    q: float = _SUBSTR_Q,
+    headroom: int = _SUBSTR_HEADROOM,
+) -> str:
+    """DuckDB twin of ``mm_video_scene_pairs``: the video oracle's
+    frame-slice convention (frame f of a length-L payload is the
+    byte slice [f*fb, (f+1)*fb), max(1, L // fb) full frames) feeds
+    the full 60-term dHash weighted sum per frame, and the substring
+    oracles' gaps-and-islands chain recovers longest shared runs with
+    k=1 (one frame per cell: run length == island size, so no +k-1
+    term). The occurrence spread guard is the substring twin's exact
+    cap chain over frame-hash frequencies."""
+
+    def byte(j: int) -> str:
+        return f"ascii(substr(text, f*{fb} + (({j}) % cl) + 1, 1))"
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) >= {fb} THEN {fb} ELSE length(text) END AS cl,
+             greatest(1, length(text) // {fb}) AS nf
+      FROM documents),
+    fr AS (
+      SELECT doc_id, f AS pos, CAST({_sql_dhash_terms(byte)} AS BIGINT) AS h
+      FROM d, LATERAL (SELECT unnest(range(nf)) AS f) t),
+    ffreq AS (SELECT h, COUNT(*) AS d FROM fr GROUP BY h),
+    caps AS ({_sql_quantile_cap("ffreq", q)}),
+    f2 AS (
+      SELECT w.doc_id, w.pos, w.h
+      FROM fr w JOIN ffreq fq ON fq.h = w.h
+      JOIN caps ON fq.d <= COALESCE(caps.max_df * {headroom}, fq.d)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos - b.pos AS diag, a.pos AS pos_a
+      FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT id_a, id_b, diag, pos_a,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      FROM m),
+    runs AS (SELECT id_a, id_b, COUNT(*) AS men
+             FROM isl GROUP BY id_a, id_b, diag, grp)
+    SELECT id_a, id_b,
+           CAST(MAX(men) AS BIGINT) AS longest_run_frames,
+           CAST(SUM(men) AS BIGINT) AS n_shared_frames
+    FROM runs GROUP BY id_a, id_b
+    HAVING MAX(men) >= {_SCENE_MIN_RUN}
+    """
+
+
+@register(
+    "mm_video_scene_pairs",
+    oracle=_mm_video_scene_oracle(),
+    doc="Scene-level video dedup (operators.multimodal."
+    "video_shared_scene_pairs): clip pairs sharing a verbatim run of "
+    ">= 3 consecutive frame hashes — the video analog of exact-"
+    "substring passage dedup, invisible to the clip-level majority "
+    "vote the way a copied passage is invisible to minhash. Per-frame "
+    "dHash feeds the factored substring pipeline "
+    "(_span_pairs_from_windows, k=1) with the 10 x p92 occurrence "
+    "spread guard on degenerate frames; the oracle composes the "
+    "gate-green frame-dHash byte arithmetic with the gate-green "
+    "gaps-and-islands CTE chain and the identical cap.",
+)
+def mm_video_scene_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents")
+    media = mm.as_media(d, "doc_id", "text", mime="video/raw")
+    return mm.video_shared_scene_pairs(
+        media,
+        rows=6,
+        cols=10,
+        frame_bytes=_SCENE_FRAME_BYTES,
+        min_run_frames=_SCENE_MIN_RUN,
+        max_df_quantile=_SUBSTR_Q,
+        quantile_headroom=_SUBSTR_HEADROOM,
+        grid_fn=mm._luma_grid_stub,
+    )
+
+
+_STILL_MOD = 41  # every 41st doc plays the still-image query batch
+_IIV_FRAME_BYTES = 128  # >= the 66 grid bytes a 6x10 dHash reads, so a
+# still and frame 0 of the same payload hash identically by
+# construction (the cross-modal exactness property under the stub
+# decode, for ANY payload length — shorter payloads cycle identically
+# on both sides)
+
+
+def _mm_image_in_video_oracle(
+    fb: int = _IIV_FRAME_BYTES, mod: int = _STILL_MOD
+) -> str:
+    """DuckDB twin of ``mm_image_in_video``: still dHash (the image
+    oracle's whole-payload cycle) brute-force scanned against every
+    frame dHash (the video oracle's slice cycle) — an oracle can
+    afford probe x frames; the Spark side pays probe-bands x
+    corpus-bands through hamming_probe."""
+
+    def sbyte(j: int) -> str:
+        return f"ascii(substr(text, ({j} % length(text)) + 1, 1))"
+
+    def fbyte(j: int) -> str:
+        return f"ascii(substr(text, f*{fb} + (({j}) % cl) + 1, 1))"
+
+    return f"""
+    WITH stills AS (
+      SELECT doc_id AS still_id,
+             CAST({_sql_dhash_terms(sbyte)} AS BIGINT) AS sh
+      FROM documents WHERE doc_id % {mod} = 0),
+    d AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) >= {fb} THEN {fb} ELSE length(text) END AS cl,
+             greatest(1, length(text) // {fb}) AS nf
+      FROM documents),
+    fr AS (
+      SELECT doc_id AS media_id, f AS frame_no,
+             CAST({_sql_dhash_terms(fbyte)} AS BIGINT) AS fh
+      FROM d, LATERAL (SELECT unnest(range(nf)) AS f) t)
+    SELECT s.still_id, fr.media_id,
+           CAST(fr.frame_no AS INT) AS frame_no,
+           CAST(bit_count(xor(s.sh, fr.fh)) AS INT) AS hamming
+    FROM stills s JOIN fr ON bit_count(xor(s.sh, fr.fh)) <= 3
+    """
+
+
+@register(
+    "mm_image_in_video",
+    oracle=_mm_image_in_video_oracle(),
+    doc="Cross-modal content lookup (operators.multimodal."
+    "image_in_video_frames): which video frames near-match a batch of "
+    "still images — image_dhash over the stills probed against "
+    "video_frame_dhash through hamming_probe (the content-ID shape: "
+    "the frame corpus is never self-joined, a query batch pays "
+    "probe-bands x corpus-bands candidates). No valve at the gate, so "
+    "the pigeonhole guarantee is exact across sides and the oracle "
+    "brute-forces the stills x frames distance scan. This row is "
+    "hamming_probe's driver-gate evidence.",
+)
+def mm_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents")
+    stills = mm.as_media(
+        d.filter(F.col("doc_id") % _STILL_MOD == 0), "doc_id", "text",
+        mime="image/raw",
+    )
+    media = mm.as_media(d, "doc_id", "text", mime="video/raw")
+    return mm.image_in_video_frames(
+        stills,
+        media,
+        rows=6,
+        cols=10,
+        frame_bytes=_IIV_FRAME_BYTES,
+        max_hamming=3,
+        grid_fn=mm._luma_grid_stub,
     )
 
 
