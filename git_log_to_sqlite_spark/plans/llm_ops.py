@@ -1169,6 +1169,162 @@ def mm_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASEG_FRAME_BYTES = 64  # scene-pairs' convention: small frames -> long
+# enough sub-fingerprint sequences that shared segments carry runs the
+# min_run threshold can see at sf0.01 text lengths
+_ASEG_BANDS = 11  # 10-bit Haitsma-Kalker words (the operator default)
+_ASEG_WINDOW = 4  # 4-word sliding join key (~40 bits; see the operator
+# docstring for why raw 10-bit words can never be posting keys)
+_ASEG_MIN_RUN = 4
+
+
+def _mm_audio_segment_oracle(
+    fb: int = _ASEG_FRAME_BYTES,
+    bands: int = _ASEG_BANDS,
+    window: int = _ASEG_WINDOW,
+    min_run: int = _ASEG_MIN_RUN,
+    q: float = _SUBSTR_Q,
+    head: int = _SUBSTR_HEADROOM,
+) -> str:
+    """DuckDB twin of ``mm_audio_segment_pairs`` — the hardest of the
+    four sequence twins, composed from three gate-green pieces: (1)
+    the sequence energy stub's frame-slice convention
+    (``_frame_band_energies_stub``: ``max(2, len // fb)`` frames,
+    frame f is chunk ``[f*fb, (f+1)*fb)`` falling back to the LAST
+    byte when empty; band b averages chunk bytes ``[b*step,
+    b*step+step)``, ``step = max(1, cl // bands)``, falling back to
+    the chunk's last byte) mirrored in the registry's exact-IEEE
+    float discipline — both engines compute ``CAST(int_sum AS
+    DOUBLE) / int_len`` and the identically-parenthesized
+    double-difference, so no sign can diverge by an ulp (the
+    ``mm_audio_near_dup`` technique, per-frame instead of whole-clip
+    and with the lagged previous-frame energies through a window
+    function); (2) the (bands-1)-bit MSB-first sub-fingerprint word
+    per frame TRANSITION; (3) the substring oracles' cap +
+    gaps-and-islands chain over a ``window``-word sliding key. The
+    oracle joins on the word TUPLE where Spark joins on
+    ``xxhash64`` of it — identical pair sets absent a 64-bit hash
+    collision, the same equivalence every substring twin relies on."""
+    from fractions import Fraction as _Frac
+
+    frac = _Frac(str(q))
+    cap = f"""
+      SELECT MIN(d) AS max_df FROM (
+        SELECT d, SUM(n_sh) OVER (ORDER BY d) AS cum,
+               SUM(n_sh) OVER () AS tot
+        FROM (SELECT d, COUNT(*) AS n_sh FROM sfreq WHERE d >= 2 GROUP BY d) h) c
+      WHERE cum * {frac.denominator} >= {frac.numerator} * tot"""
+    en_cols = []
+    for b in range(bands):
+        st = f"({b} * step)"
+        en_cols.append(
+            f"CASE WHEN {st} >= cl"
+            f" THEN CAST(ascii(substr(text, cs + cl, 1)) AS DOUBLE)"
+            f" ELSE CAST(list_sum(list_transform(generate_series(cs + {st} + 1,"
+            f" cs + {st} + least(step, cl - {st})),"
+            f" j -> ascii(substr(text, j, 1)))) AS DOUBLE)"
+            f" / least(step, cl - {st}) END AS e{b}"
+        )
+    lags = ", ".join(
+        f"lag(e{b}) OVER (PARTITION BY doc_id ORDER BY f) AS p{b}"
+        for b in range(bands)
+    )
+    bit_terms = []
+    for b in range(bands - 1):
+        w = 1 << (bands - 2 - b)
+        d = f"((e{b} - e{b + 1}) - (p{b} - p{b + 1}))"
+        bit_terms.append(f"CASE WHEN {d} > 0 THEN {w} ELSE 0 END")
+    leads = ", ".join(
+        f"lead(sfp, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS w{i}"
+        for i in range(1, window)
+    )
+    gram = (
+        "concat_ws(',', sfp, "
+        + ", ".join(f"w{i}" for i in range(1, window))
+        + ")"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len,
+             greatest(2, length(text) // {fb}) AS nf
+      FROM documents),
+    fr AS (
+      SELECT doc_id, f, text,
+             CASE WHEN f * {fb} >= len THEN len - 1 ELSE f * {fb} END AS cs,
+             CASE WHEN f * {fb} >= len THEN 1
+                  ELSE least({fb}, len - f * {fb}) END AS cl
+      FROM d, LATERAL (SELECT unnest(range(nf)) AS f) t),
+    fr2 AS (SELECT doc_id, f, text, cs, cl,
+                   greatest(1, cl // {bands}) AS step FROM fr),
+    en AS (SELECT doc_id, f, {', '.join(en_cols)} FROM fr2),
+    en2 AS (SELECT doc_id, f, {', '.join('e%d' % b for b in range(bands))},
+                   {lags} FROM en),
+    words AS (
+      SELECT doc_id, f - 1 AS pos,
+             CAST({' + '.join(bit_terms)} AS BIGINT) AS sfp
+      FROM en2 WHERE f >= 1),
+    wins AS (
+      SELECT doc_id, pos, sfp, {leads} FROM words),
+    w1 AS (
+      SELECT doc_id, pos, {gram} AS gram FROM wins
+      WHERE w{window - 1} IS NOT NULL),
+    sfreq AS (SELECT gram, COUNT(*) AS d FROM w1 GROUP BY gram),
+    caps AS ({cap}),
+    w2 AS (
+      SELECT w.doc_id, w.pos, w.gram
+      FROM w1 w JOIN sfreq fq ON fq.gram = w.gram
+      JOIN caps ON fq.d <= COALESCE(caps.max_df * {head}, fq.d)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos - b.pos AS diag, a.pos AS pos_a
+      FROM w2 a JOIN w2 b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT id_a, id_b, diag, pos_a,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      FROM m),
+    runs AS (SELECT id_a, id_b, COUNT(*) AS men
+             FROM isl GROUP BY id_a, id_b, diag, grp)
+    SELECT id_a, id_b,
+           CAST(MAX(men) + {window - 1} AS BIGINT) AS longest_run_subfps,
+           CAST(SUM(men) AS BIGINT) AS n_shared_subfps
+    FROM runs GROUP BY id_a, id_b
+    HAVING MAX(men) + {window - 1} >= {min_run}
+    """
+
+
+@register(
+    "mm_audio_segment_pairs",
+    oracle=_mm_audio_segment_oracle(),
+    doc="Segment-level audio dedup (operators.multimodal."
+    "audio_shared_segment_pairs): clip pairs sharing >= 4 consecutive "
+    "identical Haitsma-Kalker sub-fingerprint words at a fixed "
+    "alignment — a sampled jingle or re-broadcast segment, invisible "
+    "to the clip-level near-dup vote the way a copied passage is "
+    "invisible to minhash. The volume-cancelling double-difference "
+    "word sequence feeds the factored substring pipeline on a 4-word "
+    "xxhash64 sliding key (raw 10-bit words would be a linear-growth "
+    "posting pathology) with the 10 x p92 spread guard; with this row "
+    "all four sequence modalities (text substring, video scene, audio "
+    "segment, + the incremental stores) carry hash-verified driver "
+    "evidence on the one gaps-and-islands machinery.",
+)
+def mm_audio_segment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    d = table(spark, sf_dir, "documents")
+    media = mm.as_media(d, "doc_id", "text", mime="audio/raw")
+    return mm.audio_shared_segment_pairs(
+        media,
+        frame_bytes=_ASEG_FRAME_BYTES,
+        bands=_ASEG_BANDS,
+        min_run=_ASEG_MIN_RUN,
+        window=_ASEG_WINDOW,
+        max_df_quantile=_SUBSTR_Q,
+        quantile_headroom=_SUBSTR_HEADROOM,
+    )
+
+
 # ----------------------------------------------------------------------
 # General event-time as-of join
 # ----------------------------------------------------------------------
