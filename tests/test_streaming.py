@@ -814,3 +814,84 @@ def test_ivf_index_streaming_append(spark, oracle_sf_dir, tmp_path):
     assert got == want and len(got) > 0
     sizes = {r["cell"]: r["n_vectors"] for r in idx.cell_sizes().collect()}
     assert sum(sizes.values()) == emb.count()
+
+
+def test_hamming_store_streaming_ingest(spark, tmp_path):
+    """HammingStore's daily loop as a REAL micro-batch stream — the
+    same foreachBatch evidence its three persisted-store siblings
+    (SignatureStore, WindowStore, IvfIndex) carry: bootstrap on day-0
+    signatures, stream three daily signature files through
+    foreachBatch(store.ingest), and (a) the final store must be
+    IDENTICAL to the sequential 3-day reference loop's, (b) a day-2
+    near-copy of a day-1 novel item must resolve to the day-1 id
+    (each micro-batch's append is live for the next), and (c) a
+    dup-of-a-dup must resolve to the ORIGINAL (flagged items'
+    signatures never append, even mid-stream)."""
+    import os
+    import random
+    import time
+
+    from git_log_to_sqlite_spark.operators import HammingStore
+
+    rng = random.Random(97)
+    base = {i: rng.getrandbits(60) for i in range(16)}
+    novel_sig = rng.getrandbits(60)
+    days = [
+        [(101, novel_sig), (102, base[5] ^ 0b101)],          # day 1
+        [(201, novel_sig ^ 0b1), (202, base[5] ^ 0b101)],    # day 2
+        [(301, rng.getrandbits(60)), (302, novel_sig ^ 0b110)],  # day 3
+    ]
+
+    # sequential reference loop
+    ref = HammingStore(spark, str(tmp_path / "hs_seq"), id_col="mid",
+                       sig_col="sig", bits=60)
+    ref.bootstrap(spark.createDataFrame(list(base.items()),
+                                        "mid long, sig long"))
+    for rows in days:
+        ref.ingest(spark.createDataFrame(rows, "mid long, sig long"),
+                   bands=4, max_hamming=3)
+
+    # streamed loop over the same batches
+    store = HammingStore(spark, str(tmp_path / "hs_stream"), id_col="mid",
+                         sig_col="sig", bits=60)
+    store.bootstrap(spark.createDataFrame(list(base.items()),
+                                          "mid long, sig long"))
+    inc_dir = str(tmp_path / "hs_days")
+    for d, rows in enumerate(days, start=1):
+        p = os.path.join(inc_dir, f"day{d}")
+        spark.createDataFrame(rows, "mid long, sig long").coalesce(
+            1
+        ).write.parquet(p)
+        stamp = time.time() - 300 + d * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    annotations: dict[int, tuple] = {}
+
+    def _ingest(batch_df, _id):
+        for r in store.ingest(batch_df, bands=4, max_hamming=3).collect():
+            annotations[r["mid"]] = (r["dup_of"], r["best_hamming"],
+                                     r["is_new"])
+
+    q = (
+        spark.readStream.schema("mid long, sig long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(inc_dir)
+        .writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert annotations[101] == (None, None, 1)
+    assert annotations[102] == (5, 2, 0)
+    assert annotations[201] == (101, 1, 0)   # day-1 append live on day 2
+    assert annotations[202] == (5, 2, 0)     # dup-of-a-dup -> the ORIGINAL
+    assert annotations[301][2] == 1
+    assert annotations[302] == (101, 2, 0)
+    got = {(r["mid"], r["sig"]) for r in store.read().collect()}
+    want = {(r["mid"], r["sig"]) for r in ref.read().collect()}
+    assert got == want  # streamed store == sequential reference store
+    assert {m for m, _ in got} == set(base) | {101, 301}
