@@ -43,6 +43,7 @@ from .similarity import (
     ivf_ann_topk,
     lsh_bucket,
     multiprobe_ann_topk,
+    semantic_dedup,
 )
 from .multimodal import (
     as_media,
@@ -128,6 +129,7 @@ __all__ = [
     "ivf_ann_topk",
     "lsh_bucket",
     "multiprobe_ann_topk",
+    "semantic_dedup",
     "salted_aggregate",
     "salted_join",
     "add_text_stats",

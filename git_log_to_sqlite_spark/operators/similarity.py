@@ -343,6 +343,123 @@ def embedding_dedup_ann(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    round_to: int | None = None,
+    dist_round_to: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    SEMANTIC dedup — near-duplicate *meanings* (a paraphrase, a
+    re-render, a boilerplate variant) whose embeddings sit within
+    ``threshold`` cosine of each other, which exact/minhash dedup
+    cannot see and which the paper showed can be removed at scale
+    with minimal quality loss. The paper's exact shape: quantize the
+    corpus into k cells, and WITHIN each cell rank members in a
+    deterministic priority order, dropping any member within
+    ``threshold`` of ANY earlier-ranked member — kept or itself
+    dropped (the upper-triangular max-similarity rule, NOT a
+    kept-only scan and NOT transitive-closure grouping: a chain
+    a~b~c with a !~ c drops both b and c). Pairs never cross cells —
+    that is the scheme's scalability contract AND its documented
+    recall limit (a boundary pair split across cells survives; the
+    paper accepts this, unlike :func:`embedding_dedup_ann`'s n_probe
+    recovery — use that operator when cross-cell recall matters more
+    than the keep-order semantics).
+
+    Keep order follows the paper's finding that keeping the examples
+    FARTHEST from the centroid works best: rank within a cell by
+    (centroid_sim ASC, id ASC); a member is dropped iff some
+    lower-rank member is >= ``threshold`` cosine-similar, and
+    ``dup_of`` is the lowest-ranked such earlier member
+    (deterministic, engine-independent under the rounding knobs).
+    Returns ALL rows annotated ``(id, cell, centroid_sim, dup_of,
+    is_kept)`` — the same annotate-don't-filter contract as
+    :func:`~git_log_to_sqlite_spark.operators.dedup.fuzzy_decontaminate`.
+
+    Scale shape: the quantizer is model state
+    (:func:`~git_log_to_sqlite_spark.operators.clustering.
+    kmeans_fit_sample` — O(sample) at any corpus size); cell
+    assignment and both cosines are pure JVM codegen folds; the rank
+    window and the pair join share ONE hash partitioning on the cell
+    id (the window's exchange is reused for the join sides), and
+    candidate mass is sum over cells of |cell|^2/2 — bounded by k,
+    the paper's knob (they run k ~ 11k cells on LAION; size k so the
+    expected cell fits an executor). Degenerate inputs (thousands of
+    EXACT copies) belong to exact dedup first, which groups them in
+    one hash shuffle instead of |cell|^2 cosine pairs. ``round_to``
+    rounds both cosines before comparing/ordering and
+    ``dist_round_to`` selects the cross-engine-stable assignment
+    distance — together they make the whole annotation reproducible
+    by a SQL oracle (the ``sim_ann_ivf_assign`` precedent)."""
+    import math
+
+    from .clustering import assign_clusters
+
+    ranked = assign_clusters(
+        df.select(
+            F.col(id_col).alias("_id"),
+            _as_double(F.col(vec_col)).alias("_v"),
+            vnorm(F.col(vec_col)).alias("_n"),
+        ),
+        "_v",
+        centroids,
+        round_to=dist_round_to,
+    ).withColumnRenamed("cluster", "cell")
+    cen_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cen_norms = F.array(
+        *[F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids]
+    )
+    csim = _dot(F.col("_v"), F.get(cen_arr, F.col("cell"))) / (
+        F.col("_n") * F.get(cen_norms, F.col("cell"))
+    )
+    if round_to is not None:
+        csim = F.round(csim, round_to)
+    ranked = ranked.withColumn("_csim", csim).withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy("cell").orderBy(F.asc("_csim"), F.asc("_id"))
+        ),
+    )
+    a = ranked.select(
+        F.col("cell").alias("_ca"), F.col("_rank").alias("_ra"),
+        F.col("_id").alias("_ia"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = ranked.select(
+        F.col("cell").alias("_cb"), F.col("_rank").alias("_rb"),
+        F.col("_id").alias("_ib"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    drops = (
+        a.join(
+            b,
+            (F.col("_ca") == F.col("_cb")) & (F.col("_ra") < F.col("_rb")),
+        )
+        .filter(sim >= F.lit(threshold))
+        .groupBy(F.col("_ib").alias("_id"))
+        .agg(F.min(F.struct("_ra", "_ia"))["_ia"].alias("dup_of"))
+    )
+    return (
+        ranked.join(drops, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.col("_csim").alias("centroid_sim"),
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("is_kept"),
+        )
+    )
+
+
 class IvfIndex:
     """Persisted IVF index — the build-once / probe-many deployment of
     :func:`ivf_ann_topk`: the fitted corpus (one row per vector:
@@ -385,7 +502,17 @@ class IvfIndex:
         ``max_iter`` full scans for the distributed loop — the FAISS
         IVF training shape, and the difference between an O(sample)
         and an O(corpus x iterations) rebuild at 100 TB. Pass
-        ``fit_sample_size=None`` for the full-corpus Lloyd's fit."""
+        ``fit_sample_size=None`` for the full-corpus Lloyd's fit.
+
+        BEHAVIOR CHANGE (since the bounded-sample fit landed): the
+        default was previously the full-corpus Lloyd's loop, so an
+        unchanged ``build()`` call now fits on a 4096-row
+        deterministic sample and produces DIFFERENT centroids (and
+        slightly different probe recall) than before. The sample is
+        md5-ordered, so the new default is still deterministic across
+        runs; callers needing the exact pre-change centroids opt out
+        with ``fit_sample_size=None``. Also noted in README
+        "Behavior changes"."""
         from .clustering import assign_clusters, kmeans, kmeans_fit_sample
 
         fit = corpus.select(
@@ -462,7 +589,17 @@ class IvfIndex:
         corpus distribution drifts; :meth:`cell_sizes` is the
         observable (a cell absorbing a disproportionate share of
         appends means the Voronoi tessellation no longer fits the
-        data and probe candidate mass is skewing)."""
+        data and probe candidate mass is skewing).
+
+        Every appended vector's dimensionality is validated against
+        the stored quantizer IN the assignment projection (a per-row
+        ``size()`` branch — free next to the k dot products), because
+        ``zip_with`` pads mismatched dims with nulls: a wrong-dim
+        vector would otherwise be assigned by a null-poisoned
+        distance and sit permanently in the wrong cell. A sampled
+        pre-check can't catch a mixed-dim batch; the inline guard
+        fails the job before the parquet commit, so a bad batch
+        leaves the index untouched."""
         if not self.exists():
             raise ValueError(
                 f"no index at {self.path}: build() first — appending to "
@@ -471,14 +608,31 @@ class IvfIndex:
             )
         from .clustering import assign_clusters
 
+        centroids = self.centroids()
+        dim = len(centroids[0])
+        vec = _as_double(F.col(self.vec_col))
+        checked = F.when(F.size(vec) == dim, vec).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("IvfIndex.append: vector dim "),
+                    F.size(vec).cast("string"),
+                    F.lit(
+                        f" != quantizer dim {dim} at {self.path} — "
+                        "wrong-dim vectors would be cell-assigned by "
+                        "null-padded distances; rebuild with build() "
+                        "if the embedding space changed"
+                    ),
+                )
+            )
+        )
         assigned = assign_clusters(
             new_vectors.select(
                 F.col(self.id_col).alias("neighbor_id"),
-                _as_double(F.col(self.vec_col)).alias("_cv"),
+                checked.alias("_cv"),
                 vnorm(F.col(self.vec_col)).alias("_cn"),
             ),
             "_cv",
-            self.centroids(),
+            centroids,
         ).withColumnRenamed("cluster", "cell")
         assigned.write.mode("append").partitionBy("cell").parquet(
             f"{self.path}/index"

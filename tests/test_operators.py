@@ -1091,6 +1091,231 @@ def test_ivf_index_append_grows_without_refit(clustered_vectors, tmp_path):
         empty.append(second)
 
 
+def _ref_semantic_dedup(rows, centroids, threshold):
+    """Brute-force reference of SemDeDup's exact rule: nearest-centroid
+    assignment (squared euclid, ties to the lower index), rank within
+    cell by (centroid_sim ASC, id ASC), drop iff ANY earlier-ranked
+    member is >= threshold cosine-similar, blaming the lowest-ranked
+    such member."""
+    import math
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    cells = {}
+    for i, v in rows:
+        d = min(
+            (sum((x - c) ** 2 for x, c in zip(v, cen)), j)
+            for j, cen in enumerate(centroids)
+        )[1]
+        cells.setdefault(d, []).append((i, v))
+    out = {}
+    for cell, members in cells.items():
+        ranked = sorted(
+            members, key=lambda iv: (cos(iv[1], centroids[cell]), iv[0])
+        )
+        for pos, (i, v) in enumerate(ranked):
+            dup_of = None
+            for j, w in ranked[:pos]:
+                if cos(v, w) >= threshold:
+                    dup_of = j
+                    break
+            out[i] = (cell, dup_of)
+    return out
+
+
+def test_semantic_dedup_matches_brute_force(clustered_vectors):
+    """The distributed annotation equals the reference rule on the
+    planted-cluster corpus, end to end: same cells, same drop set,
+    same blame — and the operator is deterministic across runs."""
+    from git_log_to_sqlite_spark.operators import kmeans_fit_sample, semantic_dedup
+
+    e = clustered_vectors.select("vec_id", "embedding")
+    cents = kmeans_fit_sample(e, "vec_id", "embedding", k=4, max_iter=10,
+                              sample_size=64)
+    rows = [(r["vec_id"], list(r["embedding"])) for r in e.collect()]
+    want = _ref_semantic_dedup(rows, cents, threshold=0.9)
+
+    got = {
+        r["vec_id"]: (r["cell"], r["dup_of"], r["is_kept"])
+        for r in semantic_dedup(e, "vec_id", "embedding", cents,
+                                threshold=0.9).collect()
+    }
+    assert len(got) == len(rows)  # annotate-don't-filter: every row survives
+    for i, (cell, dup_of) in want.items():
+        assert got[i] == (cell, dup_of, int(dup_of is None)), i
+    assert any(v[1] is not None for v in got.values())  # corpus has sem-dups
+
+    again = {
+        r["vec_id"]: (r["cell"], r["dup_of"], r["is_kept"])
+        for r in semantic_dedup(e, "vec_id", "embedding", cents,
+                                threshold=0.9).collect()
+    }
+    assert again == got
+
+
+def test_semantic_dedup_chain_and_cell_scope(spark):
+    """The paper's exact semantics on a planted 2-D corpus: (a) the
+    upper-triangular rule drops a WHOLE chain a~b~c even when a !~ c,
+    each member blaming its lowest-RANKED earlier neighbor (c blames
+    b, not a — no transitive closure to the root, and b being itself
+    dropped does not exempt c); (b) keep order is farthest-from-
+    centroid-first (a, the farthest, is the survivor); (c) pairs
+    never cross cells — an exact copy of a in the OTHER cell is
+    kept (the documented recall limit)."""
+    import math
+
+    from git_log_to_sqlite_spark.operators import semantic_dedup
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    rows = [
+        (1, at(20)),                      # cell 0, rank 1 (farthest)
+        (2, at(10)),                      # ~ id 1 (cos10 ~ .985)
+        (3, at(0)),                       # ~ id 2, but NOT ~ id 1 (cos20 ~ .94)
+        (4, [-v for v in at(20)]),        # cell 1: mirror of id 1, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cell"], r["dup_of"], r["is_kept"])
+        for r in semantic_dedup(df, "vec_id", "embedding", cents,
+                                threshold=0.98).collect()
+    }
+    assert got[1] == (0, None, 1)
+    assert got[2] == (0, 1, 0)
+    assert got[3] == (0, 2, 0)  # blames b (nearest earlier), not the root
+    assert got[4] == (1, None, 1)  # cross-cell twin survives by design
+
+
+def test_semantic_dedup_matches_duckdb_twin(spark, oracle_sf_dir):
+    """Cross-engine determinism of the FULL SemDeDup annotation under
+    the rounding knobs (round_to=6, dist_round_to=6) with pinned
+    centroids — the sim_ann_ivf_assign evidence shape, pre-staging
+    this operator's round-12 driver-gate row: cell assignment uses
+    the rounded dot-identity distance, both cosines round to 6 dp
+    before every comparison and ordering, so DuckDB reproduces cells,
+    centroid_sim, the whole drop set, and every blame id exactly.
+    Threshold 0.3 because the synthetic embeddings are near-random
+    (top cos ~0.3): a semantic threshold would drop nothing and the
+    test would pass vacuously — asserted non-vacuous below."""
+    import math
+
+    from git_log_to_sqlite_spark.operators import semantic_dedup
+
+    from .oracle_harness import compare, duck_connection
+
+    cent_ids = (3, 11, 19, 27)
+    thr = 0.3
+    cos6 = (
+        "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        "  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    csim6 = (
+        "ROUND(list_dot_product(e.embedding::DOUBLE[], c.c)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        "  * sqrt(list_dot_product(c.c, c.c))), 6)"
+    )
+    sql = f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id IN {cent_ids}),
+    sqd AS (
+      SELECT e.vec_id, c.cell,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], c.c)
+                   + list_dot_product(c.c, c.c), 6) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rnk
+        FROM sqd) t WHERE rnk = 1),
+    ranked AS (
+      SELECT a.vec_id, a.cell, {csim6} AS csim,
+             ROW_NUMBER() OVER (PARTITION BY a.cell
+                                ORDER BY {csim6} ASC, a.vec_id ASC) AS rnk
+      FROM asg a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN cents c ON c.cell = a.cell),
+    drops AS (
+      SELECT rb.vec_id, MIN(ra.rnk) AS _r
+      FROM ranked ra JOIN ranked rb
+        ON ra.cell = rb.cell AND ra.rnk < rb.rnk
+      JOIN embeddings a ON a.vec_id = ra.vec_id
+      JOIN embeddings b ON b.vec_id = rb.vec_id
+      WHERE {cos6} >= {thr}
+      GROUP BY rb.vec_id),
+    blame AS (
+      SELECT d.vec_id, r.vec_id AS dup_of
+      FROM drops d JOIN ranked rd ON rd.vec_id = d.vec_id
+      JOIN ranked r ON r.cell = rd.cell AND r.rnk = d._r)
+    SELECT r.vec_id, r.cell, r.csim AS centroid_sim, b.dup_of,
+           CAST(b.dup_of IS NULL AS INT) AS is_kept
+    FROM ranked r LEFT JOIN blame b USING (vec_id)
+    """
+    e = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet")
+    cent_rows = (
+        e.filter(F.col("vec_id").isin(*cent_ids)).orderBy("vec_id").collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    df = semantic_dedup(e, "vec_id", "embedding", cents, threshold=thr,
+                        round_to=6, dist_round_to=6)
+    con = duck_connection(oracle_sf_dir)
+    try:
+        ok, msg = compare(df, con, sql, name="semantic_dedup_twin")
+        assert ok, msg
+    finally:
+        con.close()
+    assert df.filter(F.col("is_kept") == 0).count() > 0  # non-vacuous
+
+
+def test_ivf_append_rejects_wrong_dim(clustered_vectors, tmp_path):
+    """append validates EVERY vector's dimensionality against the
+    stored quantizer inside the assignment projection: zip_with pads
+    mismatched dims with nulls, so an unchecked wrong-dim vector
+    would be cell-assigned by a null-poisoned distance and corrupt
+    the index permanently. The guard is per-row (a sampled pre-check
+    passes a mixed batch whose FIRST row is fine), and a failed
+    append must leave the index untouched — the job aborts before
+    the parquet commit."""
+    from git_log_to_sqlite_spark.operators import IvfIndex
+
+    e = clustered_vectors.select("vec_id", "embedding")
+    spark = e.sparkSession
+    idx = IvfIndex(spark, str(tmp_path / "ivf_dim"))
+    idx.build(e, k=4, max_iter=5, fit_sample_size=64)
+    before = {r["cell"]: r["n_vectors"] for r in idx.cell_sizes().collect()}
+    dim = len(idx.centroids()[0])
+
+    # mixed batch: first row valid, second row one dim short — the
+    # case a sampled first()-check waves through
+    mixed = spark.createDataFrame(
+        [
+            (100001, [0.5] * dim),
+            (100002, [0.5] * (dim - 1)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="quantizer dim"):
+        idx.append(mixed)
+    after = {r["cell"]: r["n_vectors"] for r in idx.cell_sizes().collect()}
+    assert after == before  # failed append committed nothing
+
+    # the valid-only batch still appends
+    idx.append(mixed.filter(F.size("embedding") == dim))
+    assert sum(
+        r["n_vectors"] for r in idx.cell_sizes().collect()
+    ) == sum(before.values()) + 1
+
+
 def test_ann_probe_chunking_is_exact(clustered_vectors, tmp_path):
     """The documented escape hatch of the probe-side broadcast HARD
     CONTRACT (IvfIndex.probe / bucketed_ann_topk force-broadcast the
