@@ -143,7 +143,13 @@ def main() -> None:
                  # Hamming pair stage)
                  "dedup_substring_groups", "dedup_minhash_groups",
                  "mm_image_near_dup", "mm_video_near_dup",
-                 "mm_audio_near_dup"):
+                 "mm_audio_near_dup",
+                 # round-11 additions: the four new gate rows — the
+                 # sequence-modality pair stages (frame-dHash scenes,
+                 # sub-fingerprint segments), the simhash-distance
+                 # decontamination, and the cross-modal probe lookup
+                 "mm_video_scene_pairs", "mm_audio_segment_pairs",
+                 "mm_fuzzy_decontaminate", "mm_image_in_video"):
         try:
             runs = []
             for _ in range(3):
