@@ -1508,11 +1508,15 @@ def fuzzy_decontaminate(
         F.min("hamming").alias("best_hamming"),
     )
     matched = F.coalesce(F.col("matched_evals"), F.lit(0).cast("long"))
-    # the annotation spine reuses the PINNED signature frame rather
-    # than re-scanning `train` — a column-pruned id-only scan is
-    # cheap, but at 100 TB it is still one avoidable corpus pass
+    # the annotation spine is `train` itself, NOT the pinned sig_t:
+    # simhash emits no row for a token-less document (NULL/empty
+    # text), and collapses duplicate ids, so a sig_t spine would
+    # silently DROP those train rows from the annotation — breaking
+    # the all-train-rows-survive contract (and the DuckDB twin, whose
+    # spine is the documents table). The id-only scan is column-
+    # pruned; that one cheap pass is the price of the contract.
     return (
-        sig_t.select(F.col("_train_id").alias(id_col))
+        train.select(id_col)
         .join(hits.withColumnRenamed("_train_id", id_col), id_col, "left")
         .select(
             id_col,

@@ -387,8 +387,16 @@ def semantic_dedup(
     window and the pair join share ONE hash partitioning on the cell
     id (the window's exchange is reused for the join sides), and
     candidate mass is sum over cells of |cell|^2/2 — bounded by k,
-    the paper's knob (they run k ~ 11k cells on LAION; size k so the
-    expected cell fits an executor). Degenerate inputs (thousands of
+    the paper's knob. HONEST k LIMIT of this implementation: like
+    every centroids-as-literals operator here (``assign_clusters``,
+    ``ivf_ann_topk``), the assignment inlines k x dims literals into
+    the plan (twice: the distance structs and the centroid_sim
+    lookup), which is the right trade up to a few hundred cells and
+    the WRONG one at the paper's LAION scale (k ~ 11k x 768 dims
+    would put ~17M literal nodes through the analyzer) — at that
+    scale, assign via a broadcast centroid TABLE (min_by over a
+    k-fold join, one broadcast exchange) before the same rank/drop
+    tail. Degenerate inputs (thousands of
     EXACT copies) belong to exact dedup first, which groups them in
     one hash shuffle instead of |cell|^2 cosine pairs. ``round_to``
     rounds both cosines before comparing/ordering and
@@ -415,9 +423,15 @@ def semantic_dedup(
     cen_norms = F.array(
         *[F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids]
     )
-    csim = _dot(F.col("_v"), F.get(cen_arr, F.col("cell"))) / (
-        F.col("_n") * F.get(cen_norms, F.col("cell"))
-    )
+    # zero-norm guard #1: a zero vector (failed encoder, empty input)
+    # would make this 0/0 — a hard DIVIDE_BY_ZERO under ANSI mode.
+    # NaN-out its centroid_sim instead: NaN sorts GREATEST, so zero
+    # vectors deterministically rank LAST in their cell (ties by id).
+    cden = F.col("_n") * F.get(cen_norms, F.col("cell"))
+    csim = F.when(
+        cden > 0,
+        _dot(F.col("_v"), F.get(cen_arr, F.col("cell"))) / cden,
+    ).otherwise(F.lit(float("nan")))
     if round_to is not None:
         csim = F.round(csim, round_to)
     ranked = ranked.withColumn("_csim", csim).withColumn(
@@ -436,7 +450,18 @@ def semantic_dedup(
         F.col("_id").alias("_ib"), F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
-    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # zero-norm guard #2: a pair cosine involving a zero vector would
+    # be 0/0 — DIVIDE_BY_ZERO under ANSI, and under non-ANSI a NaN
+    # that Spark compares LARGER than any number, which would mark
+    # every zero vector a "duplicate" of an arbitrary unrelated
+    # cell-mate. A zero-norm pair carries no similarity evidence, so
+    # it scores -inf: zero vectors are never dropped and never blamed
+    # (identical zero vectors belong to exact dedup, which groups
+    # them in one hash shuffle).
+    pden = F.col("_na") * F.col("_nb")
+    sim = F.when(
+        pden > 0, _dot(F.col("_va"), F.col("_vb")) / pden
+    ).otherwise(F.lit(float("-inf")))
     if round_to is not None:
         sim = F.round(sim, round_to)
     drops = (
@@ -591,15 +616,16 @@ class IvfIndex:
         appends means the Voronoi tessellation no longer fits the
         data and probe candidate mass is skewing).
 
-        Every appended vector's dimensionality is validated against
-        the stored quantizer IN the assignment projection (a per-row
-        ``size()`` branch — free next to the k dot products), because
-        ``zip_with`` pads mismatched dims with nulls: a wrong-dim
-        vector would otherwise be assigned by a null-poisoned
-        distance and sit permanently in the wrong cell. A sampled
-        pre-check can't catch a mixed-dim batch; the inline guard
-        fails the job before the parquet commit, so a bad batch
-        leaves the index untouched."""
+        Every appended vector is validated against the stored
+        quantizer IN the assignment projection (a per-row
+        non-null-element count vs the quantizer dim — free next to
+        the k dot products), because ``zip_with`` pads mismatched
+        dims with nulls AND propagates null elements: a wrong-dim or
+        null-element vector would otherwise be assigned by a
+        null-poisoned distance and sit permanently in the wrong
+        cell. A sampled pre-check can't catch a mixed batch; the
+        inline guard fails the job before the parquet commit, so a
+        bad batch leaves the index untouched."""
         if not self.exists():
             raise ValueError(
                 f"no index at {self.path}: build() first — appending to "
@@ -611,16 +637,26 @@ class IvfIndex:
         centroids = self.centroids()
         dim = len(centroids[0])
         vec = _as_double(F.col(self.vec_col))
-        checked = F.when(F.size(vec) == dim, vec).otherwise(
+        # size(filter(not-null)) == dim rejects BOTH a wrong-length
+        # vector and a right-length one carrying NULL elements (an
+        # upstream outer join's classic residue) — either would
+        # null-poison the zip_with distances into a meaningless cell
+        ok = F.size(F.filter(vec, lambda x: x.isNotNull())) == dim
+        checked = F.when(ok, vec).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("IvfIndex.append: vector dim "),
                     F.size(vec).cast("string"),
+                    F.lit(" (non-null "),
+                    F.size(F.filter(vec, lambda x: x.isNotNull())).cast(
+                        "string"
+                    ),
                     F.lit(
-                        f" != quantizer dim {dim} at {self.path} — "
-                        "wrong-dim vectors would be cell-assigned by "
-                        "null-padded distances; rebuild with build() "
-                        "if the embedding space changed"
+                        f") != quantizer dim {dim} at {self.path} — "
+                        "wrong-dim or null-element vectors would be "
+                        "cell-assigned by null-poisoned distances; "
+                        "rebuild with build() if the embedding space "
+                        "changed"
                     ),
                 )
             )

@@ -100,8 +100,8 @@ _prioritize(
         "udf_map_in_pandas",
         "udf_table_function",
         "udf_native_udtf",
-        # --- round-9-gated block, CORRECTNESS_r09 key order (32 of
-        #     50 names; the eighteen deterministic scalar/window/agg
+        # --- round-9-gated block, CORRECTNESS_r09 key order (31 of
+        #     50 names; the nineteen deterministic scalar/window/agg
         #     rows listed after the prefix spill to round 12) ---
         "dedup_substring_spans",
         "dedup_substring_groups",

@@ -1205,15 +1205,7 @@ def _mm_audio_segment_oracle(
     oracle joins on the word TUPLE where Spark joins on
     ``xxhash64`` of it — identical pair sets absent a 64-bit hash
     collision, the same equivalence every substring twin relies on."""
-    from fractions import Fraction as _Frac
-
-    frac = _Frac(str(q))
-    cap = f"""
-      SELECT MIN(d) AS max_df FROM (
-        SELECT d, SUM(n_sh) OVER (ORDER BY d) AS cum,
-               SUM(n_sh) OVER () AS tot
-        FROM (SELECT d, COUNT(*) AS n_sh FROM sfreq WHERE d >= 2 GROUP BY d) h) c
-      WHERE cum * {frac.denominator} >= {frac.numerator} * tot"""
+    cap = _sql_quantile_cap("sfreq", q)
     en_cols = []
     for b in range(bands):
         st = f"({b} * step)"

@@ -1193,6 +1193,40 @@ def test_semantic_dedup_chain_and_cell_scope(spark):
     assert got[4] == (1, None, 1)  # cross-cell twin survives by design
 
 
+def test_semantic_dedup_zero_norm_never_dropped(spark):
+    """A zero-norm vector (failed encoder, empty input) makes every
+    cosine involving it 0/0 = NaN, and Spark compares NaN LARGER than
+    any number — unguarded, `sim >= threshold` would mark the zero
+    vector a 'duplicate' of an arbitrary cell-mate. The nanvl guard
+    must keep zero vectors (never dropped, never blamed, ranked last)
+    while leaving real duplicates' annotations untouched."""
+    import math
+
+    from git_log_to_sqlite_spark.operators import semantic_dedup
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    rows = [
+        (1, at(20)),
+        (2, at(10)),            # genuine dup of 1 at threshold .98
+        (3, [0.0, 0.0]),        # zero norm -> all its cosines NaN
+        (4, [0.0, 0.0]),        # second zero vector: also kept (NaN pair)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["dup_of"], r["is_kept"])
+        for r in semantic_dedup(df, "vec_id", "embedding", cents,
+                                threshold=0.98).collect()
+    }
+    assert got[1] == (None, 1)
+    assert got[2] == (1, 0)        # the real dup still drops
+    assert got[3] == (None, 1)     # zero vectors are never semantic dups
+    assert got[4] == (None, 1)     # ...even of each other (exact dedup's job)
+
+
 def test_semantic_dedup_matches_duckdb_twin(spark, oracle_sf_dir):
     """Cross-engine determinism of the FULL SemDeDup annotation under
     the rounding knobs (round_to=6, dist_round_to=6) with pinned
@@ -1308,6 +1342,19 @@ def test_ivf_append_rejects_wrong_dim(clustered_vectors, tmp_path):
         idx.append(mixed)
     after = {r["cell"]: r["n_vectors"] for r in idx.cell_sizes().collect()}
     assert after == before  # failed append committed nothing
+
+    # right LENGTH but a NULL element — zip_with would null-poison the
+    # distance and array_min would pick a meaningless cell; the guard
+    # counts NON-NULL elements, so this must also fail pre-commit
+    nullelem = spark.createDataFrame(
+        [(100003, [0.5] * (dim - 1) + [None])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="quantizer dim"):
+        idx.append(nullelem)
+    assert {
+        r["cell"]: r["n_vectors"] for r in idx.cell_sizes().collect()
+    } == before
 
     # the valid-only batch still appends
     idx.append(mixed.filter(F.size("embedding") == dim))
@@ -2359,6 +2406,9 @@ def test_fuzzy_decontaminate_flags_near_dup_leakage(spark):
         (2, evals[1][1] + " today"),                         # light perturbation
         (3, "a completely different document about spark partitioning"),
         (4, "another unrelated text concerning shuffle exchanges and joins"),
+        (5, None),  # token-less row: simhash emits NO signature for it,
+        # so a signature-frame annotation spine would silently drop it —
+        # the train table itself must be the spine
     ]
     tdf = spark.createDataFrame(train, "doc_id long, text string")
     edf = spark.createDataFrame(evals, "doc_id long, text string")
@@ -2370,7 +2420,8 @@ def test_fuzzy_decontaminate_flags_near_dup_leakage(spark):
         ).collect()
     }
     release_caches()
-    assert set(got) == {1, 2, 3, 4}  # every train row annotated
+    assert set(got) == {1, 2, 3, 4, 5}  # every train row annotated
+    assert got[5] == (0, None, 0)  # NULL text: clean, still present
 
     # brute-force reference over the same signatures
     tsig = {r["doc_id"]: r["simhash"]
