@@ -10,7 +10,12 @@ decode, merge_asof fallback).
 
 from .asof import asof_join
 from .caching import cache_scope, pin, release_caches
-from .clustering import assign_clusters, kmeans, kmeans_fit_sample
+from .clustering import (
+    assign_clusters,
+    assign_clusters_table,
+    kmeans,
+    kmeans_fit_sample,
+)
 from .graph import assign_dedup_groups, connected_components
 from .ordered import ordered_row_number, ordered_running_sum
 from .sampling import domain_mix, token_budget_sample, weighted_reservoir
@@ -94,6 +99,7 @@ __all__ = [
     "pin",
     "release_caches",
     "assign_clusters",
+    "assign_clusters_table",
     "assign_dedup_groups",
     "kmeans",
     "kmeans_fit_sample",

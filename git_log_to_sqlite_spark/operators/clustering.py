@@ -77,6 +77,65 @@ def assign_clusters(
     return df.withColumn("cluster", F.array_min(choices)["c"])
 
 
+def assign_clusters_table(
+    df: DataFrame,
+    vec_col: str,
+    centroids_df: DataFrame,
+    round_to: int | None = None,
+) -> DataFrame:
+    """:func:`assign_clusters` with the centroids as DATA instead of
+    plan literals — the large-k form. The literal version inlines
+    k x dims literal nodes into the plan (the right trade up to a few
+    hundred cells: pure codegen, zero joins), but at quantizer scales
+    like SemDeDup's LAION setting (k ~ 11k x 768 dims) that is ~17M
+    expression nodes through the analyzer — the plan, not the data,
+    becomes the bottleneck. Here the centroids collapse to ONE row
+    holding a cell-ordered ``array<struct<c, cen>>`` (k x dims
+    doubles of DATA — megabytes), broadcast via a 1-row cross join,
+    and the argmin runs as a higher-order ``transform`` +
+    ``array_min`` over that array column: the same per-row arithmetic
+    and the IDENTICAL tie-break (struct comparison on (distance,
+    cell), ties to the lower cell id), with O(1) analyzer cost at any
+    k and no shuffle (the broadcast is one row; the corpus never
+    moves).
+
+    ``centroids_df`` is ``(cell int, centroid array<double>)`` with
+    cells 0..k-1 (:class:`~git_log_to_sqlite_spark.operators.
+    similarity.IvfIndex` stores exactly this table). ``round_to``
+    selects the same cross-engine-stable rounded dot-identity
+    distance as the literal form, so the two forms are asserted
+    EQUAL — not just similar — in tests, both modes."""
+    cens = centroids_df.select(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cell").alias("c"), F.col("centroid").alias("cen"))
+            )
+        ).alias("_cens")
+    )
+    v = F.col(vec_col)
+    dot = lambda x, y: F.aggregate(  # noqa: E731 — _sq_dist's exact fold
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+    )
+    if round_to is None:
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        dist = lambda c: F.round(  # noqa: E731
+            dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c), round_to
+        )
+    choices = F.transform(
+        F.col("_cens"), lambda s: F.struct(dist(s["cen"]).alias("d"), s["c"].alias("c"))
+    )
+    return (
+        df.crossJoin(F.broadcast(cens))
+        .withColumn("cluster", F.array_min(choices)["c"])
+        .drop("_cens")
+    )
+
+
 def kmeans(
     df: DataFrame,
     id_col: str,

@@ -347,7 +347,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    centroids: list[list[float]],
+    centroids: "list[list[float]] | DataFrame",
     threshold: float = 0.95,
     round_to: int | None = None,
     dist_round_to: int | None = None,
@@ -387,16 +387,17 @@ def semantic_dedup(
     window and the pair join share ONE hash partitioning on the cell
     id (the window's exchange is reused for the join sides), and
     candidate mass is sum over cells of |cell|^2/2 — bounded by k,
-    the paper's knob. HONEST k LIMIT of this implementation: like
-    every centroids-as-literals operator here (``assign_clusters``,
-    ``ivf_ann_topk``), the assignment inlines k x dims literals into
-    the plan (twice: the distance structs and the centroid_sim
-    lookup), which is the right trade up to a few hundred cells and
-    the WRONG one at the paper's LAION scale (k ~ 11k x 768 dims
-    would put ~17M literal nodes through the analyzer) — at that
-    scale, assign via a broadcast centroid TABLE (min_by over a
-    k-fold join, one broadcast exchange) before the same rank/drop
-    tail. Degenerate inputs (thousands of
+    the paper's knob. ``centroids`` takes EITHER a Python list (the
+    model-state literal form shared with ``assign_clusters`` /
+    ``ivf_ann_topk`` — the right trade up to a few hundred cells;
+    beyond that, k x dims literal nodes choke the analyzer, not the
+    executors) OR a ``(cell, centroid)`` DataFrame (the large-k form
+    the paper's LAION setting needs — k ~ 11k x 768 dims: assignment
+    via :func:`~git_log_to_sqlite_spark.operators.clustering.
+    assign_clusters_table`'s one-row broadcast array, centroid_sim
+    via a broadcast hash join to the k-row table; identical
+    arithmetic and tie-breaks, asserted equal in tests; ``IvfIndex``
+    stores exactly this table). Degenerate inputs (thousands of
     EXACT copies) belong to exact dedup first, which groups them in
     one hash shuffle instead of |cell|^2 cosine pairs. ``round_to``
     rounds both cosines before comparing/ordering and
@@ -405,33 +406,46 @@ def semantic_dedup(
     by a SQL oracle (the ``sim_ann_ivf_assign`` precedent)."""
     import math
 
-    from .clustering import assign_clusters
+    from .clustering import assign_clusters, assign_clusters_table
 
-    ranked = assign_clusters(
-        df.select(
-            F.col(id_col).alias("_id"),
-            _as_double(F.col(vec_col)).alias("_v"),
-            vnorm(F.col(vec_col)).alias("_n"),
-        ),
-        "_v",
-        centroids,
-        round_to=dist_round_to,
-    ).withColumnRenamed("cluster", "cell")
-    cen_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        vnorm(F.col(vec_col)).alias("_n"),
     )
-    cen_norms = F.array(
-        *[F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids]
-    )
+    if isinstance(centroids, DataFrame):
+        # large-k path: centroids as DATA (see assign_clusters_table)
+        # — assignment via the one-row broadcast array, centroid_sim
+        # via a broadcast hash join back to the k-row table. Same
+        # arithmetic, O(1) analyzer cost at any k.
+        ranked = assign_clusters_table(
+            base, "_v", centroids, round_to=dist_round_to
+        ).withColumnRenamed("cluster", "cell")
+        cenj = centroids.select(
+            "cell",
+            F.col("centroid").alias("_cen"),
+            F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("_cen_n"),
+        )
+        ranked = ranked.join(F.broadcast(cenj), "cell")
+        cden = F.col("_n") * F.col("_cen_n")
+        cnum = _dot(F.col("_v"), F.col("_cen"))
+    else:
+        ranked = assign_clusters(
+            base, "_v", centroids, round_to=dist_round_to
+        ).withColumnRenamed("cluster", "cell")
+        cen_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        cen_norms = F.array(
+            *[F.lit(math.sqrt(sum(x * x for x in c))) for c in centroids]
+        )
+        cden = F.col("_n") * F.get(cen_norms, F.col("cell"))
+        cnum = _dot(F.col("_v"), F.get(cen_arr, F.col("cell")))
     # zero-norm guard #1: a zero vector (failed encoder, empty input)
     # would make this 0/0 — a hard DIVIDE_BY_ZERO under ANSI mode.
     # NaN-out its centroid_sim instead: NaN sorts GREATEST, so zero
     # vectors deterministically rank LAST in their cell (ties by id).
-    cden = F.col("_n") * F.get(cen_norms, F.col("cell"))
-    csim = F.when(
-        cden > 0,
-        _dot(F.col("_v"), F.get(cen_arr, F.col("cell"))) / cden,
-    ).otherwise(F.lit(float("nan")))
+    csim = F.when(cden > 0, cnum / cden).otherwise(F.lit(float("nan")))
     if round_to is not None:
         csim = F.round(csim, round_to)
     ranked = ranked.withColumn("_csim", csim).withColumn(

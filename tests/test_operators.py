@@ -1193,6 +1193,84 @@ def test_semantic_dedup_chain_and_cell_scope(spark):
     assert got[4] == (1, None, 1)  # cross-cell twin survives by design
 
 
+def test_assign_clusters_table_equals_literal_form(clustered_vectors):
+    """The large-k assignment (centroids as a broadcast one-row DATA
+    array) must equal the literal-plan form EXACTLY — same distances,
+    same (distance, cell) struct tie-break — in both the direct-fold
+    and the rounded dot-identity modes; and it must add no shuffle:
+    the corpus never moves (the only non-broadcast exchanges are the
+    k-row centroid side's SinglePartition collapse into the one-row
+    array — O(k), not O(corpus); no hash/range partitioning of the
+    corpus appears)."""
+    from git_log_to_sqlite_spark.operators import (
+        assign_clusters,
+        assign_clusters_table,
+        kmeans_fit_sample,
+    )
+
+    e = clustered_vectors.select("vec_id", "embedding")
+    spark = e.sparkSession
+    cents = kmeans_fit_sample(e, "vec_id", "embedding", k=4, max_iter=10,
+                              sample_size=64)
+    cdf = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    for rt in (None, 6):
+        want = {
+            (r["vec_id"], r["cluster"])
+            for r in assign_clusters(e, "embedding", cents,
+                                     round_to=rt).collect()
+        }
+        got_df = assign_clusters_table(e, "embedding", cdf, round_to=rt)
+        got = {(r["vec_id"], r["cluster"]) for r in got_df.collect()}
+        assert got == want and len({c for _, c in got}) == 4
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    corpus_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        or "Exchange rangepartitioning" in ln
+        or "RoundRobin" in ln
+    ]
+    assert corpus_shuffles == [], corpus_shuffles
+
+
+def test_semantic_dedup_table_centroids_equal_literal(clustered_vectors):
+    """semantic_dedup with a (cell, centroid) DataFrame (the large-k
+    path: one-row broadcast assignment + broadcast join for
+    centroid_sim) must produce the IDENTICAL annotation — including
+    bit-identical centroid_sim, whose norms come from a Python
+    math.sqrt in the literal path and a JVM sqrt-fold in the table
+    path (same IEEE left-fold, so no ulp can diverge) — with and
+    without the rounding knobs."""
+    from git_log_to_sqlite_spark.operators import (
+        kmeans_fit_sample,
+        semantic_dedup,
+    )
+
+    e = clustered_vectors.select("vec_id", "embedding")
+    spark = e.sparkSession
+    cents = kmeans_fit_sample(e, "vec_id", "embedding", k=4, max_iter=10,
+                              sample_size=64)
+    cdf = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    for kw in ({}, {"round_to": 6, "dist_round_to": 6}):
+        want = {
+            tuple(r)
+            for r in semantic_dedup(e, "vec_id", "embedding", cents,
+                                    threshold=0.9, **kw).collect()
+        }
+        got = {
+            tuple(r)
+            for r in semantic_dedup(e, "vec_id", "embedding", cdf,
+                                    threshold=0.9, **kw).collect()
+        }
+        assert got == want and len(got) == e.count()
+
+
 def test_semantic_dedup_zero_norm_never_dropped(spark):
     """A zero-norm vector (failed encoder, empty input) makes every
     cosine involving it 0/0 = NaN, and Spark compares NaN LARGER than
