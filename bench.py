@@ -213,6 +213,44 @@ def main() -> None:
         spark.catalog.clearCache()
         shutil.rmtree(ivf_dir, ignore_errors=True)
 
+    # SemDeDup annotate stage (round-11 operator): not yet a registry
+    # query (gated round 12 as sem_dedup_assign) — timed directly with
+    # a prefit quantizer, the steady-state shape: the bounded-sample
+    # fit is a once-per-rebuild cost already tracked by
+    # ivf_index_build; the annotate (assignment + rank window +
+    # cell-local pair join) is what a curation pipeline pays per run.
+    try:
+        from git_log_to_sqlite_spark.operators import (
+            kmeans_fit_sample,
+            semantic_dedup,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = kmeans_fit_sample(emb, "vec_id", "embedding", k=8,
+                                  max_iter=5, sample_size=1024)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            semantic_dedup(emb, "vec_id", "embedding", cents,
+                           threshold=0.3).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extra["semantic_dedup_annotate"] = round(min(runs), 3)
+        print(
+            f"  [extra] semantic_dedup_annotate: "
+            f"{extra['semantic_dedup_annotate']:.3f}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 — extras never gate
+        extra_errors["semantic_dedup"] = _fmt_exc(exc)
+        print(
+            f"  [extra] semantic_dedup: FAILED ({extra_errors['semantic_dedup']})",
+            file=sys.stderr,
+        )
+    finally:
+        spark.catalog.clearCache()
+
     calibration_post = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
