@@ -448,11 +448,24 @@ def semantic_dedup(
     csim = F.when(cden > 0, cnum / cden).otherwise(F.lit(float("nan")))
     if round_to is not None:
         csim = F.round(csim, round_to)
-    ranked = ranked.withColumn("_csim", csim).withColumn(
-        "_rank",
-        F.row_number().over(
-            Window.partitionBy("cell").orderBy(F.asc("_csim"), F.asc("_id"))
-        ),
+    from .caching import pin
+
+    # pinned: the ranked frame feeds BOTH self-join sides and the
+    # annotation spine, and column pruning gives the three branches
+    # different ReadSchemas — structurally different subtrees, so
+    # ReuseExchange never fires and the scan -> assignment (k distance
+    # folds) -> cosine -> window tree would execute three times
+    # (measured: 3 parquet scans, 2 window executions, 0 reuses at
+    # the bench SF; ~2x wall clock). One row per vector (id, vector,
+    # norm, cell, csim, rank) — input-proportional, the same trade as
+    # every pair-stage pin in this repo.
+    ranked = pin(
+        ranked.withColumn("_csim", csim).withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(F.asc("_csim"), F.asc("_id"))
+            ),
+        )
     )
     a = ranked.select(
         F.col("cell").alias("_ca"), F.col("_rank").alias("_ra"),
