@@ -795,3 +795,220 @@ def bucketed_ann_topk(
         c, (F.col("_qb") == F.col("_cb")) & (F.col("query_id") != F.col("neighbor_id"))
     )
     return _topk(joined, sim, k, round_to)
+
+
+class SemanticStore:
+    """Persisted KEPT-set for incremental SemDeDup — the embedding
+    modality's daily-ingest store, completing the per-modality family
+    (:class:`~git_log_to_sqlite_spark.operators.dedup.SignatureStore`
+    for minhash, ``WindowStore`` for substring windows,
+    ``HammingStore`` for <= 60-bit signatures, :class:`IvfIndex` for
+    ANN): the kept corpus's ``(id, vector, norm, cell)`` table lives
+    as parquet PARTITIONED BY CELL beside the quantizer's centroid
+    table, each day's batch is annotated against it, and only the
+    batch's novel (kept) rows append — history is never re-embedded,
+    re-assigned, or self-joined, so daily growth costs O(increment x
+    probed-cell mass).
+
+    Priority semantics — the family's first-seen-wins contract, which
+    REPLACES batch-mode :func:`semantic_dedup`'s global
+    centroid_sim rank (an arrival-order priority is the only one an
+    append-only store can honor; the same documented divergence as
+    ``incremental_minhash_dedup`` vs global minhash):
+
+    * a batch row within ``threshold`` of a STORED kept row drops,
+      blaming the most-similar stored row (ties to the smaller id —
+      min over (-sim, id) structs, deterministic);
+    * otherwise the batch-INTERNAL upper-triangular rule applies
+      (:func:`semantic_dedup` on the batch under the stored
+      quantizer): a row similar to an earlier-ranked batch row drops
+      blaming it — even when that earlier row itself dropped against
+      history (the kept-or-itself-dropped rule, so a batch that
+      arrives with its own near-copies of a historical item resolves
+      them all in one ingest);
+    * history blame WINS when both apply.
+
+    Flagged rows' vectors are never appended; like every sibling
+    store, the returned annotation is checkpointed BEFORE the append
+    so it can never lazily re-read the store post-append."""
+
+    _bootstrap_hint = "bootstrap(corpus, centroids)"
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.95,
+        round_to: int | None = None,
+        dist_round_to: int | None = None,
+    ) -> None:
+        from .dedup import _ParquetStore  # noqa: F401 — shared probe below
+
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.round_to = round_to
+        self.dist_round_to = dist_round_to
+
+    # -- persistence machinery (the _ParquetStore contract, pointed at
+    #    the kept table; centroids live beside it) -------------------
+    def exists(self) -> bool:
+        """Missing-path-only False, any other failure propagates —
+        the family's fail-fast-don't-advise-overwrite contract."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            self.spark.read.parquet(f"{self.path}/kept").schema
+            return True
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return False
+            raise
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/kept")
+
+    def centroids_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/centroids")
+
+    def _require_bootstrapped(self) -> None:
+        if not self.exists():
+            raise FileNotFoundError(
+                f"SemanticStore at {self.path!r} has no table yet; call "
+                f"{self._bootstrap_hint} once before the first ingest()"
+            )
+
+    def bootstrap(
+        self, corpus: DataFrame, centroids: "list[list[float]] | DataFrame"
+    ) -> None:
+        """Initialize (overwrite) the store: run batch
+        :func:`semantic_dedup` on ``corpus`` under ``centroids`` (the
+        fitted quantizer — list or ``(cell, centroid)`` table) and
+        persist the KEPT rows' ``(id, vector, norm, cell)`` plus the
+        centroid table. The bootstrap corpus itself gets the paper's
+        centroid-rank priority; arrival order takes over from the
+        first ingest."""
+        if not isinstance(centroids, DataFrame):
+            cdf = self.spark.createDataFrame(
+                [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+                "cell int, centroid array<double>",
+            ).repartition(1)
+        else:
+            cdf = centroids
+        cdf.write.mode("overwrite").parquet(f"{self.path}/centroids")
+        cents = self.centroids_df()
+        ann = semantic_dedup(
+            corpus, self.id_col, self.vec_col, cents,
+            threshold=self.threshold, round_to=self.round_to,
+            dist_round_to=self.dist_round_to,
+        )
+        kept = ann.filter(F.col("is_kept") == 1).select(self.id_col, "cell")
+        (
+            corpus.select(
+                self.id_col,
+                _as_double(F.col(self.vec_col)).alias("_v"),
+                vnorm(F.col(self.vec_col)).alias("_n"),
+            )
+            .join(kept, self.id_col)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{self.path}/kept")
+        )
+
+    def ingest(self, batch: DataFrame) -> DataFrame:
+        """Annotate ``batch`` against the store and append its kept
+        rows. Returns the materialized ``(id, cell, centroid_sim,
+        dup_of, dup_source, is_kept)`` — ``dup_source`` is 'history'
+        or 'batch' (NULL when kept), the audit column telling a
+        curation pipeline whether a drop was cross-day or intra-day.
+
+        Plan shape: the batch (daily increment, small) is assigned by
+        the stored quantizer and FORCE-broadcast into the kept
+        table's cell-partitioned scan — candidate mass is
+        sum over probed cells of |batch cells| x |kept cell|, the
+        store never self-joins, and unprobed cell partitions prune
+        out of the scan. Cache hygiene mirrors every sibling ingest:
+        internal pins live in a cache_scope, the annotation is
+        checkpointed before the append."""
+        from .caching import cache_scope, pin
+
+        self._require_bootstrapped()
+        with cache_scope():
+            cents = self.centroids_df()
+            from .clustering import assign_clusters_table
+
+            b = pin(
+                assign_clusters_table(
+                    batch.select(
+                        F.col(self.id_col).alias("_bid"),
+                        _as_double(F.col(self.vec_col)).alias("_bv"),
+                        vnorm(F.col(self.vec_col)).alias("_bn"),
+                    ),
+                    "_bv",
+                    cents,
+                    round_to=self.dist_round_to,
+                ).withColumnRenamed("cluster", "cell")
+            )
+            s = self.read().select(
+                F.col(self.id_col).alias("_hid"),
+                F.col("_v").alias("_hv"),
+                F.col("_n").alias("_hn"),
+                "cell",
+            )
+            pden = F.col("_bn") * F.col("_hn")
+            sim = F.when(
+                pden > 0, _dot(F.col("_bv"), F.col("_hv")) / pden
+            ).otherwise(F.lit(float("-inf")))
+            if self.round_to is not None:
+                sim = F.round(sim, self.round_to)
+            hist = (
+                F.broadcast(b)
+                .join(s, "cell")
+                .filter(sim >= F.lit(self.threshold))
+                .groupBy(F.col("_bid"))
+                .agg(F.min(F.struct((-sim).alias("ns"), F.col("_hid").alias("i")))["i"].alias("_hist_dup"))
+            )
+            ann_b = semantic_dedup(
+                batch, self.id_col, self.vec_col, cents,
+                threshold=self.threshold, round_to=self.round_to,
+                dist_round_to=self.dist_round_to,
+            ).withColumnRenamed("dup_of", "_batch_dup")
+            dup_of = F.coalesce(F.col("_hist_dup"), F.col("_batch_dup"))
+            res = (
+                ann_b.join(
+                    hist.withColumnRenamed("_bid", self.id_col),
+                    self.id_col,
+                    "left",
+                )
+                .select(
+                    self.id_col,
+                    "cell",
+                    "centroid_sim",
+                    dup_of.alias("dup_of"),
+                    F.when(F.col("_hist_dup").isNotNull(), F.lit("history"))
+                    .when(F.col("_batch_dup").isNotNull(), F.lit("batch"))
+                    .alias("dup_source"),
+                    dup_of.isNull().cast("int").alias("is_kept"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            (
+                b.select(
+                    F.col("_bid").alias(self.id_col),
+                    F.col("_bv").alias("_v"),
+                    F.col("_bn").alias("_n"),
+                    "cell",
+                )
+                .join(
+                    res.filter(F.col("is_kept") == 1).select(self.id_col),
+                    self.id_col,
+                )
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(f"{self.path}/kept")
+            )
+        return res

@@ -2463,6 +2463,79 @@ def test_hamming_store_multi_day_ingest(spark, tmp_path):
     assert {r["mid"] for r in store.read().collect()} == set(base) | {101}
 
 
+def test_semantic_store_multi_day_ingest(spark, tmp_path):
+    """The embedding modality's daily-ingest loop (SemanticStore —
+    incremental SemDeDup): (a) a day-1 novel item is live history for
+    day 2; (b) a copy of a day-1 DUPLICATE resolves to the bootstrap
+    ORIGINAL (flagged vectors never append); (c) history blame WINS
+    over batch blame; (d) the batch-internal upper-triangular rule
+    still applies among store-missed rows (keep-farthest-from-
+    centroid order, dup_source='batch'); (e) an assignment tie
+    breaks to the lower cell; (f) the store grows by exactly the
+    kept rows; (g) un-bootstrapped ingest fails fast."""
+    import math
+
+    import pytest
+
+    from git_log_to_sqlite_spark.operators import SemanticStore
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    store = SemanticStore(spark, str(tmp_path / "semstore"),
+                          threshold=0.98)
+    assert not store.exists()
+    with pytest.raises(FileNotFoundError, match="bootstrap"):
+        store.ingest(spark.createDataFrame(
+            [(1, at(0))], "vec_id long, embedding array<double>"))
+
+    boot = [(10, at(0)), (11, at(30)), (20, at(180))]
+    store.bootstrap(
+        spark.createDataFrame(boot, "vec_id long, embedding array<double>"),
+        cents,
+    )
+    assert {r["vec_id"] for r in store.read().collect()} == {10, 11, 20}
+
+    def ingest(rows):
+        return {
+            r["vec_id"]: (r["dup_of"], r["dup_source"], r["is_kept"])
+            for r in store.ingest(
+                spark.createDataFrame(
+                    rows, "vec_id long, embedding array<double>")
+            ).collect()
+        }
+
+    # day 1: novel; two history near-dups (one also batch-similar to
+    # the other — history must win); a batch-internal pair with no
+    # history hit (the farther-from-centroid member survives)
+    d1 = ingest([(101, at(15)), (102, at(2)), (103, at(3)),
+                 (104, at(44)), (105, at(46))])
+    assert d1[101] == (None, None, 1)
+    assert d1[102] == (10, "history", 0)
+    assert d1[103] == (10, "history", 0)   # history beats batch-mate 102
+    assert d1[105] == (None, None, 1)      # 46deg: farther from centroid
+    assert d1[104] == (105, "batch", 0)    # intra-day drop, blames 105
+
+    # day 2: day-1 novel is live; dup-of-a-dup resolves to the
+    # ORIGINAL; the other cell matches too; an exact-tie assignment
+    # (90deg equidistant) goes to the lower cell and is kept
+    d2 = ingest([(201, at(16)), (202, at(2)), (203, at(179)),
+                 (204, at(90))])
+    assert d2[201] == (101, "history", 0)  # day-1 append is live
+    assert d2[202] == (10, "history", 0)   # 102 never appended
+    assert d2[203] == (20, "history", 0)
+    assert d2[204] == (None, None, 1)
+    [cell204] = [r["cell"] for r in store.read().collect()
+                 if r["vec_id"] == 204]
+    assert cell204 == 0                    # tie -> lower cell id
+
+    assert {r["vec_id"] for r in store.read().collect()} == {
+        10, 11, 20, 101, 105, 204
+    }
+
+
 def test_fuzzy_decontaminate_flags_near_dup_leakage(spark):
     """Fuzzy decontamination (simhash distance vs the eval set): a
     verbatim eval copy and a lightly-perturbed copy must flag, clean

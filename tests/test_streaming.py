@@ -895,3 +895,77 @@ def test_hamming_store_streaming_ingest(spark, tmp_path):
     want = {(r["mid"], r["sig"]) for r in ref.read().collect()}
     assert got == want  # streamed store == sequential reference store
     assert {m for m, _ in got} == set(base) | {101, 301}
+
+
+def test_semantic_store_streaming_ingest(spark, tmp_path):
+    """SemanticStore's daily loop as a REAL micro-batch stream — the
+    fifth persisted store on the same foreachBatch evidence: bootstrap
+    on a day-0 kept set, stream three daily embedding files through
+    foreachBatch(store.ingest), and the final kept table must be
+    IDENTICAL to the sequential reference loop's, with a day-2 copy
+    of a day-1 novel item resolving to the day-1 id (appends live
+    across micro-batches) and a copy of a day-1 DUPLICATE resolving
+    to the bootstrap ORIGINAL (flagged vectors never append)."""
+    import math
+    import os
+    import time
+
+    from git_log_to_sqlite_spark.operators import SemanticStore
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    boot = [(10, at(0)), (11, at(30)), (20, at(180))]
+    days = [
+        [(101, at(15)), (102, at(2))],            # novel + history dup
+        [(201, at(16)), (202, at(2))],            # dup of day-1 novel; dup-of-a-dup
+        [(301, at(90)), (302, at(179))],          # tie-cell novel; other-cell dup
+    ]
+    schema = "vec_id long, embedding array<double>"
+
+    ref = SemanticStore(spark, str(tmp_path / "sem_seq"), threshold=0.98)
+    ref.bootstrap(spark.createDataFrame(boot, schema), cents)
+    for rows in days:
+        ref.ingest(spark.createDataFrame(rows, schema))
+
+    store = SemanticStore(spark, str(tmp_path / "sem_stream"), threshold=0.98)
+    store.bootstrap(spark.createDataFrame(boot, schema), cents)
+    inc_dir = str(tmp_path / "sem_days")
+    for d, rows in enumerate(days, start=1):
+        p = os.path.join(inc_dir, f"day{d}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        stamp = time.time() - 300 + d * 60
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (stamp, stamp))
+
+    annotations: dict[int, tuple] = {}
+
+    def _ingest(batch_df, _id):
+        for r in store.ingest(batch_df).collect():
+            annotations[r["vec_id"]] = (r["dup_of"], r["dup_source"],
+                                        r["is_kept"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(inc_dir)
+        .writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert annotations[101] == (None, None, 1)
+    assert annotations[102] == (10, "history", 0)
+    assert annotations[201] == (101, "history", 0)  # day-1 append live
+    assert annotations[202] == (10, "history", 0)   # dup-of-a-dup -> original
+    assert annotations[301] == (None, None, 1)
+    assert annotations[302] == (20, "history", 0)
+    got = {(r["vec_id"], r["cell"], tuple(r["_v"])) for r in store.read().collect()}
+    want = {(r["vec_id"], r["cell"], tuple(r["_v"])) for r in ref.read().collect()}
+    assert got == want
+    assert {v for v, _, _ in got} == {10, 11, 20, 101, 301}
