@@ -659,10 +659,16 @@ class IvfIndex:
                 "an unbuilt index would silently create an empty-"
                 "quantizer store"
             )
-        from .clustering import assign_clusters
+        from .clustering import assign_clusters_table
 
-        centroids = self.centroids()
-        dim = len(centroids[0])
+        # assignment via the centroid TABLE the index already persists
+        # (assign_clusters_table: one-row broadcast array, identical
+        # arithmetic and tie-break to the literal form by test) — no
+        # driver collect of the quantizer, so append stays
+        # O(increment) even under a large-k coarse quantizer; only the
+        # 1-int dim probe touches the driver
+        cents_df = self.spark.read.parquet(f"{self.path}/centroids")
+        dim = cents_df.select(F.size("centroid")).first()[0]
         vec = _as_double(F.col(self.vec_col))
         # size(filter(not-null)) == dim rejects BOTH a wrong-length
         # vector and a right-length one carrying NULL elements (an
@@ -688,14 +694,14 @@ class IvfIndex:
                 )
             )
         )
-        assigned = assign_clusters(
+        assigned = assign_clusters_table(
             new_vectors.select(
                 F.col(self.id_col).alias("neighbor_id"),
                 checked.alias("_cv"),
                 vnorm(F.col(self.vec_col)).alias("_cn"),
             ),
             "_cv",
-            centroids,
+            cents_df,
         ).withColumnRenamed("cluster", "cell")
         assigned.write.mode("append").partitionBy("cell").parquet(
             f"{self.path}/index"
