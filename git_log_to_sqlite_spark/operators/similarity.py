@@ -404,13 +404,79 @@ def semantic_dedup(
     ``dist_round_to`` selects the cross-engine-stable assignment
     distance — together they make the whole annotation reproducible
     by a SQL oracle (the ``sim_ann_ivf_assign`` precedent)."""
+    ranked = _semantic_ranked(
+        df, id_col, vec_col, centroids, round_to, dist_round_to
+    )
+    return _semantic_annotate(ranked, id_col, threshold, round_to)
+
+
+def _checked_embedding(vec_col: str, dim: int, context: str) -> Column:
+    """Per-row vector-validity guard shared by the persistent stores
+    (IvfIndex.append, SemanticStore.bootstrap/ingest): counting
+    NON-NULL elements against the quantizer dim rejects BOTH a
+    wrong-length vector and a right-length one carrying NULL elements
+    (an upstream outer join's classic residue) — either would
+    null-poison the zip_with distances into a meaningless cell and
+    permanently corrupt a persisted table. Inline in the assignment
+    projection (free next to the k dot products), so a bad batch
+    fails the job BEFORE the parquet commit and a mixed batch cannot
+    slip past a sampled pre-check."""
+    vec = _as_double(F.col(vec_col))
+    nn = F.size(F.filter(vec, lambda x: x.isNotNull()))
+    return F.when(nn == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{context}: vector dim "),
+                F.size(vec).cast("string"),
+                F.lit(" (non-null "),
+                nn.cast("string"),
+                F.lit(
+                    f") != quantizer dim {dim} — wrong-dim or "
+                    "null-element vectors would be cell-assigned by "
+                    "null-poisoned distances; rebuild if the embedding "
+                    "space changed"
+                ),
+            )
+        )
+    )
+
+
+def _semantic_ranked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "list[list[float]] | DataFrame",
+    round_to: int | None,
+    dist_round_to: int | None,
+    expect_dim: int | None = None,
+    guard_context: str = "",
+) -> DataFrame:
+    """SemDeDup's assignment+rank stage, shared by the batch operator
+    and SemanticStore (which must run it exactly once per ingest):
+    returns the PINNED ``(_id, _v, _n, cell, _csim, _rank)`` frame.
+    Pinned because it feeds both self-join sides and the annotation
+    spine, whose pruned ReadSchemas differ — structurally different
+    subtrees, so ReuseExchange never fires and the scan -> assignment
+    (k distance folds) -> cosine -> window tree would execute three
+    times (measured: 3 scans, 2 window executions, 0 reuses at the
+    bench SF; ~2x wall clock). One row per vector, input-proportional
+    — the same trade as every pair-stage pin in this repo; the
+    table-path centroid columns are dropped BEFORE the pin so high
+    dims don't double the cache bytes. ``expect_dim`` arms the
+    per-row :func:`_checked_embedding` guard (store callers)."""
     import math
 
+    from .caching import pin
     from .clustering import assign_clusters, assign_clusters_table
 
+    vec = (
+        _checked_embedding(vec_col, expect_dim, guard_context)
+        if expect_dim is not None
+        else _as_double(F.col(vec_col))
+    )
     base = df.select(
         F.col(id_col).alias("_id"),
-        _as_double(F.col(vec_col)).alias("_v"),
+        vec.alias("_v"),
         vnorm(F.col(vec_col)).alias("_n"),
     )
     if isinstance(centroids, DataFrame):
@@ -448,25 +514,25 @@ def semantic_dedup(
     csim = F.when(cden > 0, cnum / cden).otherwise(F.lit(float("nan")))
     if round_to is not None:
         csim = F.round(csim, round_to)
-    from .caching import pin
-
-    # pinned: the ranked frame feeds BOTH self-join sides and the
-    # annotation spine, and column pruning gives the three branches
-    # different ReadSchemas — structurally different subtrees, so
-    # ReuseExchange never fires and the scan -> assignment (k distance
-    # folds) -> cosine -> window tree would execute three times
-    # (measured: 3 parquet scans, 2 window executions, 0 reuses at
-    # the bench SF; ~2x wall clock). One row per vector (id, vector,
-    # norm, cell, csim, rank) — input-proportional, the same trade as
-    # every pair-stage pin in this repo.
-    ranked = pin(
-        ranked.withColumn("_csim", csim).withColumn(
+    return pin(
+        ranked.withColumn("_csim", csim)
+        .drop("_cen", "_cen_n")  # csim is materialized; don't cache k x dims per row
+        .withColumn(
             "_rank",
             F.row_number().over(
                 Window.partitionBy("cell").orderBy(F.asc("_csim"), F.asc("_id"))
             ),
         )
     )
+
+
+def _semantic_annotate(
+    ranked: DataFrame, id_col: str, threshold: float, round_to: int | None
+) -> DataFrame:
+    """SemDeDup's upper-triangular drop stage over a pinned
+    :func:`_semantic_ranked` frame: cell-local (rank_a < rank_b) pair
+    join, drop b on >= threshold cosine, blame the lowest-ranked such
+    a (min (rank, id) structs — deterministic)."""
     a = ranked.select(
         F.col("cell").alias("_ca"), F.col("_rank").alias("_ra"),
         F.col("_id").alias("_ia"), F.col("_v").alias("_va"),
@@ -669,30 +735,8 @@ class IvfIndex:
         # 1-int dim probe touches the driver
         cents_df = self.spark.read.parquet(f"{self.path}/centroids")
         dim = cents_df.select(F.size("centroid")).first()[0]
-        vec = _as_double(F.col(self.vec_col))
-        # size(filter(not-null)) == dim rejects BOTH a wrong-length
-        # vector and a right-length one carrying NULL elements (an
-        # upstream outer join's classic residue) — either would
-        # null-poison the zip_with distances into a meaningless cell
-        ok = F.size(F.filter(vec, lambda x: x.isNotNull())) == dim
-        checked = F.when(ok, vec).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("IvfIndex.append: vector dim "),
-                    F.size(vec).cast("string"),
-                    F.lit(" (non-null "),
-                    F.size(F.filter(vec, lambda x: x.isNotNull())).cast(
-                        "string"
-                    ),
-                    F.lit(
-                        f") != quantizer dim {dim} at {self.path} — "
-                        "wrong-dim or null-element vectors would be "
-                        "cell-assigned by null-poisoned distances; "
-                        "rebuild with build() if the embedding space "
-                        "changed"
-                    ),
-                )
-            )
+        checked = _checked_embedding(
+            self.vec_col, dim, f"IvfIndex.append at {self.path}"
         )
         assigned = assign_clusters_table(
             new_vectors.select(
@@ -803,18 +847,26 @@ def bucketed_ann_topk(
     return _topk(joined, sim, k, round_to)
 
 
-class SemanticStore:
+from .dedup import _ParquetStore
+
+
+class SemanticStore(_ParquetStore):
     """Persisted KEPT-set for incremental SemDeDup — the embedding
     modality's daily-ingest store, completing the per-modality family
     (:class:`~git_log_to_sqlite_spark.operators.dedup.SignatureStore`
     for minhash, ``WindowStore`` for substring windows,
     ``HammingStore`` for <= 60-bit signatures, :class:`IvfIndex` for
     ANN): the kept corpus's ``(id, vector, norm, cell)`` table lives
-    as parquet PARTITIONED BY CELL beside the quantizer's centroid
-    table, each day's batch is annotated against it, and only the
-    batch's novel (kept) rows append — history is never re-embedded,
+    as parquet PARTITIONED BY CELL (``{base}/kept`` — the inherited
+    ``_ParquetStore`` machinery points there; ``compact()`` included)
+    beside the quantizer's centroid table (``{base}/centroids``),
+    each day's batch is annotated against it, and only the batch's
+    novel (kept) rows append — history is never re-embedded,
     re-assigned, or self-joined, so daily growth costs O(increment x
-    probed-cell mass).
+    probed-cell mass). Every incoming vector passes the per-row
+    :func:`_checked_embedding` guard (the IvfIndex.append contract):
+    a wrong-dim or null-element vector fails the job before any
+    parquet commit instead of silently poisoning the kept table.
 
     Priority semantics — the family's first-seen-wins contract, which
     REPLACES batch-mode :func:`semantic_dedup`'s global
@@ -826,17 +878,21 @@ class SemanticStore:
       blaming the most-similar stored row (ties to the smaller id —
       min over (-sim, id) structs, deterministic);
     * otherwise the batch-INTERNAL upper-triangular rule applies
-      (:func:`semantic_dedup` on the batch under the stored
-      quantizer): a row similar to an earlier-ranked batch row drops
-      blaming it — even when that earlier row itself dropped against
-      history (the kept-or-itself-dropped rule, so a batch that
-      arrives with its own near-copies of a historical item resolves
-      them all in one ingest);
+      (the shared :func:`_semantic_annotate` stage over the SAME
+      ranked frame the history probe uses — the batch is scanned and
+      assigned exactly once per ingest): a row similar to an
+      earlier-ranked batch row drops blaming it — even when that
+      earlier row itself dropped against history (the
+      kept-or-itself-dropped rule, so a batch that arrives with its
+      own near-copies of a historical item resolves them all in one
+      ingest);
     * history blame WINS when both apply.
 
     Flagged rows' vectors are never appended; like every sibling
     store, the returned annotation is checkpointed BEFORE the append
-    so it can never lazily re-read the store post-append."""
+    so it can never lazily re-read the store post-append, and every
+    internal pin lives in a cache_scope (bootstrap included — the
+    ranked frame is corpus-sized there)."""
 
     _bootstrap_hint = "bootstrap(corpus, centroids)"
 
@@ -850,54 +906,31 @@ class SemanticStore:
         round_to: int | None = None,
         dist_round_to: int | None = None,
     ) -> None:
-        from .dedup import _ParquetStore  # noqa: F401 — shared probe below
-
-        self.spark = spark
-        self.path = path
+        super().__init__(spark, f"{path.rstrip('/')}/kept")
+        self.base = path.rstrip("/")
         self.id_col = id_col
         self.vec_col = vec_col
         self.threshold = threshold
         self.round_to = round_to
         self.dist_round_to = dist_round_to
 
-    # -- persistence machinery (the _ParquetStore contract, pointed at
-    #    the kept table; centroids live beside it) -------------------
-    def exists(self) -> bool:
-        """Missing-path-only False, any other failure propagates —
-        the family's fail-fast-don't-advise-overwrite contract."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            self.spark.read.parquet(f"{self.path}/kept").schema
-            return True
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e):
-                return False
-            raise
-
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/kept")
-
     def centroids_df(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/centroids")
+        return self.spark.read.parquet(f"{self.base}/centroids")
 
-    def _require_bootstrapped(self) -> None:
-        if not self.exists():
-            raise FileNotFoundError(
-                f"SemanticStore at {self.path!r} has no table yet; call "
-                f"{self._bootstrap_hint} once before the first ingest()"
-            )
+    def _dim(self) -> int:
+        return self.centroids_df().select(F.size("centroid")).first()[0]
 
     def bootstrap(
         self, corpus: DataFrame, centroids: "list[list[float]] | DataFrame"
     ) -> None:
-        """Initialize (overwrite) the store: run batch
-        :func:`semantic_dedup` on ``corpus`` under ``centroids`` (the
-        fitted quantizer — list or ``(cell, centroid)`` table) and
-        persist the KEPT rows' ``(id, vector, norm, cell)`` plus the
-        centroid table. The bootstrap corpus itself gets the paper's
-        centroid-rank priority; arrival order takes over from the
-        first ingest."""
+        """Initialize (overwrite) the store: run batch SemDeDup on
+        ``corpus`` under ``centroids`` (the fitted quantizer — list or
+        ``(cell, centroid)`` table) and persist the KEPT rows'
+        ``(id, vector, norm, cell)`` plus the centroid table. The
+        bootstrap corpus itself gets the paper's centroid-rank
+        priority; arrival order takes over from the first ingest."""
+        from .caching import cache_scope
+
         if not isinstance(centroids, DataFrame):
             cdf = self.spark.createDataFrame(
                 [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
@@ -905,25 +938,26 @@ class SemanticStore:
             ).repartition(1)
         else:
             cdf = centroids
-        cdf.write.mode("overwrite").parquet(f"{self.path}/centroids")
-        cents = self.centroids_df()
-        ann = semantic_dedup(
-            corpus, self.id_col, self.vec_col, cents,
-            threshold=self.threshold, round_to=self.round_to,
-            dist_round_to=self.dist_round_to,
-        )
-        kept = ann.filter(F.col("is_kept") == 1).select(self.id_col, "cell")
-        (
-            corpus.select(
-                self.id_col,
-                _as_double(F.col(self.vec_col)).alias("_v"),
-                vnorm(F.col(self.vec_col)).alias("_n"),
+        cdf.write.mode("overwrite").parquet(f"{self.base}/centroids")
+        with cache_scope():
+            ranked = _semantic_ranked(
+                corpus, self.id_col, self.vec_col, self.centroids_df(),
+                self.round_to, self.dist_round_to,
+                expect_dim=self._dim(),
+                guard_context=f"SemanticStore.bootstrap at {self.base}",
             )
-            .join(kept, self.id_col)
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(f"{self.path}/kept")
-        )
+            kept_ids = _semantic_annotate(
+                ranked, self.id_col, self.threshold, self.round_to
+            ).filter(F.col("is_kept") == 1).select(self.id_col)
+            (
+                ranked.select(
+                    F.col("_id").alias(self.id_col), "_v", "_n", "cell"
+                )
+                .join(kept_ids, self.id_col)
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(self.path)
+            )
 
     def ingest(self, batch: DataFrame) -> DataFrame:
         """Annotate ``batch`` against the store and append its kept
@@ -932,32 +966,24 @@ class SemanticStore:
         or 'batch' (NULL when kept), the audit column telling a
         curation pipeline whether a drop was cross-day or intra-day.
 
-        Plan shape: the batch (daily increment, small) is assigned by
-        the stored quantizer and FORCE-broadcast into the kept
-        table's cell-partitioned scan — candidate mass is
-        sum over probed cells of |batch cells| x |kept cell|, the
-        store never self-joins, and unprobed cell partitions prune
-        out of the scan. Cache hygiene mirrors every sibling ingest:
-        internal pins live in a cache_scope, the annotation is
+        Plan shape: the batch (daily increment, small) is scanned and
+        quantizer-assigned EXACTLY ONCE into the pinned ranked frame,
+        which feeds both the history probe (FORCE-broadcast into the
+        kept table's cell-partitioned scan — candidate mass is
+        sum over probed cells of |batch cell| x |kept cell|, the
+        store never self-joins, unprobed cell partitions prune) and
+        the batch-internal annotate stage. Cache hygiene mirrors
+        every sibling ingest: pins in a cache_scope, annotation
         checkpointed before the append."""
-        from .caching import cache_scope, pin
+        from .caching import cache_scope
 
         self._require_bootstrapped()
         with cache_scope():
-            cents = self.centroids_df()
-            from .clustering import assign_clusters_table
-
-            b = pin(
-                assign_clusters_table(
-                    batch.select(
-                        F.col(self.id_col).alias("_bid"),
-                        _as_double(F.col(self.vec_col)).alias("_bv"),
-                        vnorm(F.col(self.vec_col)).alias("_bn"),
-                    ),
-                    "_bv",
-                    cents,
-                    round_to=self.dist_round_to,
-                ).withColumnRenamed("cluster", "cell")
+            ranked = _semantic_ranked(
+                batch, self.id_col, self.vec_col, self.centroids_df(),
+                self.round_to, self.dist_round_to,
+                expect_dim=self._dim(),
+                guard_context=f"SemanticStore.ingest at {self.base}",
             )
             s = self.read().select(
                 F.col(self.id_col).alias("_hid"),
@@ -965,31 +991,29 @@ class SemanticStore:
                 F.col("_n").alias("_hn"),
                 "cell",
             )
-            pden = F.col("_bn") * F.col("_hn")
+            pden = F.col("_n") * F.col("_hn")
             sim = F.when(
-                pden > 0, _dot(F.col("_bv"), F.col("_hv")) / pden
+                pden > 0, _dot(F.col("_v"), F.col("_hv")) / pden
             ).otherwise(F.lit(float("-inf")))
             if self.round_to is not None:
                 sim = F.round(sim, self.round_to)
             hist = (
-                F.broadcast(b)
+                F.broadcast(ranked.select("_id", "_v", "_n", "cell"))
                 .join(s, "cell")
                 .filter(sim >= F.lit(self.threshold))
-                .groupBy(F.col("_bid"))
-                .agg(F.min(F.struct((-sim).alias("ns"), F.col("_hid").alias("i")))["i"].alias("_hist_dup"))
+                .groupBy(F.col("_id").alias(self.id_col))
+                .agg(
+                    F.min(
+                        F.struct((-sim).alias("ns"), F.col("_hid").alias("i"))
+                    )["i"].alias("_hist_dup")
+                )
             )
-            ann_b = semantic_dedup(
-                batch, self.id_col, self.vec_col, cents,
-                threshold=self.threshold, round_to=self.round_to,
-                dist_round_to=self.dist_round_to,
+            ann_b = _semantic_annotate(
+                ranked, self.id_col, self.threshold, self.round_to
             ).withColumnRenamed("dup_of", "_batch_dup")
             dup_of = F.coalesce(F.col("_hist_dup"), F.col("_batch_dup"))
             res = (
-                ann_b.join(
-                    hist.withColumnRenamed("_bid", self.id_col),
-                    self.id_col,
-                    "left",
-                )
+                ann_b.join(hist, self.id_col, "left")
                 .select(
                     self.id_col,
                     "cell",
@@ -1003,11 +1027,8 @@ class SemanticStore:
                 .localCheckpoint(eager=True)
             )
             (
-                b.select(
-                    F.col("_bid").alias(self.id_col),
-                    F.col("_bv").alias("_v"),
-                    F.col("_bn").alias("_n"),
-                    "cell",
+                ranked.select(
+                    F.col("_id").alias(self.id_col), "_v", "_n", "cell"
                 )
                 .join(
                     res.filter(F.col("is_kept") == 1).select(self.id_col),
@@ -1015,6 +1036,6 @@ class SemanticStore:
                 )
                 .write.mode("append")
                 .partitionBy("cell")
-                .parquet(f"{self.path}/kept")
+                .parquet(self.path)
             )
         return res

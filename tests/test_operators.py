@@ -2535,6 +2535,18 @@ def test_semantic_store_multi_day_ingest(spark, tmp_path):
         10, 11, 20, 101, 105, 204
     }
 
+    # (h) the IvfIndex.append guard contract: a wrong-dim or
+    # null-element vector fails the job BEFORE the parquet commit —
+    # zip_with would null-poison its distances into cell 0 and the
+    # NULL similarities would annotate it kept, permanently corrupting
+    # the kept table
+    before = {r["vec_id"] for r in store.read().collect()}
+    for bad in ([0.5], [0.5, None]):
+        with pytest.raises(Exception, match="quantizer dim"):
+            store.ingest(spark.createDataFrame(
+                [(999, bad)], "vec_id long, embedding array<double>"))
+    assert {r["vec_id"] for r in store.read().collect()} == before
+
 
 def test_fuzzy_decontaminate_flags_near_dup_leakage(spark):
     """Fuzzy decontamination (simhash distance vs the eval set): a
