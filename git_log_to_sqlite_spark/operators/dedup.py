@@ -1715,6 +1715,10 @@ class _ParquetStore:
     #: the signature store takes a signatures frame)
     _bootstrap_hint = "bootstrap(corpus, text_col)"
 
+    #: partition columns of the store's table, () for flat layouts —
+    #: compact() preserves them (see its docstring)
+    _partition_cols: tuple = ()
+
     def _require_bootstrapped(self) -> None:
         if not self.exists():
             # Fail HERE, not as a path-not-found AnalysisException from
@@ -1735,12 +1739,28 @@ class _ParquetStore:
         so compaction is rewrite-identical; the rewrite lands in a
         sibling temp dir and swaps in via the Hadoop FileSystem API
         (works on any scheme the session can reach). Run between
-        ingests, not concurrently with one."""
+        ingests, not concurrently with one.
+
+        Subclasses whose table is PARTITIONED (``_partition_cols``)
+        keep their layout: the rewrite clusters by the partition
+        columns and writes partitionBy them — a flat rewrite would
+        demote the partition column to data, silently lose partition
+        pruning, and make the NEXT partitioned append produce Spark's
+        'Conflicting directory structures' failure on read."""
         sc = self.spark.sparkContext
         n = num_files or sc.defaultParallelism
         tmp = self.path.rstrip("/") + "__compact_tmp"
         old = self.path.rstrip("/") + "__compact_old"
-        self.read().repartition(n).write.mode("overwrite").parquet(tmp)
+        w = self.read()
+        if self._partition_cols:
+            (
+                w.repartition(n, *self._partition_cols)
+                .write.mode("overwrite")
+                .partitionBy(*self._partition_cols)
+                .parquet(tmp)
+            )
+        else:
+            w.repartition(n).write.mode("overwrite").parquet(tmp)
         hpath = sc._jvm.org.apache.hadoop.fs.Path
         fs = hpath(self.path).getFileSystem(sc._jsc.hadoopConfiguration())
         # staged swap, no delete-before-rename: a crash between the two

@@ -423,7 +423,11 @@ def _checked_embedding(vec_col: str, dim: int, context: str) -> Column:
     slip past a sampled pre-check."""
     vec = _as_double(F.col(vec_col))
     nn = F.size(F.filter(vec, lambda x: x.isNotNull()))
-    return F.when(nn == dim, vec).otherwise(
+    # BOTH conditions: nn == dim alone would pass an over-length
+    # vector whose null padding leaves exactly dim non-nulls (a
+    # schema-migration backfill shape) — still a null-poisoned
+    # assignment
+    return F.when((F.size(vec) == dim) & (nn == dim), vec).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"{context}: vector dim "),
@@ -895,6 +899,7 @@ class SemanticStore(_ParquetStore):
     ranked frame is corpus-sized there)."""
 
     _bootstrap_hint = "bootstrap(corpus, centroids)"
+    _partition_cols = ("cell",)  # compact() must keep the cell layout
 
     def __init__(
         self,
@@ -968,10 +973,13 @@ class SemanticStore(_ParquetStore):
 
         Plan shape: the batch (daily increment, small) is scanned and
         quantizer-assigned EXACTLY ONCE into the pinned ranked frame,
-        which feeds both the history probe (FORCE-broadcast into the
-        kept table's cell-partitioned scan — candidate mass is
-        sum over probed cells of |batch cell| x |kept cell|, the
-        store never self-joins, unprobed cell partitions prune) and
+        which feeds both the history probe (broadcast BY ESTIMATE into
+        the kept table's cell-partitioned scan while the batch is
+        small — candidate mass is sum over probed cells of
+        |batch cell| x |kept cell|, the store never self-joins,
+        unprobed cell partitions prune; a backfill-scale batch
+        degrades to a shuffled cell join instead of a broadcast
+        cliff) and
         the batch-internal annotate stage. Cache hygiene mirrors
         every sibling ingest: pins in a cache_scope, annotation
         checkpointed before the append."""
@@ -997,8 +1005,15 @@ class SemanticStore(_ParquetStore):
             ).otherwise(F.lit(float("-inf")))
             if self.round_to is not None:
                 sim = F.round(sim, self.round_to)
+            # deliberately UNHINTED (the jaccard hot-set-join
+            # doctrine): the pinned ranked frame gives the planner an
+            # accurate size, so a daily-increment batch broadcasts
+            # into the cell-partitioned kept scan (pruning unprobed
+            # cells), while a backfill-scale batch degrades to a
+            # shuffled cell join instead of hitting the 8 GB
+            # broadcast cliff a hard hint would force
             hist = (
-                F.broadcast(ranked.select("_id", "_v", "_n", "cell"))
+                ranked.select("_id", "_v", "_n", "cell")
                 .join(s, "cell")
                 .filter(sim >= F.lit(self.threshold))
                 .groupBy(F.col("_id").alias(self.id_col))

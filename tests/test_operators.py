@@ -2541,11 +2541,31 @@ def test_semantic_store_multi_day_ingest(spark, tmp_path):
     # NULL similarities would annotate it kept, permanently corrupting
     # the kept table
     before = {r["vec_id"] for r in store.read().collect()}
-    for bad in ([0.5], [0.5, None]):
+    # [0.5]: under-length; [0.5, None]: right count of non-nulls would
+    # NOT excuse it either way; [0.5, 0.5, None]: the subtle hole — an
+    # OVER-length vector whose null padding leaves exactly dim
+    # non-nulls must still fail (nn == dim alone would wave it in)
+    for bad in ([0.5], [0.5, None], [0.5, 0.5, None]):
         with pytest.raises(Exception, match="quantizer dim"):
             store.ingest(spark.createDataFrame(
                 [(999, bad)], "vec_id long, embedding array<double>"))
     assert {r["vec_id"] for r in store.read().collect()} == before
+
+    # (i) compact() preserves the cell-partitioned layout: the store
+    # stays readable, the next partitioned append still works, and
+    # cell= directories survive (a flat rewrite would demote cell to
+    # a data column and break the following read with conflicting
+    # directory structures)
+    import os
+
+    store.compact(num_files=2)
+    assert {r["vec_id"] for r in store.read().collect()} == before
+    d3 = ingest([(401, at(60))])  # novel; proves post-compact appends
+    assert d3[401] == (None, None, 1)
+    assert {r["vec_id"] for r in store.read().collect()} == before | {401}
+    assert any(
+        e.startswith("cell=") for e in os.listdir(store.path)
+    )
 
 
 def test_fuzzy_decontaminate_flags_near_dup_leakage(spark):
