@@ -1156,6 +1156,16 @@ def test_semantic_dedup_matches_brute_force(clustered_vectors):
     }
     assert again == got
 
+    # partitioning-invariant: rank is row_number over (csim, id) and
+    # every similarity is a pure per-pair expression, so a different
+    # physical layout must not move a single annotation
+    shuffled = {
+        r["vec_id"]: (r["cell"], r["dup_of"], r["is_kept"])
+        for r in semantic_dedup(e.repartition(7), "vec_id", "embedding",
+                                cents, threshold=0.9).collect()
+    }
+    assert shuffled == got
+
 
 def test_semantic_dedup_chain_and_cell_scope(spark):
     """The paper's exact semantics on a planted 2-D corpus: (a) the
