@@ -206,3 +206,157 @@ def token_budget_sample(
         .filter(F.col(cum_out) < budget)
         .drop("_u")
     )
+
+
+def _hashed_ngram_features(
+    df: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """Hashed unigram+bigram bag per document — DSIR's feature map:
+    ``(id, f, c)`` with ``f = md5_60bit(gram) % buckets`` (the same
+    15-hex-digit md5→BIGINT idiom as :func:`uniform_key`, so a DuckDB
+    oracle reproduces every bucket id exactly) and ``c`` the gram's
+    in-document count (a BAG, not a set — importance weights scale
+    with occurrence counts). One explode + one groupBy; everything
+    codegen."""
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    )
+    grams = F.concat(toks, bigrams)
+    f = (
+        F.conv(F.substring(F.md5(F.col("_gram")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_gram"))
+        .select("_id", f.alias("_f"))
+        .groupBy("_id", "_f")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection via Importance Resampling): per-document
+    ``log p_target(x) - log p_raw(x)`` under hashed unigram+bigram
+    bag-of-ngrams models of the two corpora. A raw document whose
+    n-gram profile looks like the (small, curated) target corpus gets
+    a high weight; model-free and embarrassingly parallel — the
+    published recipe behind formal-domain data selection at
+    pre-training scale.
+
+    Returns ALL raw rows annotated ``(id, log_weight)`` (rounded to
+    6 dp — the registry's float-unstable-statistic rule; a feature-
+    less document — NULL/empty text — annotates 0.0, the
+    annotate-don't-filter spine being ``raw`` itself, never the
+    feature table). Distributions use Laplace (+1) smoothing over
+    ``buckets`` hashed features, so every log is finite by
+    construction.
+
+    Scale shape: two corpus passes (one explode+groupBy each), then
+    the per-feature log-ratio table is ``buckets`` rows — BROADCAST
+    into the per-document weight sum, so the corpus is never
+    shuffled on a feature key; the final agg shuffles one row per
+    (document, distinct-feature) with map-side partial sums. At
+    100 TB the only O(corpus) stages are the feature explode and the
+    weight agg — both unavoidable and both linear."""
+    rf = _hashed_ngram_features(raw, id_col, text_col, buckets)
+    tf = _hashed_ngram_features(target, id_col, text_col, buckets)
+    rcnt = rf.groupBy("_f").agg(F.sum("_c").alias("_rc"))
+    tcnt = tf.groupBy("_f").agg(F.sum("_c").alias("_tc"))
+    # Laplace-smoothed log-ratio per feature; the CAST(sum AS DOUBLE)
+    # / int form is the registry's deterministic-division rule, so
+    # the DuckDB twin computes bit-identical doubles before the log
+    ratio = (
+        rcnt.join(tcnt, "_f", "full")
+        .select(
+            "_f",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                )
+                - F.log(
+                    (F.coalesce(F.col("_rc"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                )
+            ).alias("_lr"),
+        )
+    )
+    # the totals' log-ratio is a per-document CONSTANT times the doc's
+    # total gram count; include it so weights are true log-likelihood
+    # ratios, not just unnormalized feature sums
+    tot = (
+        rcnt.agg(F.sum("_rc").alias("_rt"))
+        .crossJoin(tcnt.agg(F.sum("_tc").alias("_tt")))
+        .select(
+            (
+                F.log((F.col("_tt") + F.lit(buckets)).cast("double"))
+                - F.log((F.col("_rt") + F.lit(buckets)).cast("double"))
+            ).alias("_norm")
+        )
+    )
+    per_doc = (
+        rf.join(F.broadcast(ratio), "_f")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("_c") * F.col("_lr")).alias("_wsum"),
+            F.sum("_c").alias("_n"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            (F.col("_wsum") - F.col("_n") * F.col("_norm")).alias("_w"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce(F.col("_w"), F.lit(0.0)), 6).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR's selection step: Gumbel-top-n over the importance
+    weights — the paper's importance RESAMPLING, derandomized the
+    house way: ``score = log_weight + Gumbel(0,1)`` with the Gumbel
+    drawn from :func:`uniform_key`'s md5 coin
+    (``-ln(-ln(u))``), so the selected set is a pure function of the
+    data, reproducible across runs/partitionings/engines, and
+    hash-oracle-checkable — exactly the Gumbel-max trick that makes
+    top-n equivalent to weighted sampling WITHOUT replacement under
+    the softmax of the weights. Returns ``(id, log_weight, score)``
+    for the n winners (score desc, id tie-break); compiles to
+    TakeOrderedAndProject, never a global sort."""
+    gumbel = -F.log(-F.log(uniform_key(F.col(id_col))))
+    return (
+        dsir_weights(raw, target, id_col, text_col, buckets)
+        .select(
+            id_col,
+            "log_weight",
+            F.round(F.col("log_weight") + gumbel, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -2740,6 +2740,153 @@ def test_kmeans_deterministic_across_runs(clustered_vectors):
     assert ra == rb
 
 
+def test_dsir_weights_match_python_reference(spark):
+    """DSIR importance weights equal an independent pure-python
+    implementation of the same math (hashed unigram+bigram bags,
+    Laplace-smoothed log-ratio, total-mass normalization) on a toy
+    corpus — and the raw document that parrots the target's phrasing
+    outranks the off-domain ones. Also: the annotation spine is the
+    raw table itself (a NULL-text doc annotates 0.0 and survives) and
+    the result is partitioning-invariant."""
+    import hashlib
+    import math
+
+    from git_log_to_sqlite_spark.operators import dsir_weights
+
+    B = 64
+    target = [(900, "theorem proof lemma proof theorem"),
+              (901, "proof by induction on the lemma")]
+    raw = [
+        (1, "theorem proof lemma induction"),    # on-domain
+        (2, "cat video funny cat compilation"),  # off-domain
+        (3, "proof theorem proof"),              # on-domain, short
+        (4, None),                               # feature-less
+    ]
+
+    def grams(text):
+        t = text.split(" ")
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def feats(rows):
+        out = {}
+        for _id, text in rows:
+            if text is None:
+                continue
+            for g in grams(text):
+                f = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+                out.setdefault(_id, {}).setdefault(f, 0)
+                out[_id][f] += 1
+        return out
+
+    rf, tf = feats(raw), feats(target)
+    rc, tc = {}, {}
+    for d in rf.values():
+        for f, c in d.items():
+            rc[f] = rc.get(f, 0) + c
+    for d in tf.values():
+        for f, c in d.items():
+            tc[f] = tc.get(f, 0) + c
+    norm = math.log(sum(tc.values()) + B) - math.log(sum(rc.values()) + B)
+    want = {}
+    for _id, d in rf.items():
+        w = sum(
+            c * (math.log(tc.get(f, 0) + 1) - math.log(rc.get(f, 0) + 1))
+            for f, c in d.items()
+        ) - sum(d.values()) * norm
+        want[_id] = round(w, 6)
+    want[4] = 0.0
+
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(rdf, tdf, "doc_id", "text",
+                              buckets=B).collect()
+    }
+    assert got == pytest.approx(want, abs=1e-6)
+    assert got[1] > got[2] and got[3] > got[2]  # on-domain outranks
+
+    again = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(rdf.repartition(5), tdf, "doc_id", "text",
+                              buckets=B).collect()
+    }
+    assert again == got
+
+
+def test_dsir_select_matches_duckdb_twin(spark, oracle_sf_dir):
+    """Cross-engine determinism of the FULL DSIR selection (weights +
+    md5-Gumbel top-n) — pre-staging this operator's round-12 gate
+    row: DuckDB reproduces every bucket id (the shared 15-hex md5
+    idiom), every Laplace log-ratio (CAST AS DOUBLE before ln), the
+    6-dp weights, and the Gumbel-perturbed winner ORDER exactly."""
+    from git_log_to_sqlite_spark.operators import dsir_select
+
+    from .oracle_harness import duck_connection
+
+    B, MOD, N = 2048, 29, 50
+    gram_sql = """unnest(list_concat(
+        string_split(text, ' '),
+        list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
+      )) AS g"""
+    sql = f"""
+    WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % {MOD} <> 0),
+    tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % {MOD} = 0),
+    rg AS (SELECT doc_id, {gram_sql} FROM raw),
+    tg AS (SELECT doc_id, {gram_sql} FROM tgt),
+    rf AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {B} AS f,
+                  COUNT(*) AS c
+           FROM rg GROUP BY doc_id, f),
+    tf AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % {B} AS f,
+                  COUNT(*) AS c
+           FROM tg GROUP BY f),
+    rcnt AS (SELECT f, SUM(c) AS rc FROM rf GROUP BY f),
+    tcnt AS (SELECT f, SUM(c) AS tc FROM tf GROUP BY f),
+    ratio AS (
+      SELECT COALESCE(rcnt.f, tcnt.f) AS f,
+             ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE))
+               - ln(CAST(COALESCE(rc, 0) + 1 AS DOUBLE)) AS lr
+      FROM rcnt FULL JOIN tcnt ON rcnt.f = tcnt.f),
+    tot AS (
+      SELECT ln(CAST((SELECT SUM(tc) FROM tcnt) + {B} AS DOUBLE))
+               - ln(CAST((SELECT SUM(rc) FROM rcnt) + {B} AS DOUBLE)) AS norm),
+    per_doc AS (
+      SELECT rf.doc_id,
+             SUM(rf.c * ratio.lr) - SUM(rf.c) * (SELECT norm FROM tot) AS w
+      FROM rf JOIN ratio ON ratio.f = rf.f
+      GROUP BY rf.doc_id),
+    weights AS (
+      SELECT raw.doc_id,
+             ROUND(COALESCE(per_doc.w, 0.0), 6) AS log_weight
+      FROM raw LEFT JOIN per_doc ON per_doc.doc_id = raw.doc_id)
+    SELECT doc_id, log_weight,
+           ROUND(log_weight
+                 - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                          / 1152921504606846976.0)), 6) AS score
+    FROM weights
+    ORDER BY score DESC, doc_id ASC LIMIT {N}
+    """
+    d = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    raw = d.filter(F.col("doc_id") % MOD != 0)
+    tgt = d.filter(F.col("doc_id") % MOD == 0)
+    got = [
+        (r["doc_id"], r["log_weight"], r["score"])
+        for r in dsir_select(raw, tgt, "doc_id", "text", n=N,
+                             buckets=B).collect()
+    ]
+    con = duck_connection(oracle_sf_dir)
+    try:
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+    finally:
+        con.close()
+    assert len(got) == N
+    assert got == [
+        (i, pytest.approx(w, abs=1e-6), pytest.approx(s, abs=1e-6))
+        for i, w, s in want
+    ]
+
+
 def test_weighted_reservoir_biases_toward_heavy_weights(spark):
     from git_log_to_sqlite_spark.operators import weighted_reservoir
 
