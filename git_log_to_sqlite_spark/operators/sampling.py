@@ -218,16 +218,23 @@ def _hashed_ngram_features(
     in-document count (a BAG, not a set — importance weights scale
     with occurrence counts). One explode + one groupBy; everything
     codegen."""
+    from .dedup import md5_long
+
     toks = F.split(F.col(text_col), " ")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    # zip_with over two shifted slices, NEVER the index-lambda form —
+    # an array referenced from inside a HOF lambda re-evaluates per
+    # element, so transform(..., i -> get(toks, i+1)) re-runs split()
+    # once per bigram: O(tokens^2) per document (dedup.shingles'
+    # documented 60x anti-pattern; re-measured here at ~9x on
+    # 2000-token docs)
+    L = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, L),
+        F.slice(toks, 2, L),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     grams = F.concat(toks, bigrams)
-    f = (
-        F.conv(F.substring(F.md5(F.col("_gram")), 1, 15), 16, 10).cast("long")
-        % buckets
-    )
+    f = md5_long(F.col("_gram")) % buckets
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_gram"))
         .select("_id", f.alias("_f"))
@@ -253,10 +260,13 @@ def dsir_weights(
     pre-training scale.
 
     Returns ALL raw rows annotated ``(id, log_weight)`` (rounded to
-    6 dp — the registry's float-unstable-statistic rule; a feature-
-    less document — NULL/empty text — annotates 0.0, the
-    annotate-don't-filter spine being ``raw`` itself, never the
-    feature table). Distributions use Laplace (+1) smoothing over
+    6 dp — the registry's float-unstable-statistic rule; a NULL-text
+    document has no grams and annotates 0.0 — the annotate-don't-
+    filter spine is ``raw`` itself, never the feature table. An
+    EMPTY-STRING text is NOT feature-less: ``split('', ' ')`` is
+    ``['']`` in both engines, so empty docs share the one
+    empty-gram feature and score like any other doc — do not treat
+    ``log_weight == 0.0`` as an emptiness sentinel). Distributions use Laplace (+1) smoothing over
     ``buckets`` hashed features, so every log is finite by
     construction.
 
@@ -348,8 +358,29 @@ def dsir_select(
     top-n equivalent to weighted sampling WITHOUT replacement under
     the softmax of the weights. Returns ``(id, log_weight, score)``
     for the n winners (score desc, id tie-break); compiles to
-    TakeOrderedAndProject, never a global sort."""
-    gumbel = -F.log(-F.log(uniform_key(F.col(id_col))))
+    TakeOrderedAndProject, never a global sort.
+
+    The coin is DOMAIN-SEPARATED (md5 of ``'dsir|' || id``, not the
+    bare-id coin the other samplers flip): composing dsir_select
+    downstream of domain_mix / token_budget_sample on the same id
+    column would otherwise CONDITION u on having survived the
+    upstream coin flip (u < rate for every survivor), truncating the
+    Gumbel's upper tail for the whole population and voiding the
+    resampling equivalence. And u is clamped below 1.0 (an id whose
+    md5 opens with 15 'f' digits makes u exactly 1, where Spark's
+    ln(0) returns NULL — the row could never win — while DuckDB's
+    raises; the clamp keeps both engines finite and identical)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsir|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = F.least((h + F.lit(1.0)) / F.lit(_TWO_60), F.lit(1.0 - 2.0 ** -53))
+    gumbel = -F.log(-F.log(u))
     return (
         dsir_weights(raw, target, id_col, text_col, buckets)
         .select(

@@ -2862,8 +2862,10 @@ def test_dsir_select_matches_duckdb_twin(spark, oracle_sf_dir):
       FROM raw LEFT JOIN per_doc ON per_doc.doc_id = raw.doc_id)
     SELECT doc_id, log_weight,
            ROUND(log_weight
-                 - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
-                          / 1152921504606846976.0)), 6) AS score
+                 - ln(-ln(least(
+                     (('0x' || substr(md5('dsir|' || doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                       / 1152921504606846976.0,
+                     1.0 - pow(2.0, -53)))), 6) AS score
     FROM weights
     ORDER BY score DESC, doc_id ASC LIMIT {N}
     """
