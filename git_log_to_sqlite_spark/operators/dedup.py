@@ -39,10 +39,10 @@ def md5_long(col: Column, hex_chars: int = 15) -> Column:
     return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
 
 
-def shingles(tokens: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a tokens array. Guarded so
-    short docs yield [] (slice with a non-positive length only exists
-    in the untaken CASE branch).
+def ngram_chain(tokens: Column, n: int) -> Column:
+    """Positional word n-grams WITH multiplicity (a bag, in document
+    order). Guarded so short docs yield [] (slice with a non-positive
+    length only exists in the untaken CASE branch).
 
     Built as a zip_with chain over n shifted slices — NEVER as
     ``transform(sequence(...), i -> ...get(tokens, i+k)...)``: a
@@ -51,14 +51,25 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     element, so the index-lambda form re-runs the whole ``tokens``
     construction (typically ``split``) once per shingle — O(tokens^2)
     per document. Measured on 200 x 2000-token docs: 18.7 s
-    (index-lambda) vs 0.3 s (this form), identical outputs."""
+    (index-lambda) vs 0.3 s (this form), identical outputs. This is
+    the ONE place the chain lives: :func:`shingles` distincts it,
+    DSIR's hashed bigram features consume the raw bag."""
     L = F.size(tokens) - (n - 1)
     parts = [F.slice(tokens, k + 1, L) for k in range(n)]
     acc = parts[0]
     for k in range(1, n):
         acc = F.zip_with(acc, parts[k], lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(tokens) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a tokens array — the deduped
+    form of :func:`ngram_chain` (see it for the zip_with-vs-
+    index-lambda rationale)."""
     return F.when(
-        F.size(tokens) >= n, F.array_distinct(acc)
+        F.size(tokens) >= n, F.array_distinct(ngram_chain(tokens, n))
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -36,18 +36,28 @@ from pyspark.sql import functions as F
 _TWO_60 = float(1 << 60)
 
 
-def uniform_key(id_col: F.Column) -> F.Column:
+def uniform_key(id_col: F.Column, salt: str | None = None) -> F.Column:
     """Deterministic uniform in (0, 1] derived from md5 of the id —
     the seedless coin every sampler here flips. A pure function of the
     data: reproducible across runs, partitionings, cluster sizes, and
     engines (DuckDB computes the identical value from the same md5
     literals, so sampled outputs stay hash-oracle-checkable). This is
     the ONE place the md5→uniform idiom lives; the DuckDB oracles
-    mirror it byte-for-byte."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    return (h + F.lit(1.0)) / F.lit(_TWO_60)
+    mirror it byte-for-byte.
+
+    ``salt`` domain-separates the coin (md5 of ``'salt|' || id``):
+    REQUIRED whenever a sampler runs downstream of another sampler on
+    the SAME id column — the survivors of an upstream coin flip have
+    conditioned u (every domain_mix survivor has u < rate), which
+    truncates the downstream key distribution and silently voids its
+    sampling guarantee. Distinct salts make the two flips
+    independent; the oracle mirrors the salted concat byte-for-byte."""
+    from .dedup import md5_long
+
+    x = id_col.cast("string")
+    if salt is not None:
+        x = F.concat(F.lit(f"{salt}|"), x)
+    return (md5_long(x) + F.lit(1.0)) / F.lit(_TWO_60)
 
 
 def priority_key(id_col: F.Column, weight_col: F.Column) -> F.Column:
@@ -218,22 +228,10 @@ def _hashed_ngram_features(
     in-document count (a BAG, not a set — importance weights scale
     with occurrence counts). One explode + one groupBy; everything
     codegen."""
-    from .dedup import md5_long
+    from .dedup import md5_long, ngram_chain
 
     toks = F.split(F.col(text_col), " ")
-    # zip_with over two shifted slices, NEVER the index-lambda form —
-    # an array referenced from inside a HOF lambda re-evaluates per
-    # element, so transform(..., i -> get(toks, i+1)) re-runs split()
-    # once per bigram: O(tokens^2) per document (dedup.shingles'
-    # documented 60x anti-pattern; re-measured here at ~9x on
-    # 2000-token docs)
-    L = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, L),
-        F.slice(toks, 2, L),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    grams = F.concat(toks, bigrams)
+    grams = F.concat(toks, ngram_chain(toks, 2))
     f = md5_long(F.col("_gram")) % buckets
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_gram"))
@@ -266,9 +264,9 @@ def dsir_weights(
     EMPTY-STRING text is NOT feature-less: ``split('', ' ')`` is
     ``['']`` in both engines, so empty docs share the one
     empty-gram feature and score like any other doc — do not treat
-    ``log_weight == 0.0`` as an emptiness sentinel). Distributions use Laplace (+1) smoothing over
-    ``buckets`` hashed features, so every log is finite by
-    construction.
+    ``log_weight == 0.0`` as an emptiness sentinel). Distributions
+    use Laplace (+1) smoothing over ``buckets`` hashed features, so
+    every log is finite by construction.
 
     Scale shape: two corpus passes (one explode+groupBy each), then
     the per-feature log-ratio table is ``buckets`` rows — BROADCAST
@@ -370,16 +368,13 @@ def dsir_select(
     md5 opens with 15 'f' digits makes u exactly 1, where Spark's
     ln(0) returns NULL — the row could never win — while DuckDB's
     raises; the clamp keeps both engines finite and identical)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("dsir|"), F.col(id_col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = F.least((h + F.lit(1.0)) / F.lit(_TWO_60), F.lit(1.0 - 2.0 ** -53))
+    lim = F.lit(1.0 - 2.0 ** -53)
+    u_raw = uniform_key(F.col(id_col), salt="dsir")
+    # NULL-preserving clamp: least() SKIPS null arguments, so a
+    # NULL-id row (upstream outer-join junk) would get u = lim and a
+    # near-maximal Gumbel (~36.7) — displacing a legitimate winner.
+    # This form keeps NULL ids at NULL score (sorted last under desc).
+    u = F.when(u_raw > lim, lim).otherwise(u_raw)
     gumbel = -F.log(-F.log(u))
     return (
         dsir_weights(raw, target, id_col, text_col, buckets)

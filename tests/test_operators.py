@@ -2814,6 +2814,25 @@ def test_dsir_weights_match_python_reference(spark):
     assert again == got
 
 
+def test_dsir_select_null_id_never_wins(spark):
+    """A NULL-id row (upstream outer-join junk) must not displace a
+    legitimate winner: the clamp is NULL-PRESERVING (a plain least()
+    SKIPS null args, which would hand the junk row u = 1-2^-53 and a
+    near-maximal Gumbel ~36.7), so its score stays NULL and sorts
+    last under the descending selection."""
+    from git_log_to_sqlite_spark.operators import dsir_select
+
+    raw = spark.createDataFrame(
+        [(1, "theorem proof"), (2, "cat video"), (None, "theorem proof")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(900, "theorem proof lemma")], "doc_id long, text string"
+    )
+    sel = dsir_select(raw, tgt, "doc_id", "text", n=2, buckets=64).collect()
+    assert {r["doc_id"] for r in sel} == {1, 2}  # NULL id sorted out
+
+
 def test_dsir_select_matches_duckdb_twin(spark, oracle_sf_dir):
     """Cross-engine determinism of the FULL DSIR selection (weights +
     md5-Gumbel top-n) — pre-staging this operator's round-12 gate
