@@ -53,29 +53,35 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 # Round-11 rotation (executing the plan pre-staged in round 10, plus
-# this round's additions): the FOUR new gate rows for the round-10
-# operator wave lead — `mm_fuzzy_decontaminate` (simhash-distance
-# benchmark decontamination over the gate-green simhash CTE chain),
-# `mm_video_scene_pairs` (scene-level video dedup: frame dHash into
-# the substring gaps-and-islands recovery), `mm_image_in_video`
-# (the cross-modal hamming_probe content-ID lookup, brute-force
-# twin), and `mm_audio_segment_pairs` (the sub-fingerprint sequence
-# twin — the fourth and hardest of the wave, landed a round early)
-# — per the standing new-query precedent.  Then the fifteen round-8
-# rows spilled past round 10's slot 50 (oldest driver rows), then
-# the round-9-gated block in CORRECTNESS_r09's key order.  4 + 15 +
-# 50 names against a 50-slot prefix means nineteen round-9 rows
-# spill to round 12; per the standing steering rule the spill lands
-# on the lowest-risk deterministic tail of that block (the fn_array /
+# this round's additions): the SIX new gate rows lead — the whole
+# round-10 operator wave (`mm_fuzzy_decontaminate`: simhash-distance
+# benchmark decontamination over the gate-green simhash CTE chain;
+# `mm_video_scene_pairs`: scene-level video dedup, frame dHash into
+# the substring gaps-and-islands recovery; `mm_image_in_video`: the
+# cross-modal hamming_probe content-ID lookup, brute-force twin;
+# `mm_audio_segment_pairs`: the sub-fingerprint sequence twin, the
+# hardest of the wave, landed a round early) PLUS this round's two
+# new operators gated same-round rather than staged
+# (`sem_dedup_assign`: SemDeDup's deterministic tail under pinned
+# centroids and the rounding knobs; `sample_dsir`: DSIR selection
+# with the salted clamped Gumbel coin) — per the standing new-query
+# precedent.  Then the fifteen round-8 rows spilled past round 10's
+# slot 50 (oldest driver rows), then the round-9-gated block in
+# CORRECTNESS_r09's key order.  6 + 15 + 50 names against a 50-slot
+# prefix means twenty-one round-9 rows spill to round 12; per the
+# standing steering rule the spill lands on the lowest-risk
+# deterministic tail of that block (dedup_dropduplicates_subset /
+# agg_pivot / agg_grouping_sets / agg_rollup / agg_cube /
+# agg_collect_sorted deterministic aggregates, the fn_array /
 # fn_explode projections, the per-row text_* / mm_binary_meta
-# projections, the six win_* window suites, the agg_grouping_sets /
-# agg_rollup / agg_cube / agg_collect_sorted deterministic
-# aggregates, and win_time_bucket / text_repetition), never on the
-# streaming-replay, ETL-parity, or composite-pipeline rows — those
-# stay in the prefix.  The corpus is 124 registered queries (119
-# oracle-bearing, 5 oracle-less tail) against a 2x50 gate —
-# freshness cycle ~2.5 rounds; per the standing rule the registry
-# now holds at this size until the gate grows.
+# projections, the six win_* window suites, win_time_bucket,
+# text_repetition), never on the streaming-replay, ETL-parity, or
+# composite-pipeline rows — those stay in the prefix.  The corpus is
+# 126 registered queries (121 oracle-bearing, 5 oracle-less tail)
+# against a 2x50 gate — freshness cycle ~2.52 rounds, marginally
+# past the ~2.5 guideline and accepted because a never-gated
+# operator is worse than a slightly staler rotation (the round-10
+# verdict's adjudication); the registry now HOLDS at this size.
 _prioritize(
     first=[
         # --- new queries with no driver row yet ---
@@ -83,6 +89,8 @@ _prioritize(
         "mm_video_scene_pairs",
         "mm_image_in_video",
         "mm_audio_segment_pairs",
+        "sem_dedup_assign",
+        "sample_dsir",
         # --- round-8 holdovers (oldest driver rows; spilled past
         #     round 10's slot 50) ---
         "fn_math",
@@ -122,9 +130,7 @@ _prioritize(
         "join_anti",
         "join_range_bands",
         "join_asof_last_event",
-        "dedup_dropduplicates_subset",
         "agg_salted_skew",
-        "agg_pivot",
         "events_sessionize",
         "events_cohort_retention",
         "sample_domain_mix",
@@ -135,6 +141,8 @@ _prioritize(
         "stream_join_replay",
         "etl_logs_parity",
         # --- spill past slot 50 → lead the round-12 rotation ---
+        "dedup_dropduplicates_subset",
+        "agg_pivot",
         "agg_grouping_sets",
         "fn_array",
         "fn_explode",

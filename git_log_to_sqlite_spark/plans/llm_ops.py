@@ -1749,6 +1749,85 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.round("priority", 6).alias("priority"))
 
 
+_DSIR_B = 2048  # hashed feature buckets at the gate SF
+_DSIR_MOD = 29  # the eval-slice convention (_FUZZY_DECON_MOD): every
+# 29th doc plays the curated target corpus
+_DSIR_N = 50
+
+_SQL_DSIR_GRAMS = """unnest(list_concat(
+        string_split(text, ' '),
+        list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
+      )) AS g"""
+
+
+@register(
+    "sample_dsir",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, text FROM documents WHERE doc_id % {_DSIR_MOD} <> 0),
+    tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % {_DSIR_MOD} = 0),
+    rg AS (SELECT doc_id, {_SQL_DSIR_GRAMS} FROM raw),
+    tg AS (SELECT doc_id, {_SQL_DSIR_GRAMS} FROM tgt),
+    rf AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_B} AS f,
+                  COUNT(*) AS c
+           FROM rg GROUP BY doc_id, f),
+    tf AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_B} AS f,
+                  COUNT(*) AS c
+           FROM tg GROUP BY f),
+    rcnt AS (SELECT f, SUM(c) AS rc FROM rf GROUP BY f),
+    tcnt AS (SELECT f, SUM(c) AS tc FROM tf GROUP BY f),
+    ratio AS (
+      SELECT COALESCE(rcnt.f, tcnt.f) AS f,
+             ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE))
+               - ln(CAST(COALESCE(rc, 0) + 1 AS DOUBLE)) AS lr
+      FROM rcnt FULL JOIN tcnt ON rcnt.f = tcnt.f),
+    tot AS (
+      SELECT ln(CAST((SELECT SUM(tc) FROM tcnt) + {_DSIR_B} AS DOUBLE))
+               - ln(CAST((SELECT SUM(rc) FROM rcnt) + {_DSIR_B} AS DOUBLE)) AS norm),
+    per_doc AS (
+      SELECT rf.doc_id,
+             SUM(rf.c * ratio.lr) - SUM(rf.c) * (SELECT norm FROM tot) AS w
+      FROM rf JOIN ratio ON ratio.f = rf.f
+      GROUP BY rf.doc_id),
+    weights AS (
+      SELECT raw.doc_id,
+             ROUND(COALESCE(per_doc.w, 0.0), 6) AS log_weight
+      FROM raw LEFT JOIN per_doc ON per_doc.doc_id = raw.doc_id)
+    SELECT doc_id, log_weight,
+           ROUND(log_weight
+                 - ln(-ln(least(
+                     (('0x' || substr(md5('dsir|' || doc_id::VARCHAR), 1, 15))::BIGINT + 1.0)
+                       / 1152921504606846976.0,
+                     1.0 - pow(2.0, -53)))), 6) AS score
+    FROM weights
+    ORDER BY score DESC, doc_id ASC LIMIT {_DSIR_N}
+    """,
+    doc="DSIR data selection (operators.sampling.dsir_select — Xie et "
+    "al. 2023): per-document log-likelihood ratio under hashed "
+    "unigram+bigram bag-of-ngrams models of the raw vs target corpora "
+    "(Laplace-smoothed, total-mass normalized; 15-hex md5 bucket ids "
+    "— the uniform_key idiom), resampled by Gumbel-top-n with a "
+    "domain-separated md5 coin clamped below 1.0 — the Gumbel-max "
+    "trick makes the deterministic top-n equivalent to "
+    "softmax-weighted sampling without replacement, so even the "
+    "SELECTION is hash-oracle-checked (scores to 6 dp, winner order "
+    "exact). Two linear corpus passes; the 2048-row log-ratio "
+    "table broadcasts; TakeOrderedAndProject selection.",
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import dsir_select
+
+    d = table(spark, sf_dir, "documents")
+    return dsir_select(
+        d.filter(F.col("doc_id") % _DSIR_MOD != 0),
+        d.filter(F.col("doc_id") % _DSIR_MOD == 0),
+        "doc_id",
+        "text",
+        n=_DSIR_N,
+        buckets=_DSIR_B,
+    )
+
+
 @register(
     "sample_stratified",
     oracle=None,  # sampling: property-tested (fractions/determinism), not hash-matched

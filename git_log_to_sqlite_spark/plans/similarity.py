@@ -361,6 +361,89 @@ def sim_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDD_CENT_IDS = (3, 11, 19, 27)  # sim_ann_ivf_assign's pinned model state
+_SEMDD_THR = 0.3  # the synthetic embeddings are near-random (top cos ~0.3);
+# a semantic threshold would drop nothing and gate the operator vacuously
+
+_SQL_COS6_AB = (
+    "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    "  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+)
+_SQL_CSIM6 = (
+    "ROUND(list_dot_product(e.embedding::DOUBLE[], c.c)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    "  * sqrt(list_dot_product(c.c, c.c))), 6)"
+)
+
+
+@register(
+    "sem_dedup_assign",
+    oracle=f"""
+    WITH cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id IN {_SEMDD_CENT_IDS}),
+    sqd AS (
+      SELECT e.vec_id, c.cell,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], c.c)
+                   + list_dot_product(c.c, c.c), 6) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rnk
+        FROM sqd) t WHERE rnk = 1),
+    ranked AS (
+      SELECT a.vec_id, a.cell, {_SQL_CSIM6} AS csim,
+             ROW_NUMBER() OVER (PARTITION BY a.cell
+                                ORDER BY {_SQL_CSIM6} ASC, a.vec_id ASC) AS rnk
+      FROM asg a
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN cents c ON c.cell = a.cell),
+    drops AS (
+      SELECT rb.vec_id, MIN(ra.rnk) AS _r
+      FROM ranked ra JOIN ranked rb
+        ON ra.cell = rb.cell AND ra.rnk < rb.rnk
+      JOIN embeddings a ON a.vec_id = ra.vec_id
+      JOIN embeddings b ON b.vec_id = rb.vec_id
+      WHERE {_SQL_COS6_AB} >= {_SEMDD_THR}
+      GROUP BY rb.vec_id),
+    blame AS (
+      SELECT d.vec_id, r.vec_id AS dup_of
+      FROM drops d JOIN ranked rd ON rd.vec_id = d.vec_id
+      JOIN ranked r ON r.cell = rd.cell AND r.rnk = d._r)
+    SELECT r.vec_id, r.cell, r.csim AS centroid_sim, b.dup_of,
+           CAST(b.dup_of IS NULL AS INT) AS is_kept
+    FROM ranked r LEFT JOIN blame b USING (vec_id)
+    """,
+    doc="SemDeDup (operators.similarity.semantic_dedup — Abbas et al. "
+    "2023): cluster-scoped semantic dedup, the ORACLE-GATED "
+    "deterministic tail under pinned centroids (sim_ann_ivf_assign's "
+    "model-state convention) and the registry rounding knobs — cell "
+    "assignment by the rounded dot-identity distance, "
+    "farthest-from-centroid-first rank, the upper-triangular drop "
+    "rule with lowest-ranked blame, annotate-don't-filter output. "
+    "The quantizer FIT stays outside the oracle (kmeans_fit_sample, "
+    "property-tested); pairs never cross cells by design.",
+)
+def sem_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.filter(F.col("vec_id").isin(*_SEMDD_CENT_IDS))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return semantic_dedup(
+        e, "vec_id", "embedding", centroids,
+        threshold=_SEMDD_THR, round_to=6, dist_round_to=6,
+    )
+
+
 @register(
     "dedup_embedding_groups",
     oracle=f"""
