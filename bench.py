@@ -251,8 +251,11 @@ def main() -> None:
     finally:
         spark.catalog.clearCache()
 
-    # DSIR selection (round-11 operator, gated round 12 as
-    # sample_dsir): weights + md5-Gumbel top-n at the gate parameters.
+    # DSIR selection (round-11 operator, gated same-round as
+    # sample_dsir): weights + md5-Gumbel top-n at the gate parameters,
+    # then the SAME selection under the production xxhash64 feature
+    # hash (round-12 knob) — the pair measures exactly the md5-vs-
+    # native-hash cost BASELINE.md names as DSIR's dominant term.
     try:
         from pyspark.sql import functions as F
 
@@ -261,16 +264,18 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         raw_docs = docs.filter(F.col("doc_id") % 29 != 0)
         tgt_docs = docs.filter(F.col("doc_id") % 29 == 0)
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            dsir_select(
-                raw_docs, tgt_docs, "doc_id", "text", n=50, buckets=2048
-            ).write.mode("overwrite").format("noop").save()
-            runs.append(round(time.perf_counter() - t0, 3))
-        extra["dsir_select"] = round(min(runs), 3)
-        print(f"  [extra] dsir_select: {extra['dsir_select']:.3f}s",
-              file=sys.stderr)
+        for hf, key in (("md5", "dsir_select"),
+                        ("xxhash64", "dsir_select_xxhash64")):
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dsir_select(
+                    raw_docs, tgt_docs, "doc_id", "text", n=50,
+                    buckets=2048, hash_fn=hf,
+                ).write.mode("overwrite").format("noop").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            extra[key] = round(min(runs), 3)
+            print(f"  [extra] {key}: {extra[key]:.3f}s", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — extras never gate
         extra_errors["dsir_select"] = _fmt_exc(exc)
         print(f"  [extra] dsir_select: FAILED ({extra_errors['dsir_select']})",

@@ -219,20 +219,48 @@ def token_budget_sample(
 
 
 def _hashed_ngram_features(
-    df: DataFrame, id_col: str, text_col: str, buckets: int
+    df: DataFrame, id_col: str, text_col: str, buckets: int,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Hashed unigram+bigram bag per document — DSIR's feature map:
-    ``(id, f, c)`` with ``f = md5_60bit(gram) % buckets`` (the same
-    15-hex-digit md5→BIGINT idiom as :func:`uniform_key`, so a DuckDB
-    oracle reproduces every bucket id exactly) and ``c`` the gram's
-    in-document count (a BAG, not a set — importance weights scale
-    with occurrence counts). One explode + one groupBy; everything
-    codegen."""
+    ``(id, f, c)`` with ``f = hash(gram) % buckets`` and ``c`` the
+    gram's in-document count (a BAG, not a set — importance weights
+    scale with occurrence counts). One explode + one groupBy;
+    everything codegen.
+
+    ``hash_fn`` picks the bucket hash — the md5-vs-speed trade every
+    md5-keyed operator here makes, now as a knob because BASELINE.md
+    measures the per-gram hashing as DSIR's DOMINANT cost (~1.5M gram
+    rows at sf0.1):
+
+    * ``"md5"`` (default): the 15-hex-digit md5→BIGINT idiom shared
+      with :func:`uniform_key`, reproducible by a DuckDB oracle digit
+      for digit — the gate configuration; never change the default
+      without re-hashing the ``sample_dsir`` twin.
+    * ``"xxhash64"``: Spark's native 64-bit hash (one JVM intrinsic
+      vs md5's digest + 15-char substring + base-16 conv), folded
+      non-negative with ``pmod`` — the production configuration for
+      corpora where the oracle replay is not needed. Same estimator
+      semantics (any well-mixed hash yields an equally valid hashed
+      n-gram sketch, per the DSIR paper's feature-hashing argument),
+      different bucket assignment — so weights differ in value but
+      not in distributional meaning; the equivalence-shape test pins
+      that contract.
+    """
     from .dedup import md5_long, ngram_chain
 
     toks = F.split(F.col(text_col), " ")
     grams = F.concat(toks, ngram_chain(toks, 2))
-    f = md5_long(F.col("_gram")) % buckets
+    if hash_fn == "md5":
+        f = md5_long(F.col("_gram")) % buckets
+    elif hash_fn == "xxhash64":
+        # xxhash64 spans the full signed int64 range; pmod (not %)
+        # keeps the bucket id in [0, buckets) on the negative half
+        f = F.pmod(F.xxhash64(F.col("_gram")), F.lit(buckets))
+    else:
+        raise ValueError(
+            f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}"
+        )
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_gram"))
         .select("_id", f.alias("_f"))
@@ -247,6 +275,7 @@ def dsir_weights(
     id_col: str,
     text_col: str,
     buckets: int = 10_000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
     Data Selection via Importance Resampling): per-document
@@ -274,9 +303,12 @@ def dsir_weights(
     shuffled on a feature key; the final agg shuffles one row per
     (document, distinct-feature) with map-side partial sums. At
     100 TB the only O(corpus) stages are the feature explode and the
-    weight agg — both unavoidable and both linear."""
-    rf = _hashed_ngram_features(raw, id_col, text_col, buckets)
-    tf = _hashed_ngram_features(target, id_col, text_col, buckets)
+    weight agg — both unavoidable and both linear; ``hash_fn``
+    (:func:`_hashed_ngram_features`) trades the oracle-replayable md5
+    bucket hash for the several-times-faster native xxhash64 on
+    exactly those two stages."""
+    rf = _hashed_ngram_features(raw, id_col, text_col, buckets, hash_fn)
+    tf = _hashed_ngram_features(target, id_col, text_col, buckets, hash_fn)
     rcnt = rf.groupBy("_f").agg(F.sum("_c").alias("_rc"))
     tcnt = tf.groupBy("_f").agg(F.sum("_c").alias("_tc"))
     # Laplace-smoothed log-ratio per feature; the CAST(sum AS DOUBLE)
@@ -345,6 +377,7 @@ def dsir_select(
     text_col: str,
     n: int,
     buckets: int = 10_000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """DSIR's selection step: Gumbel-top-n over the importance
     weights — the paper's importance RESAMPLING, derandomized the
@@ -367,7 +400,13 @@ def dsir_select(
     resampling equivalence. And u is clamped below 1.0 (an id whose
     md5 opens with 15 'f' digits makes u exactly 1, where Spark's
     ln(0) returns NULL — the row could never win — while DuckDB's
-    raises; the clamp keeps both engines finite and identical)."""
+    raises; the clamp keeps both engines finite and identical).
+
+    ``hash_fn`` reaches only the FEATURE hashing (per-gram, the
+    dominant cost — see :func:`_hashed_ngram_features`); the Gumbel
+    coin stays md5 in both modes — one digest per document is
+    negligible, and keeping the coin fixed means switching hash_fn
+    perturbs only the weights, not the tie-breaking randomness."""
     lim = F.lit(1.0 - 2.0 ** -53)
     u_raw = uniform_key(F.col(id_col), salt="dsir")
     # NULL-preserving clamp: least() SKIPS null arguments, so a
@@ -377,7 +416,7 @@ def dsir_select(
     u = F.when(u_raw > lim, lim).otherwise(u_raw)
     gumbel = -F.log(-F.log(u))
     return (
-        dsir_weights(raw, target, id_col, text_col, buckets)
+        dsir_weights(raw, target, id_col, text_col, buckets, hash_fn)
         .select(
             id_col,
             "log_weight",

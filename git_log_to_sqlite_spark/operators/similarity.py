@@ -15,8 +15,13 @@ for the same arithmetic.
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import Observation
 
 
 def _as_double(arr: Column) -> Column:
@@ -351,6 +356,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     round_to: int | None = None,
     dist_round_to: int | None = None,
+    observation: "Observation | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     SEMANTIC dedup — near-duplicate *meanings* (a paraphrase, a
@@ -403,11 +409,58 @@ def semantic_dedup(
     rounds both cosines before comparing/ordering and
     ``dist_round_to`` selects the cross-engine-stable assignment
     distance — together they make the whole annotation reproducible
-    by a SQL oracle (the ``sim_ann_ivf_assign`` precedent)."""
+    by a SQL oracle (the ``sim_ann_ivf_assign`` precedent).
+
+    ``observation`` arms the cell-size telemetry every other pair
+    stage in this repo carries (:func:`_observe_cell_stats`):
+    SemDeDup's candidate mass is sum |cell|(|cell|-1)/2, bounded by
+    the k knob ONLY while the quantizer actually spreads the corpus —
+    a degenerate corpus (every embedding near-identical, or a
+    quantizer fitted on unrepresentative data) concentrates in one
+    mega-cell that silently pays |corpus|^2/2. Per the paper the fix
+    is upstream (exact-dedup first; refit with larger k), so this
+    valve OBSERVES and never caps — capping would void the
+    upper-triangular semantics the way the fuzzy_decontaminate
+    docstring warns."""
     ranked = _semantic_ranked(
         df, id_col, vec_col, centroids, round_to, dist_round_to
     )
+    if observation is not None:
+        _observe_cell_stats(ranked, observation)
     return _semantic_annotate(ranked, id_col, threshold, round_to)
+
+
+def _observe_cell_stats(ranked: DataFrame, observation: "Observation") -> None:
+    """Cell-occupancy telemetry for the SemDeDup family — the one pair
+    stage that had no observable for its degenerate input (the VERDICT
+    r11 scale watch). Emits, over the PINNED ranked frame:
+
+    * ``cells`` — occupied cell count,
+    * ``max_cell_rows`` — the largest cell's membership (a mega-cell
+      detector: max_cell_rows ~ corpus size means the quantizer is
+      not doing its job and the pair join will pay ~|corpus|^2/2),
+    * ``pair_mass`` — sum d(d-1)/2 over cells, the EXACT candidate
+      row count the upper-triangular join will produce.
+
+    EAGER, per the round-9 doctrine (`_capped_bands` docstring: a
+    lazily-planned observe node under AQE loses its metrics row when
+    stage-wrapped/pruned/duplicated): a dedicated tiny aggregate
+    rooted on the pinned frame, drained JVM-side with ``.count()`` at
+    operator-call time — it doubles as the pin's materialization, so
+    the annotate stage that follows reads the cache. Deliberately
+    annotate-don't-cap: shedding members would break the paper's
+    drop rule, so a pipeline alerts on the metrics instead (the
+    documented mitigations: exact-dedup first, larger k)."""
+    counts = ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("d"))
+    d = F.col("d").cast("long")
+    counts.observe(
+        observation,
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("cells"),
+        F.coalesce(F.max(d), F.lit(0)).cast("long").alias("max_cell_rows"),
+        F.coalesce(F.sum(d * (d - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("pair_mass"),
+    ).count()
 
 
 def _checked_embedding(vec_col: str, dim: int, context: str) -> Column:
@@ -918,24 +971,39 @@ class SemanticStore(_ParquetStore):
         self.threshold = threshold
         self.round_to = round_to
         self.dist_round_to = dist_round_to
+        self._dim_cache: int | None = None
 
     def centroids_df(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.base}/centroids")
 
     def _dim(self) -> int:
-        return self.centroids_df().select(F.size("centroid")).first()[0]
+        # memoized: the quantizer dim is immutable between bootstraps
+        # (append-only kept table, centroids written once), so one
+        # k-row parquet read per store LIFETIME, not one per ingest
+        if self._dim_cache is None:
+            self._dim_cache = (
+                self.centroids_df().select(F.size("centroid")).first()[0]
+            )
+        return self._dim_cache
 
     def bootstrap(
-        self, corpus: DataFrame, centroids: "list[list[float]] | DataFrame"
+        self,
+        corpus: DataFrame,
+        centroids: "list[list[float]] | DataFrame",
+        observation: "Observation | None" = None,
     ) -> None:
         """Initialize (overwrite) the store: run batch SemDeDup on
         ``corpus`` under ``centroids`` (the fitted quantizer — list or
         ``(cell, centroid)`` table) and persist the KEPT rows'
         ``(id, vector, norm, cell)`` plus the centroid table. The
         bootstrap corpus itself gets the paper's centroid-rank
-        priority; arrival order takes over from the first ingest."""
+        priority; arrival order takes over from the first ingest.
+        ``observation`` arms :func:`_observe_cell_stats` over the
+        corpus-sized ranked frame — the store path's mega-cell valve
+        (bootstrap is where the |corpus|^2/2 degenerate risk lives)."""
         from .caching import cache_scope
 
+        self._dim_cache = None  # new quantizer → re-read the dim
         if not isinstance(centroids, DataFrame):
             cdf = self.spark.createDataFrame(
                 [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
@@ -951,6 +1019,8 @@ class SemanticStore(_ParquetStore):
                 expect_dim=self._dim(),
                 guard_context=f"SemanticStore.bootstrap at {self.base}",
             )
+            if observation is not None:
+                _observe_cell_stats(ranked, observation)
             kept_ids = _semantic_annotate(
                 ranked, self.id_col, self.threshold, self.round_to
             ).filter(F.col("is_kept") == 1).select(self.id_col)
@@ -964,7 +1034,9 @@ class SemanticStore(_ParquetStore):
                 .parquet(self.path)
             )
 
-    def ingest(self, batch: DataFrame) -> DataFrame:
+    def ingest(
+        self, batch: DataFrame, observation: "Observation | None" = None
+    ) -> DataFrame:
         """Annotate ``batch`` against the store and append its kept
         rows. Returns the materialized ``(id, cell, centroid_sim,
         dup_of, dup_source, is_kept)`` — ``dup_source`` is 'history'
@@ -982,7 +1054,12 @@ class SemanticStore(_ParquetStore):
         cliff) and
         the batch-internal annotate stage. Cache hygiene mirrors
         every sibling ingest: pins in a cache_scope, annotation
-        checkpointed before the append."""
+        checkpointed before the append. ``observation`` arms
+        :func:`_observe_cell_stats` over the batch's ranked frame —
+        a skewed BATCH (all of today's vectors landing in one cell)
+        multiplies the history probe's candidate mass by that cell's
+        kept membership, and the batch-side occupancy is the early
+        signal a pipeline can alert on without scanning the store."""
         from .caching import cache_scope
 
         self._require_bootstrapped()
@@ -993,6 +1070,8 @@ class SemanticStore(_ParquetStore):
                 expect_dim=self._dim(),
                 guard_context=f"SemanticStore.ingest at {self.base}",
             )
+            if observation is not None:
+                _observe_cell_stats(ranked, observation)
             s = self.read().select(
                 F.col(self.id_col).alias("_hid"),
                 F.col("_v").alias("_hv"),

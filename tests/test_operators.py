@@ -1315,6 +1315,141 @@ def test_semantic_dedup_zero_norm_never_dropped(spark):
     assert got[4] == (None, 1)     # ...even of each other (exact dedup's job)
 
 
+def test_semantic_dedup_cell_stats_observation(spark):
+    """The round-11 scale watch: semantic_dedup was the one pair stage
+    without a cell-occupancy observable. Planted mega-cell — six
+    vectors crowd cell 0, two sit in cell 1 — and the telemetry must
+    report the EXACT candidate mass the upper-triangular join pays
+    (sum d(d-1)/2 = 15 + 1), eagerly at operator-call time (readable
+    BEFORE the annotation is consumed, the round-9 AQE-loss doctrine),
+    while the annotation itself is unchanged by arming the valve
+    (annotate-don't-cap: capping would void the paper's drop rule)."""
+    import math
+
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import semantic_dedup
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    rows = [(i, at(i * 3)) for i in range(6)]      # 0..15 deg: cell 0
+    rows += [(10, at(180)), (11, at(177))]         # cell 1 pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    obs = Observation("semdedup_cells")
+    armed = semantic_dedup(df, "vec_id", "embedding", cents,
+                           threshold=0.9, observation=obs)
+    m = obs.get  # eager: already complete, no action on `armed` yet
+    assert m["cells"] == 2
+    assert m["max_cell_rows"] == 6
+    assert m["pair_mass"] == 15 + 1
+    plain = semantic_dedup(df, "vec_id", "embedding", cents, threshold=0.9)
+    assert sorted(map(tuple, armed.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_semantic_store_cell_stats_observation(spark, tmp_path):
+    """Both store paths carry the mega-cell valve: bootstrap observes
+    the corpus-sized ranked frame (where the |corpus|^2/2 degenerate
+    risk lives), each ingest observes its batch's — a fresh
+    Observation per call, matching pyspark's single-use contract.
+    Also pins the _dim() memoization introduced alongside: the
+    quantizer dim is cached after bootstrap's first read."""
+    import math
+
+    from pyspark.sql import Observation
+
+    from git_log_to_sqlite_spark.operators import SemanticStore
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    store = SemanticStore(spark, str(tmp_path / "semstore"), threshold=0.98)
+    ob = Observation("boot_cells")
+    store.bootstrap(
+        spark.createDataFrame(
+            [(1, at(0)), (2, at(40)), (3, at(179))],
+            "vec_id long, embedding array<double>"),
+        cents, observation=ob)
+    assert ob.get["cells"] == 2
+    assert ob.get["max_cell_rows"] == 2   # cell 0 holds {1, 2}
+    assert ob.get["pair_mass"] == 1
+    assert store._dim_cache == 2          # memoized during bootstrap
+
+    oi = Observation("ingest_cells")
+    res = store.ingest(
+        spark.createDataFrame(
+            [(10, at(5)), (11, at(10)), (12, at(15))],
+            "vec_id long, embedding array<double>"),
+        observation=oi)
+    assert oi.get["cells"] == 1           # today's batch crowds cell 0
+    assert oi.get["max_cell_rows"] == 3
+    assert oi.get["pair_mass"] == 3
+    assert res.count() == 3
+
+
+def test_semantic_store_ingest_no_broadcast_plan_equivalence(spark, tmp_path):
+    """The backfill contract behind ingest's deliberately UNHINTED
+    history join (the round-11 docstring promise, now executed): a
+    daily-increment batch broadcasts by estimate, but a backfill-scale
+    batch must DEGRADE to a shuffled cell join instead of hitting the
+    8 GB broadcast cliff a hard hint would force. Forcing the degraded
+    regime (autoBroadcastJoinThreshold=-1 — the planner's view of
+    'too big to broadcast') must change the plan, not the answer:
+    identical annotation, blame ids, and kept set. Bootstrap runs
+    under the default conf both times; only the ingest differs."""
+    import math
+
+    from git_log_to_sqlite_spark.operators import SemanticStore
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # threshold 0.9995 <-> a ~1.81deg similarity cut. Bootstrap rows
+    # sit 4deg apart (no intra-boot drops); the batch plants 1deg
+    # history dups, 0.1deg intra-batch pairs at boot midpoints
+    # (>= 1.95deg from any boot row — no history hit), exercising
+    # both drop sources in both plan regimes.
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    schema = "vec_id long, embedding array<double>"
+    boot = [(i, at(4 * i)) for i in range(40)]
+    batch = [(200 + i, at(4 * i + 1)) for i in range(20)]
+    batch += [(300 + i, at(4 * i + 1.95)) for i in range(20, 39)]
+    batch += [(400 + i, at(4 * i + 2.05)) for i in range(20, 39)]
+
+    def run(path, threshold_conf):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        store = SemanticStore(spark, path, threshold=0.9995)
+        store.bootstrap(spark.createDataFrame(boot, schema), cents)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold_conf)
+        try:
+            ann = sorted(
+                map(tuple,
+                    store.ingest(spark.createDataFrame(batch, schema))
+                    .collect())
+            )
+            kept = sorted(r["vec_id"] for r in store.read().collect())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        return ann, kept
+
+    broadcast_regime = run(str(tmp_path / "s_bcast"), "10485760")
+    shuffled_regime = run(str(tmp_path / "s_shuffle"), "-1")
+    assert broadcast_regime == shuffled_regime
+    # non-vacuous: both drop sources fired, and the novel half landed
+    ann, kept = broadcast_regime
+    sources = [r[4] for r in ann]
+    assert sources.count("history") == 20
+    assert sources.count("batch") == 19
+    assert len(kept) == 40 + 19
+
+
 def test_semantic_dedup_matches_duckdb_twin(spark, oracle_sf_dir):
     """Cross-engine determinism of the FULL SemDeDup annotation under
     the rounding knobs (round_to=6, dist_round_to=6) with pinned
@@ -2906,6 +3041,50 @@ def test_dsir_select_matches_duckdb_twin(spark, oracle_sf_dir):
         (i, pytest.approx(w, abs=1e-6), pytest.approx(s, abs=1e-6))
         for i, w, s in want
     ]
+
+
+def test_dsir_hash_fn_equivalence_shape(spark):
+    """The production-hash contract behind the hash_fn knob
+    (BASELINE.md names the md5-per-gram hashing as DSIR's dominant
+    cost): xxhash64 assigns different buckets than md5, but the
+    estimator's SHAPE survives any well-mixed feature hash — under
+    BOTH hashes every target-look-alike raw doc outweighs every junk
+    doc, all weights are finite (the Laplace smoothing guarantee is
+    hash-independent), and the selection cardinality is identical.
+    md5 stays the default, so the gated sample_dsir twin never sees
+    the knob."""
+    import pytest
+
+    from git_log_to_sqlite_spark.operators import dsir_select, dsir_weights
+
+    tgt_text = "the quick brown fox jumps over the lazy dog"
+    rdf = spark.createDataFrame(
+        [(i, tgt_text) for i in range(10)]
+        + [(100 + i, f"zz{i} qq{i} ww{i} ee{i} rr{i} tt{i}")
+           for i in range(10)],
+        "doc_id long, text string",
+    )
+    tdf = spark.createDataFrame(
+        [(i, tgt_text) for i in range(8)], "doc_id long, text string"
+    )
+
+    for hf in ("md5", "xxhash64"):
+        w = {
+            r["doc_id"]: r["log_weight"]
+            for r in dsir_weights(
+                rdf, tdf, "doc_id", "text", buckets=4096, hash_fn=hf
+            ).collect()
+        }
+        assert len(w) == 20
+        assert all(v == v and abs(v) < 1e6 for v in w.values()), hf
+        assert min(w[i] for i in range(10)) > \
+            max(w[100 + i] for i in range(10)), hf
+        sel = dsir_select(rdf, tdf, "doc_id", "text", n=5,
+                          buckets=4096, hash_fn=hf).collect()
+        assert len(sel) == 5
+        assert all(r["score"] == r["score"] for r in sel), hf
+    with pytest.raises(ValueError, match="hash_fn"):
+        dsir_weights(rdf, tdf, "doc_id", "text", hash_fn="sha1").collect()
 
 
 def test_weighted_reservoir_biases_toward_heavy_weights(spark):
