@@ -1350,6 +1350,17 @@ def test_semantic_dedup_cell_stats_observation(spark):
     assert sorted(map(tuple, armed.collect())) == \
         sorted(map(tuple, plain.collect()))
 
+    # the large-k table-centroids path shares the ranked frame, so the
+    # same valve must fire with identical metrics there
+    cdf = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).repartition(1)
+    obs_t = Observation("semdedup_cells_table")
+    semantic_dedup(df, "vec_id", "embedding", cdf,
+                   threshold=0.9, observation=obs_t)
+    assert obs_t.get == m
+
 
 def test_semantic_store_cell_stats_observation(spark, tmp_path):
     """Both store paths carry the mega-cell valve: bootstrap observes
