@@ -266,17 +266,24 @@ def main() -> None:
         tgt_docs = docs.filter(F.col("doc_id") % 29 == 0)
         for hf, key in (("md5", "dsir_select"),
                         ("xxhash64", "dsir_select_xxhash64")):
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                dsir_select(
-                    raw_docs, tgt_docs, "doc_id", "text", n=50,
-                    buckets=2048, hash_fn=hf,
-                ).write.mode("overwrite").format("noop").save()
-                runs.append(round(time.perf_counter() - t0, 3))
-            extra[key] = round(min(runs), 3)
-            print(f"  [extra] {key}: {extra[key]:.3f}s", file=sys.stderr)
-    except Exception as exc:  # noqa: BLE001 — extras never gate
+            # per-leg try: an md5 failure must not skip the xxhash64
+            # measurement, and each leg's error lands under ITS key
+            try:
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    dsir_select(
+                        raw_docs, tgt_docs, "doc_id", "text", n=50,
+                        buckets=2048, hash_fn=hf,
+                    ).write.mode("overwrite").format("noop").save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                extra[key] = round(min(runs), 3)
+                print(f"  [extra] {key}: {extra[key]:.3f}s", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 — extras never gate
+                extra_errors[key] = _fmt_exc(exc)
+                print(f"  [extra] {key}: FAILED ({extra_errors[key]})",
+                      file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — the shared scan setup
         extra_errors["dsir_select"] = _fmt_exc(exc)
         print(f"  [extra] dsir_select: FAILED ({extra_errors['dsir_select']})",
               file=sys.stderr)

@@ -453,11 +453,17 @@ def _observe_cell_stats(ranked: DataFrame, observation: "Observation") -> None:
     documented mitigations: exact-dedup first, larger k)."""
     counts = ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("d"))
     d = F.col("d").cast("long")
+    # d(d-1)/2 via shiftright: pure long arithmetic (d(d-1) is always
+    # even), so the sum is EXACT where the float-division form would
+    # round past 2^53 — i.e. precisely the mega-cell regime this valve
+    # exists to detect. (The long multiply itself overflows at
+    # d ~ 3e9 rows in ONE cell — beyond that the ANSI overflow error
+    # is itself the alarm.)
     counts.observe(
         observation,
         F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("cells"),
         F.coalesce(F.max(d), F.lit(0)).cast("long").alias("max_cell_rows"),
-        F.coalesce(F.sum(d * (d - 1) / 2), F.lit(0))
+        F.coalesce(F.sum(F.shiftright(d * (d - 1), 1)), F.lit(0))
         .cast("long")
         .alias("pair_mass"),
     ).count()
@@ -979,7 +985,12 @@ class SemanticStore(_ParquetStore):
     def _dim(self) -> int:
         # memoized: the quantizer dim is immutable between bootstraps
         # (append-only kept table, centroids written once), so one
-        # k-row parquet read per store LIFETIME, not one per ingest
+        # k-row parquet read per store LIFETIME, not one per ingest.
+        # Single-writer contract (the whole store family's): a
+        # re-bootstrap through ANOTHER handle/process invalidates this
+        # handle entirely (threshold/rounding config could differ
+        # too, and its in-flight ingest would race the overwrite) —
+        # open a fresh SemanticStore after any external re-bootstrap.
         if self._dim_cache is None:
             self._dim_cache = (
                 self.centroids_df().select(F.size("centroid")).first()[0]
