@@ -486,6 +486,32 @@ def test_minhash_band_cap_filters_before_band_join(spark, sf):
     assert max(anti) < min(band_inner), (anti, band_inner)
 
 
+def test_semantic_dedup_single_ranked_pass(spark, sf):
+    """Round-11's ranked-frame pin, now plan-asserted (it was measured
+    ~2x wall clock at the time): the scan -> assignment -> cosine ->
+    rank tree feeds THREE structurally different consumers (both pair-
+    join sides and the annotation spine) whose pruned ReadSchemas
+    differ, so ReuseExchange never fires — the pin must serve all
+    three (3 InMemoryTableScans), the corpus parquet is scanned at
+    most once (inside the cache build), the rank Window executes
+    exactly once, and the pair stage is an EQUI join on the cell id
+    (rank inequality as residual) — never a cartesian or nested-loop
+    (the |cell|^2-bounded-by-k contract). Cold-cache plan, per the
+    round-10 order-dependence lesson."""
+    spark.catalog.clearCache()
+    plan = plan_of(plans.REGISTRY["sem_dedup_assign"].fn(spark, sf))
+    node_lines = [l for l in plan.splitlines() if l.startswith("(")]
+    assert sum("InMemoryTableScan" in l for l in node_lines) >= 3, node_lines
+    assert sum("Scan parquet" in l for l in node_lines) <= 1, node_lines
+    assert sum(" Window" in l for l in node_lines) == 1, node_lines
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cell-equi pair join must key on the cell id
+    joins = [l for l in node_lines
+             if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    assert joins, node_lines
+
+
 def test_tfidf_single_corpus_pass(spark, sf):
     """tf feeds both docfreq and the join probe side; it must come from
     the cache (InMemoryTableScan), leaving exactly two parquet scans:
