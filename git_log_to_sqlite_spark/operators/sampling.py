@@ -306,11 +306,26 @@ def dsir_weights(
     weight agg — both unavoidable and both linear; ``hash_fn``
     (:func:`_hashed_ngram_features`) trades the oracle-replayable md5
     bucket hash for the several-times-faster native xxhash64 on
-    exactly those two stages."""
-    rf = _hashed_ngram_features(raw, id_col, text_col, buckets, hash_fn)
+    exactly those two stages.
+
+    ``rf`` (the raw corpus's feature bag) feeds BOTH the feature-count
+    branch and the per-document weight sum, and the branches' pruned
+    ReadSchemas differ — structurally different subtrees, so
+    ReuseExchange never fires and the corpus would be scanned +
+    exploded + aggregated TWICE (the semantic-dedup ranked-frame
+    lesson, caught by this plan's formatted-explain pin). Pinned:
+    one (doc, feature, count) row per distinct gram per doc —
+    input-proportional, the same trade as every pair-stage pin, and
+    strictly smaller than the exploded gram stream it replaces. The
+    two ``buckets``-row count tables are pinned for the same two-
+    consumer reason (ratio + total-mass normalizer) at negligible
+    size."""
+    from .caching import pin
+
+    rf = pin(_hashed_ngram_features(raw, id_col, text_col, buckets, hash_fn))
     tf = _hashed_ngram_features(target, id_col, text_col, buckets, hash_fn)
-    rcnt = rf.groupBy("_f").agg(F.sum("_c").alias("_rc"))
-    tcnt = tf.groupBy("_f").agg(F.sum("_c").alias("_tc"))
+    rcnt = pin(rf.groupBy("_f").agg(F.sum("_c").alias("_rc")))
+    tcnt = pin(tf.groupBy("_f").agg(F.sum("_c").alias("_tc")))
     # Laplace-smoothed log-ratio per feature; the CAST(sum AS DOUBLE)
     # / int form is the registry's deterministic-division rule, so
     # the DuckDB twin computes bit-identical doubles before the log

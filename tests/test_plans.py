@@ -512,6 +512,27 @@ def test_semantic_dedup_single_ranked_pass(spark, sf):
     assert joins, node_lines
 
 
+def test_dsir_single_explode_per_corpus(spark, sf):
+    """Round-12 pin for DSIR's declared scale shape: the raw corpus's
+    feature bag feeds BOTH the count branch and the per-doc weight sum
+    (differing pruned schemas — no ReuseExchange), so without its pin
+    the corpus was scanned + exploded + aggregated twice (5 Generate
+    nodes; caught by reading this plan). Pinned: exactly one Generate
+    per corpus (raw + target), the log-ratio table joins the feature
+    bag by BROADCAST (the corpus never shuffles on a feature key),
+    the selection compiles to TakeOrderedAndProject (never a global
+    sort), and the only nested-loop joins are the two 1-row
+    total-mass normalizer crossJoins (the broadcast-scalar plan)."""
+    spark.catalog.clearCache()
+    plan = plan_of(plans.REGISTRY["sample_dsir"].fn(spark, sf))
+    node_lines = [l for l in plan.splitlines() if l.startswith("(")]
+    assert sum("Generate" in l for l in node_lines) == 2, node_lines
+    assert "TakeOrderedAndProject" in plan
+    assert sum("BroadcastHashJoin" in l for l in node_lines) >= 1, node_lines
+    assert sum("BroadcastNestedLoopJoin" in l for l in node_lines) <= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_single_corpus_pass(spark, sf):
     """tf feeds both docfreq and the join probe side; it must come from
     the cache (InMemoryTableScan), leaving exactly two parquet scans:
