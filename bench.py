@@ -264,6 +264,8 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         raw_docs = docs.filter(F.col("doc_id") % 29 != 0)
         tgt_docs = docs.filter(F.col("doc_id") % 29 == 0)
+        from git_log_to_sqlite_spark.operators.caching import release_caches
+
         for hf, key in (("md5", "dsir_select"),
                         ("xxhash64", "dsir_select_xxhash64")):
             # per-leg try: an md5 failure must not skip the xxhash64
@@ -277,6 +279,13 @@ def main() -> None:
                         buckets=2048, hash_fn=hf,
                     ).write.mode("overwrite").format("noop").save()
                     runs.append(round(time.perf_counter() - t0, 3))
+                    # unlike the other extras, DROP the operator pin
+                    # between runs: this row exists to track the
+                    # per-gram hashing cost (the md5 oracle trade vs
+                    # the xxhash64 knob), and a warm rf cache bypasses
+                    # exactly that stage — both legs would read the
+                    # same cached-selection time
+                    release_caches()
                 extra[key] = round(min(runs), 3)
                 print(f"  [extra] {key}: {extra[key]:.3f}s", file=sys.stderr)
             except Exception as exc:  # noqa: BLE001 — extras never gate
@@ -284,9 +293,12 @@ def main() -> None:
                 print(f"  [extra] {key}: FAILED ({extra_errors[key]})",
                       file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — the shared scan setup
-        extra_errors["dsir_select"] = _fmt_exc(exc)
-        print(f"  [extra] dsir_select: FAILED ({extra_errors['dsir_select']})",
-              file=sys.stderr)
+        # a setup failure precedes BOTH legs: record it under both
+        # keys so neither reads as silently dropped
+        for key in ("dsir_select", "dsir_select_xxhash64"):
+            extra_errors.setdefault(key, _fmt_exc(exc))
+            print(f"  [extra] {key}: FAILED ({extra_errors[key]})",
+                  file=sys.stderr)
     finally:
         spark.catalog.clearCache()
 
