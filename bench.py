@@ -284,14 +284,20 @@ def main() -> None:
                     # per-gram hashing cost (the md5 oracle trade vs
                     # the xxhash64 knob), and a warm rf cache bypasses
                     # exactly that stage — both legs would read the
-                    # same cached-selection time
-                    release_caches()
+                    # same cached-selection time. BLOCKING, so async
+                    # block eviction cannot overlap the next timed
+                    # window.
+                    release_caches(blocking=True)
                 extra[key] = round(min(runs), 3)
                 print(f"  [extra] {key}: {extra[key]:.3f}s", file=sys.stderr)
             except Exception as exc:  # noqa: BLE001 — extras never gate
                 extra_errors[key] = _fmt_exc(exc)
                 print(f"  [extra] {key}: FAILED ({extra_errors[key]})",
                       file=sys.stderr)
+            finally:
+                # a mid-leg failure must not leak this leg's pinned
+                # frames into the next leg's first timed run
+                release_caches(blocking=True)
     except Exception as exc:  # noqa: BLE001 — the shared scan setup
         # a setup failure precedes BOTH legs: record it under both
         # keys so neither reads as silently dropped

@@ -70,16 +70,19 @@ def pin(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> Da
     return df
 
 
-def release_caches() -> int:
+def release_caches(blocking: bool = False) -> int:
     """Unpersist every operator-pinned frame; returns how many were
-    still live. Safe to call at any time (idempotent)."""
+    still live. Safe to call at any time (idempotent). ``blocking``
+    waits for block eviction to finish — measurement code wants this
+    (a non-blocking release lets async eviction overlap the next
+    timed window); pipelines keep the cheap default."""
     n = 0
     while _LIVE:
         df = _LIVE.pop()
         if _is_live(df):
             n += 1
         try:
-            df.unpersist()
+            df.unpersist(blocking=blocking)
         except Exception:
             pass
     return n
