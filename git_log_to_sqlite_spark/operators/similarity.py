@@ -357,6 +357,7 @@ def semantic_dedup(
     round_to: int | None = None,
     dist_round_to: int | None = None,
     observation: "Observation | None" = None,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     SEMANTIC dedup — near-duplicate *meanings* (a paraphrase, a
@@ -421,13 +422,23 @@ def semantic_dedup(
     is upstream (exact-dedup first; refit with larger k), so this
     valve OBSERVES and never caps — capping would void the
     upper-triangular semantics the way the fuzzy_decontaminate
-    docstring warns."""
+    docstring warns.
+
+    ``salt_buckets`` is the telemetry's ACTION arm when refitting is
+    not an option and the hot cell's members are genuinely distinct
+    (post-exact-dedup): the pair join parallelizes each cell over S
+    salted tasks with row-identical output (see
+    :func:`_semantic_annotate` — the mega-cell probe's 10k-row cell
+    consumed 721 s unsalted vs the alarm's 1.4 s; salting is the
+    semantics-preserving way to spend cores on it). Default 1: the
+    gate plan (`sem_dedup_assign`) and every healthy-quantizer run
+    keep the unsalted single-pass shape."""
     ranked = _semantic_ranked(
         df, id_col, vec_col, centroids, round_to, dist_round_to
     )
     if observation is not None:
         _observe_cell_stats(ranked, observation)
-    return _semantic_annotate(ranked, id_col, threshold, round_to)
+    return _semantic_annotate(ranked, id_col, threshold, round_to, salt_buckets)
 
 
 def _observe_cell_stats(ranked: DataFrame, observation: "Observation") -> None:
@@ -590,12 +601,39 @@ def _semantic_ranked(
 
 
 def _semantic_annotate(
-    ranked: DataFrame, id_col: str, threshold: float, round_to: int | None
+    ranked: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_to: int | None,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """SemDeDup's upper-triangular drop stage over a pinned
     :func:`_semantic_ranked` frame: cell-local (rank_a < rank_b) pair
     join, drop b on >= threshold cosine, blame the lowest-ranked such
-    a (min (rank, id) structs — deterministic)."""
+    a (min (rank, id) structs — deterministic).
+
+    ``salt_buckets`` recovers PARALLELISM on hot cells without
+    touching the semantics: the pair join's only equi-key is the cell
+    id, so one oversized cell is ONE join key — one task pays that
+    cell's d(d-1)/2 pairs serially, no matter how many cores idle
+    (measured in BASELINE.md's mega-cell probe: a 10k-row cell's 50M
+    pairs ran 87x slower than 16 cells carrying 3.1M, quadratic AND
+    serialized; AQE's skew split cannot divide a single key's sort-
+    merge group). With ``salt_buckets=S > 1`` the a-side gets a
+    deterministic id-hash salt, the b-side replicates S ways
+    (:func:`~.skew.salted_join`'s shape, :func:`~.skew._salt`'s
+    deterministic-never-rand() rule), and the join keys on
+    (cell, salt): every (a, b) pair still meets exactly once — at
+    a's salt — so the output is row-identical to the unsalted plan,
+    while the hot cell's pair work spreads over S tasks. Price:
+    S x the b-side shuffle volume, so the default stays 1 for
+    healthy quantizers; arm it when :func:`_observe_cell_stats`
+    reports a max_cell_rows worth splitting. Unlike CAPPING (which
+    the fuzzy_decontaminate doctrine forbids here — shedding members
+    voids the paper's drop rule), salting is a pure execution
+    strategy: the recall guarantee is untouched."""
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     a = ranked.select(
         F.col("cell").alias("_ca"), F.col("_rank").alias("_ra"),
         F.col("_id").alias("_ia"), F.col("_v").alias("_va"),
@@ -606,6 +644,40 @@ def _semantic_annotate(
         F.col("_id").alias("_ib"), F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
+    pair_cond = (F.col("_ca") == F.col("_cb")) & (F.col("_ra") < F.col("_rb"))
+    if salt_buckets > 1:
+        from .skew import _salt
+
+        a = a.withColumn("_sa", _salt(F.col("_ia"), salt_buckets))
+        # sequence of int literals yields ints — matches _salt's cast;
+        # a generator cannot nest inside a cast expression
+        b = b.withColumn(
+            "_sb", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        pair_cond = pair_cond & (F.col("_sa") == F.col("_sb"))
+        # Explicit co-partitioning on the (cell, salt) join key, with a
+        # FIXED partition count (REPARTITION_BY_NUM — the one shuffle
+        # origin AQE never rewrites). Without it the salt is silently
+        # defeated twice over, because AQE sizes stages by SHUFFLE
+        # BYTES and the pair EXPLOSION happens downstream of the
+        # shuffle read: (1) the a-side is often broadcast-sized, so
+        # AQE converts the salted sort-merge join to a broadcast join
+        # whose stream side inherits the pinned ranked frame's
+        # cell-hash partitioning — the hot cell is ONE non-empty
+        # partition again; (2) even keeping the SMJ, both sides'
+        # shuffle bytes are tiny, so partition coalescing folds the
+        # (cell, salt) groups back into one task. Measured on the
+        # mega-cell probe before this fix: salted-by-key-only ran at
+        # the unsalted ~720 s; with the pinned co-partitioning the
+        # same corpus drops to tens of seconds (BASELINE.md).
+        sess = ranked.sparkSession
+        try:
+            n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_part = sess.sparkContext.defaultParallelism
+        n_part = max(n_part, salt_buckets)
+        a = a.repartition(n_part, F.col("_ca"), F.col("_sa"))
+        b = b.repartition(n_part, F.col("_cb"), F.col("_sb"))
     # zero-norm guard #2: a pair cosine involving a zero vector would
     # be 0/0 — DIVIDE_BY_ZERO under ANSI, and under non-ANSI a NaN
     # that Spark compares LARGER than any number, which would mark
@@ -621,10 +693,7 @@ def _semantic_annotate(
     if round_to is not None:
         sim = F.round(sim, round_to)
     drops = (
-        a.join(
-            b,
-            (F.col("_ca") == F.col("_cb")) & (F.col("_ra") < F.col("_rb")),
-        )
+        a.join(b, pair_cond)
         .filter(sim >= F.lit(threshold))
         .groupBy(F.col("_ib").alias("_id"))
         .agg(F.min(F.struct("_ra", "_ia"))["_ia"].alias("dup_of"))
@@ -969,6 +1038,7 @@ class SemanticStore(_ParquetStore):
         threshold: float = 0.95,
         round_to: int | None = None,
         dist_round_to: int | None = None,
+        salt_buckets: int = 1,
     ) -> None:
         super().__init__(spark, f"{path.rstrip('/')}/kept")
         self.base = path.rstrip("/")
@@ -977,6 +1047,14 @@ class SemanticStore(_ParquetStore):
         self.threshold = threshold
         self.round_to = round_to
         self.dist_round_to = dist_round_to
+        #: hot-cell parallelism for the intra-batch/bootstrap pair
+        #: stage (see :func:`_semantic_annotate` — row-identical
+        #: output, S x b-side shuffle). The history probe join is NOT
+        #: salted: daily batches broadcast (no skew exposure), and a
+        #: backfill-scale shuffled ingest with a hot cell should
+        #: bootstrap a fresh store instead (one batch SemDeDup run,
+        #: where this knob applies).
+        self.salt_buckets = salt_buckets
         self._dim_cache: int | None = None
 
     def centroids_df(self) -> DataFrame:
@@ -1033,7 +1111,8 @@ class SemanticStore(_ParquetStore):
             if observation is not None:
                 _observe_cell_stats(ranked, observation)
             kept_ids = _semantic_annotate(
-                ranked, self.id_col, self.threshold, self.round_to
+                ranked, self.id_col, self.threshold, self.round_to,
+                self.salt_buckets,
             ).filter(F.col("is_kept") == 1).select(self.id_col)
             (
                 ranked.select(
@@ -1114,7 +1193,8 @@ class SemanticStore(_ParquetStore):
                 )
             )
             ann_b = _semantic_annotate(
-                ranked, self.id_col, self.threshold, self.round_to
+                ranked, self.id_col, self.threshold, self.round_to,
+                self.salt_buckets,
             ).withColumnRenamed("dup_of", "_batch_dup")
             dup_of = F.coalesce(F.col("_hist_dup"), F.col("_batch_dup"))
             res = (

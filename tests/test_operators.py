@@ -1315,6 +1315,108 @@ def test_semantic_dedup_zero_norm_never_dropped(spark):
     assert got[4] == (None, 1)     # ...even of each other (exact dedup's job)
 
 
+def test_semantic_dedup_salted_pair_join_row_identical(spark):
+    """The hot-cell ACTION arm behind the round-12 telemetry (the
+    mega-cell probe measured the unsalted pair join quadratic AND
+    serialized — one cell is one join key): salt_buckets=S salts the
+    a-side by id hash and replicates the b-side S ways, so every
+    (a, b) pair still meets exactly once and the annotation is
+    ROW-IDENTICAL to the unsalted plan — salting is an execution
+    strategy, never a semantics change (capping is the forbidden
+    one). Corpus plants the hard cases: a 12-member hot cell with an
+    upper-triangular chain (a~b~c, a !~ c: both b and c drop), a
+    second cell, and a zero-norm vector (NaN cosines — never dropped,
+    never blamed, in both plans)."""
+    import math
+
+    from git_log_to_sqlite_spark.operators import semantic_dedup
+    from git_log_to_sqlite_spark.operators.similarity import (
+        _semantic_annotate,
+    )
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    # hot cell 0: 12 members, 3-degree ladder -> chains at a ~4.5deg
+    # threshold; cell 1: one close pair; plus one zero vector
+    rows = [(i, at(3 * i)) for i in range(12)]
+    rows += [(20, at(180)), (21, at(178)), (22, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    threshold = math.cos(math.radians(4.5))
+
+    def norm(df_):
+        # the zero vector's centroid_sim is NaN by design, and
+        # nan != nan would fail tuple equality on identical rows
+        return sorted(
+            tuple("NaN" if isinstance(x, float) and x != x else x for x in r)
+            for r in map(tuple, df_.collect())
+        )
+
+    plain = norm(semantic_dedup(
+        df, "vec_id", "embedding", cents, threshold=threshold))
+    for s in (2, 4, 7):
+        salted = semantic_dedup(df, "vec_id", "embedding", cents,
+                                threshold=threshold, salt_buckets=s)
+        assert norm(salted) == plain, s
+    # non-vacuous: the chain dropped somebody and kept somebody in
+    # the hot cell, and the zero vector survived
+    by_id = dict((t[0], t[3]) for t in plain)
+    assert any(v is not None for k, v in by_id.items() if k < 12)
+    assert any(v is None for k, v in by_id.items() if 0 < k < 12)
+    assert by_id[22] is None
+
+    # plan shape: the salted pair join replicates b via a Generate and
+    # stays an equi-join (never a cartesian); salt is a join key, so
+    # the hot cell hashes across salt_buckets partitions
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        semantic_dedup(df, "vec_id", "embedding", cents,
+                       threshold=threshold, salt_buckets=4
+                       ).explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" in plan and "explode(" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        _semantic_annotate(df.limit(0), "vec_id", 0.9, None, salt_buckets=0)
+
+
+def test_semantic_store_salt_buckets_pass_through(spark, tmp_path):
+    """SemanticStore(salt_buckets=S) must reproduce the unsalted
+    store bit for bit across bootstrap AND ingest (both intra-batch
+    annotate stages ride the knob; the history probe join is
+    deliberately unsalted — daily batches broadcast)."""
+    import math
+
+    from git_log_to_sqlite_spark.operators import SemanticStore
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    schema = "vec_id long, embedding array<double>"
+    boot = [(i, at(6 * i)) for i in range(10)]
+    batch = [(100 + i, at(6 * i + 1)) for i in range(5)]      # history dups
+    batch += [(200, at(45.0)), (201, at(45.5)), (202, at(46.0))]  # batch chain
+
+    def run(path, s):
+        store = SemanticStore(spark, path, threshold=0.9995, salt_buckets=s)
+        store.bootstrap(spark.createDataFrame(boot, schema), cents)
+        ann = sorted(map(tuple, store.ingest(
+            spark.createDataFrame(batch, schema)).collect()))
+        kept = sorted(r["vec_id"] for r in store.read().collect())
+        return ann, kept
+
+    assert run(str(tmp_path / "plain"), 1) == run(str(tmp_path / "salted"), 3)
+
+
 def test_semantic_dedup_cell_stats_observation(spark):
     """The round-11 scale watch: semantic_dedup was the one pair stage
     without a cell-occupancy observable. Planted mega-cell — six
