@@ -1382,6 +1382,13 @@ def test_semantic_dedup_salted_pair_join_row_identical(spark):
     assert "Generate" in plan and "explode(" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the load-bearing half of the fix: both pair-join sides are
+    # explicitly co-partitioned on (cell, salt) with a FIXED count
+    # (REPARTITION_BY_NUM — the one shuffle origin AQE never
+    # rewrites); without it AQE broadcast-converts or coalesces the
+    # salt away on byte estimates and the hot cell re-serializes
+    # (measured at the unsalted 720 s in BASELINE.md's probe)
+    assert plan.count("REPARTITION_BY_NUM") == 2, plan
 
     with pytest.raises(ValueError, match="salt_buckets"):
         _semantic_annotate(df.limit(0), "vec_id", 0.9, None, salt_buckets=0)
