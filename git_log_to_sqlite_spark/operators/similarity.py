@@ -649,10 +649,19 @@ def _semantic_annotate(
         from .skew import _salt
 
         a = a.withColumn("_sa", _salt(F.col("_ia"), salt_buckets))
-        # sequence of int literals yields ints — matches _salt's cast;
-        # a generator cannot nest inside a cast expression
+        # cast the ARRAY (inside explode's argument — casting the
+        # generator's output is the disallowed nesting) so _sb is int
+        # under any literal-inference regime, matching _salt's cast:
+        # a bigint _sb would wrap _sa in a cast, the repartition below
+        # would no longer satisfy the join's required distribution,
+        # and the resulting ENSURE_REQUIREMENTS shuffle is exactly the
+        # AQE-rewritable kind this branch exists to avoid
         b = b.withColumn(
-            "_sb", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+            "_sb",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+                .cast("array<int>")
+            ),
         )
         pair_cond = pair_cond & (F.col("_sa") == F.col("_sb"))
         # Explicit co-partitioning on the (cell, salt) join key, with a
@@ -674,7 +683,13 @@ def _semantic_annotate(
         try:
             n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
-            n_part = sess.sparkContext.defaultParallelism
+            # e.g. "auto" on managed runtimes; sparkContext is itself
+            # unavailable on Spark Connect sessions, so fall through
+            # to Spark's own shuffle-partition default
+            try:
+                n_part = sess.sparkContext.defaultParallelism
+            except Exception:
+                n_part = 200
         n_part = max(n_part, salt_buckets)
         a = a.repartition(n_part, F.col("_ca"), F.col("_sa"))
         b = b.repartition(n_part, F.col("_cb"), F.col("_sb"))
@@ -1053,7 +1068,14 @@ class SemanticStore(_ParquetStore):
         #: salted: daily batches broadcast (no skew exposure), and a
         #: backfill-scale shuffled ingest with a hot cell should
         #: bootstrap a fresh store instead (one batch SemDeDup run,
-        #: where this knob applies).
+        #: where this knob applies). Validated HERE, not first inside
+        #: bootstrap's annotate stage — by then the centroid table
+        #: has already been overwritten and the store would be left
+        #: half-written.
+        if salt_buckets < 1:
+            raise ValueError(
+                f"salt_buckets must be >= 1, got {salt_buckets}"
+            )
         self.salt_buckets = salt_buckets
         self._dim_cache: int | None = None
 

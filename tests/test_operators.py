@@ -1421,7 +1421,20 @@ def test_semantic_store_salt_buckets_pass_through(spark, tmp_path):
         kept = sorted(r["vec_id"] for r in store.read().collect())
         return ann, kept
 
-    assert run(str(tmp_path / "plain"), 1) == run(str(tmp_path / "salted"), 3)
+    plain = run(str(tmp_path / "plain"), 1)
+    assert run(str(tmp_path / "salted"), 3) == plain
+    # non-vacuous: both drop sources actually fired under the fixture,
+    # so the salted annotate path was exercised on real drops
+    ann, kept = plain
+    sources = [r[4] for r in ann]
+    assert sources.count("history") == 5
+    assert sources.count("batch") >= 1
+    assert len(kept) == 10 + (len(batch) - 5 - sources.count("batch"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="salt_buckets"):
+        SemanticStore(spark, str(tmp_path / "bad"), salt_buckets=0)
 
 
 def test_semantic_dedup_cell_stats_observation(spark):
