@@ -138,18 +138,32 @@ def exact_dedup(
     Groups on a 128-bit content hash (never the raw content: the
     shuffle key is 32 bytes/row at any document size) and keeps the
     min/max id. Returns the input columns of the surviving rows plus
-    ``n_copies``.
+    ``n_copies``. ``id_col`` must be unique and non-null (the table-
+    key contract every id column here carries): a NULL id can never
+    survive (min/max skip NULLs, and NULL == NULL is not true).
     """
     fp = F.md5(F.concat_ws("\x00", *content_cols))
-    w = Window.partitionBy("_fp").orderBy(
-        F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    )
+    # ONE unordered window for both the survivor pick and the count
+    # (ids are unique, so min/max id IS the row_number-1 survivor).
+    # The previous two-spec form (row_number over an ordered window +
+    # count over an unordered one) planned TWO Window nodes, each
+    # buffering every duplicate family on one task, and the count
+    # window sat between the rank filter and its window, blocking the
+    # WindowGroupLimit pushdown entirely (probed: no WindowGroupLimit
+    # in the plan). This form buffers each family once, with no
+    # per-family sort on the id — the viral-family exposure stays
+    # linear (inherent: n_copies needs the whole family) but pays one
+    # pass instead of two sorted ones. The registry's `dedup_exact`
+    # twin is the groupBy-aggregate form — partial-combine, fully
+    # skew-proof — for when no per-row annotation is needed.
+    w = Window.partitionBy("_fp")
+    keeper = (F.min if keep == "min" else F.max)(F.col(id_col)).over(w)
     return (
         df.withColumn("_fp", fp)
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count("*").over(Window.partitionBy("_fp")))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+        .withColumn("_keep", keeper)
+        .withColumn("n_copies", F.count("*").over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
     )
 
 
