@@ -445,6 +445,104 @@ def _capped_bands(
     return bands.join(hot, ["band", "band_key"], "left_anti")
 
 
+def _validate_salting(salt_buckets: int, salt_min_bucket: int | None) -> None:
+    """Salt-argument validation shared by every band-join entry point
+    — called BEFORE any pin (the :func:`_validate_band_caps` rule) and
+    again by :func:`_band_self_pairs` for direct callers. Delegates to
+    the one shared validator (:func:`~.skew._validate_pair_salting`)
+    in this family's parameter vocabulary."""
+    from .skew import _validate_pair_salting
+
+    _validate_pair_salting(salt_buckets, salt_min_bucket, "salt_min_bucket")
+
+
+def _band_self_pairs(
+    bands: DataFrame,
+    id_col: str,
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs from an (id, band, band_key)
+    table: self-join on the bucket key with ``id_a < id_b``, distinct
+    across bands — the ONE band self-join both LSH families share
+    (minhash band keys via :func:`minhash_lsh_pairs`, simhash /
+    perceptual bit slices via :func:`hamming_pairs`; previously two
+    identical inline copies). Sides are column-renamed projections,
+    not aliases: an alias does not survive the salting branch's
+    ``withColumn``/``repartition``, renamed columns do.
+
+    ``salt_buckets > 1`` engages :func:`~.skew.salted_pair_sides` —
+    the recall-PRESERVING arm against a hot bucket, complementing the
+    :func:`_capped_bands` valve's recall-shedding drop: a degenerate
+    bucket with d members is ONE join key, so one task pays its
+    d(d-1)/2 pairs serially; salting spreads that work over S tasks
+    with row-identical output (every pair still meets exactly once,
+    at a's salt — the ``distinct`` across bands is unaffected because
+    salting never duplicates a (band, pair) meeting). Default 1 keeps
+    the gated plans' join shape unchanged. Arm it when the valve's
+    telemetry reports hot buckets the caller cannot afford to DROP
+    (e.g. fuzzy decontamination, where the docstring voids the recall
+    guarantee under any cap).
+
+    ``salt_min_bucket`` makes the salt TARGETED — the production form
+    at corpus scale: only buckets with >= that many members are
+    salted/replicated (derived by the valve's own
+    :func:`_hot_key_set` count, map-combinable and skew-free), every
+    other bucket's shuffle volume is unchanged. Without it the whole
+    b-side replicates S ways — fine at probe scale, a non-starter on
+    a corpus-sized bands table, and measured on this box to overtake
+    its own win as S grows (BASELINE.md's hot-band probe). Note the
+    regime: at small corpus the unsalted join broadcast-converts and
+    the stream side rides the signature groupBy's id partitioning —
+    already parallel, salting only adds cost; the knob is for the
+    at-scale SMJ regime where the bucket key IS the shuffle key and
+    one hot bucket is one task."""
+    _validate_salting(salt_buckets, salt_min_bucket)
+    a = bands.select(
+        F.col("band").alias("_band_a"),
+        F.col("band_key").alias("_bk_a"),
+        F.col(id_col).alias("id_a"),
+    )
+    b = bands.select(
+        F.col("band").alias("_band_b"),
+        F.col("band_key").alias("_bk_b"),
+        F.col(id_col).alias("id_b"),
+    )
+    pair_cond = (
+        (F.col("_band_a") == F.col("_band_b"))
+        & (F.col("_bk_a") == F.col("_bk_b"))
+        & (F.col("id_a") < F.col("id_b"))
+    )
+    if salt_buckets > 1:
+        from .skew import salted_pair_sides
+
+        hot_a = hot_b = None
+        if salt_min_bucket is not None:
+            hot = _hot_key_set(
+                bands, ["band", "band_key"], salt_min_bucket - 1, None
+            )
+            hot_a = hot.select(
+                F.col("band").alias("_band_a"),
+                F.col("band_key").alias("_bk_a"),
+            )
+            hot_b = hot.select(
+                F.col("band").alias("_band_b"),
+                F.col("band_key").alias("_bk_b"),
+            )
+        a, b, salt_cond = salted_pair_sides(
+            a,
+            b,
+            ["_band_a", "_bk_a"],
+            ["_band_b", "_bk_b"],
+            "id_a",
+            salt_buckets,
+            hot_a=hot_a,
+            hot_b=hot_b,
+        )
+        pair_cond = pair_cond & salt_cond
+    return a.join(b, pair_cond).select("id_a", "id_b").distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -456,6 +554,8 @@ def minhash_lsh_pairs(
     max_band_size: int | None = None,
     band_size_quantile: float | None = None,
     observation: "Observation | None" = None,
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -472,11 +572,17 @@ def minhash_lsh_pairs(
     one quadratic-risk surface of the band join — are anti-filtered
     before the self-join, bounding candidate mass by cap x buckets.
     Pass an :class:`~pyspark.sql.Observation` to receive
-    ``bands_dropped`` / ``pairs_avoided`` telemetry.
+    ``bands_dropped`` / ``pairs_avoided`` telemetry. ``salt_buckets``
+    is the recall-PRESERVING alternative when a hot bucket must be
+    consumed rather than dropped: the self-join spreads each bucket's
+    pair work over S tasks with row-identical output; add
+    ``salt_min_bucket`` to salt ONLY buckets that size or larger —
+    the bounded-replication production form (:func:`_band_self_pairs`).
     """
     _validate_band_caps(  # before the pin — a bad call must not leak a cache entry
         max_band_size, band_size_quantile, observation
     )
+    _validate_salting(salt_buckets, salt_min_bucket)  # same rule
     # The signature table is referenced 4x downstream (both band-join
     # branches + both agreement joins); without persisting, Spark
     # recomputes the shingle explode + K-way min aggregate per branch.
@@ -490,19 +596,7 @@ def minhash_lsh_pairs(
         observation,
     )
 
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = _band_self_pairs(bands, id_col, salt_buckets, salt_min_bucket)
     ma = mh.select(
         F.col(id_col).alias("_ida"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)]
     )
@@ -1138,6 +1232,8 @@ def simhash_pairs(
     max_band_size: int | None = None,
     band_size_quantile: float | None = None,
     observation: "Observation | None" = None,
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via SimHash bit-slice banding — the pair
     stage :func:`simhash`'s docstring promises. Returns ``(id_a, id_b,
@@ -1185,6 +1281,7 @@ def simhash_pairs(
     _validate_banding(
         bits, bands, max_hamming, max_band_size, band_size_quantile, observation
     )
+    _validate_salting(salt_buckets, salt_min_bucket)  # same before-the-pin rule
     sig = pin(simhash(df, id_col, text_col, bits))
     return hamming_pairs(
         sig,
@@ -1196,6 +1293,8 @@ def simhash_pairs(
         max_band_size=max_band_size,
         band_size_quantile=band_size_quantile,
         observation=observation,
+        salt_buckets=salt_buckets,
+        salt_min_bucket=salt_min_bucket,
     )
 
 
@@ -1339,6 +1438,8 @@ def hamming_pairs(
     max_band_size: int | None = None,
     band_size_quantile: float | None = None,
     observation: "Observation | None" = None,
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs within ``max_hamming`` bits over ANY precomputed
     fixed-width signature column — the bit-slice band machinery
@@ -1353,29 +1454,23 @@ def hamming_pairs(
 
     ``sig`` must carry one row per id; signatures are non-negative
     BIGINTs below 2^bits. Returns ``(id_a, id_b, hamming)``.
+    ``salt_buckets`` / ``salt_min_bucket`` are the recall-preserving
+    hot-bucket arm (:func:`_band_self_pairs`) — relevant here above
+    all, because the bit-slice keyspace is BOUNDED
+    (``2^(bits/bands)`` values), so an under-sized slice width
+    concentrates mass in few buckets by construction.
     """
     _validate_banding(
         bits, bands, max_hamming, max_band_size, band_size_quantile, observation
     )
+    _validate_salting(salt_buckets, salt_min_bucket)  # before the valve's pin
     bands_df = _capped_bands(
         _sig_bands(sig, [id_col], sig_col, bits, bands),
         max_band_size,
         band_size_quantile,
         observation,
     )
-    a, b = bands_df.alias("a"), bands_df.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    cand = _band_self_pairs(bands_df, id_col, salt_buckets, salt_min_bucket)
     sa = sig.select(F.col(id_col).alias("_ida"), F.col(sig_col).alias("_sa"))
     sb = sig.select(F.col(id_col).alias("_idb"), F.col(sig_col).alias("_sb"))
     ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))

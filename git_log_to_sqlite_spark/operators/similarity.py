@@ -358,6 +358,7 @@ def semantic_dedup(
     dist_round_to: int | None = None,
     observation: "Observation | None" = None,
     salt_buckets: int = 1,
+    salt_min_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
     SEMANTIC dedup — near-duplicate *meanings* (a paraphrase, a
@@ -432,13 +433,18 @@ def semantic_dedup(
     consumed 721 s unsalted vs the alarm's 1.4 s; salting is the
     semantics-preserving way to spend cores on it). Default 1: the
     gate plan (`sem_dedup_assign`) and every healthy-quantizer run
-    keep the unsalted single-pass shape."""
+    keep the unsalted single-pass shape. ``salt_min_cell`` targets
+    the salt at cells that size or larger, so only the hot cells pay
+    the S-way replication — the at-scale form
+    (:func:`_semantic_annotate`)."""
     ranked = _semantic_ranked(
         df, id_col, vec_col, centroids, round_to, dist_round_to
     )
     if observation is not None:
         _observe_cell_stats(ranked, observation)
-    return _semantic_annotate(ranked, id_col, threshold, round_to, salt_buckets)
+    return _semantic_annotate(
+        ranked, id_col, threshold, round_to, salt_buckets, salt_min_cell
+    )
 
 
 def _observe_cell_stats(ranked: DataFrame, observation: "Observation") -> None:
@@ -606,6 +612,7 @@ def _semantic_annotate(
     threshold: float,
     round_to: int | None,
     salt_buckets: int = 1,
+    salt_min_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup's upper-triangular drop stage over a pinned
     :func:`_semantic_ranked` frame: cell-local (rank_a < rank_b) pair
@@ -621,8 +628,9 @@ def _semantic_annotate(
     serialized; AQE's skew split cannot divide a single key's sort-
     merge group). With ``salt_buckets=S > 1`` the a-side gets a
     deterministic id-hash salt, the b-side replicates S ways
-    (:func:`~.skew.salted_join`'s shape, :func:`~.skew._salt`'s
-    deterministic-never-rand() rule), and the join keys on
+    (:func:`~.skew.salted_pair_sides` — the shared AQE-proof shape,
+    :func:`~.skew._salt`'s deterministic-never-rand() rule), and the
+    join keys on
     (cell, salt): every (a, b) pair still meets exactly once — at
     a's salt — so the output is row-identical to the unsalted plan,
     while the hot cell's pair work spreads over S tasks. Price:
@@ -639,9 +647,20 @@ def _semantic_annotate(
     O(d log d) per cell against the join's O(d^2), so at mega-cell
     d the join dominates by ~d/log d (the probe's 10k-row cell:
     ranked build ~1.4 s vs 720.9 s unsalted join); the window is the
-    lesser term precisely when salting matters."""
-    if salt_buckets < 1:
-        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    lesser term precisely when salting matters.
+
+    ``salt_min_cell`` makes the salt TARGETED — the production form
+    at corpus scale: only cells with >= that many members salt and
+    replicate (a map-combinable cell count derives the hot set;
+    :func:`~.skew.salted_pair_sides` marks both sides), every other
+    cell keeps salt 0 and its shuffle volume UNCHANGED. Without it
+    the whole b-side (the entire ranked corpus) replicates S ways —
+    acceptable for a one-off rescue on a mid-size corpus, a
+    non-starter at 100 TB. Pick the threshold from the cell-stats
+    telemetry's max_cell_rows."""
+    from .skew import _validate_pair_salting
+
+    _validate_pair_salting(salt_buckets, salt_min_cell, "salt_min_cell")
     a = ranked.select(
         F.col("cell").alias("_ca"), F.col("_rank").alias("_ra"),
         F.col("_id").alias("_ia"), F.col("_v").alias("_va"),
@@ -654,53 +673,32 @@ def _semantic_annotate(
     )
     pair_cond = (F.col("_ca") == F.col("_cb")) & (F.col("_ra") < F.col("_rb"))
     if salt_buckets > 1:
-        from .skew import _salt
+        # the shared AQE-proof salting shape (deterministic a-side
+        # id-hash salt, b-side replicated S ways, both sides
+        # co-partitioned on (cell, salt) at a FIXED partition count —
+        # the full why, including the two measured AQE defeat modes
+        # of key-only salting, lives on the helper)
+        from .caching import pin
+        from .skew import salted_pair_sides
 
-        a = a.withColumn("_sa", _salt(F.col("_ia"), salt_buckets))
-        # cast the ARRAY (inside explode's argument — casting the
-        # generator's output is the disallowed nesting) so _sb is int
-        # under any literal-inference regime, matching _salt's cast:
-        # a bigint _sb would wrap _sa in a cast, the repartition below
-        # would no longer satisfy the join's required distribution,
-        # and the resulting ENSURE_REQUIREMENTS shuffle is exactly the
-        # AQE-rewritable kind this branch exists to avoid
-        b = b.withColumn(
-            "_sb",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(salt_buckets - 1))
-                .cast("array<int>")
-            ),
+        hot_a = hot_b = None
+        if salt_min_cell is not None:
+            # map-combinable cell count -> the hot-cell key set
+            # (pinned: two marking consumers); same shape as the band
+            # valves' _hot_key_set derivation
+            hot = pin(
+                ranked.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= salt_min_cell)
+                .select("cell")
+            )
+            hot_a = hot.select(F.col("cell").alias("_ca"))
+            hot_b = hot.select(F.col("cell").alias("_cb"))
+        a, b, salt_cond = salted_pair_sides(
+            a, b, ["_ca"], ["_cb"], "_ia", salt_buckets,
+            hot_a=hot_a, hot_b=hot_b,
         )
-        pair_cond = pair_cond & (F.col("_sa") == F.col("_sb"))
-        # Explicit co-partitioning on the (cell, salt) join key, with a
-        # FIXED partition count (REPARTITION_BY_NUM — the one shuffle
-        # origin AQE never rewrites). Without it the salt is silently
-        # defeated twice over, because AQE sizes stages by SHUFFLE
-        # BYTES and the pair EXPLOSION happens downstream of the
-        # shuffle read: (1) the a-side is often broadcast-sized, so
-        # AQE converts the salted sort-merge join to a broadcast join
-        # whose stream side inherits the pinned ranked frame's
-        # cell-hash partitioning — the hot cell is ONE non-empty
-        # partition again; (2) even keeping the SMJ, both sides'
-        # shuffle bytes are tiny, so partition coalescing folds the
-        # (cell, salt) groups back into one task. Measured on the
-        # mega-cell probe before this fix: salted-by-key-only ran at
-        # the unsalted ~720 s; with the pinned co-partitioning the
-        # same corpus drops to tens of seconds (BASELINE.md).
-        sess = ranked.sparkSession
-        try:
-            n_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            # e.g. "auto" on managed runtimes; sparkContext is itself
-            # unavailable on Spark Connect sessions, so fall through
-            # to Spark's own shuffle-partition default
-            try:
-                n_part = sess.sparkContext.defaultParallelism
-            except Exception:
-                n_part = 200
-        n_part = max(n_part, salt_buckets)
-        a = a.repartition(n_part, F.col("_ca"), F.col("_sa"))
-        b = b.repartition(n_part, F.col("_cb"), F.col("_sb"))
+        pair_cond = pair_cond & salt_cond
     # zero-norm guard #2: a pair cosine involving a zero vector would
     # be 0/0 — DIVIDE_BY_ZERO under ANSI, and under non-ANSI a NaN
     # that Spark compares LARGER than any number, which would mark
@@ -1062,6 +1060,7 @@ class SemanticStore(_ParquetStore):
         round_to: int | None = None,
         dist_round_to: int | None = None,
         salt_buckets: int = 1,
+        salt_min_cell: int | None = None,
     ) -> None:
         super().__init__(spark, f"{path.rstrip('/')}/kept")
         self.base = path.rstrip("/")
@@ -1079,12 +1078,13 @@ class SemanticStore(_ParquetStore):
         #: where this knob applies). Validated HERE, not first inside
         #: bootstrap's annotate stage — by then the centroid table
         #: has already been overwritten and the store would be left
-        #: half-written.
-        if salt_buckets < 1:
-            raise ValueError(
-                f"salt_buckets must be >= 1, got {salt_buckets}"
-            )
+        #: half-written. salt_min_cell targets the salt at hot cells
+        #: only (bounded replication — the at-scale form).
+        from .skew import _validate_pair_salting
+
+        _validate_pair_salting(salt_buckets, salt_min_cell, "salt_min_cell")
         self.salt_buckets = salt_buckets
+        self.salt_min_cell = salt_min_cell
         self._dim_cache: int | None = None
 
     def centroids_df(self) -> DataFrame:
@@ -1142,7 +1142,7 @@ class SemanticStore(_ParquetStore):
                 _observe_cell_stats(ranked, observation)
             kept_ids = _semantic_annotate(
                 ranked, self.id_col, self.threshold, self.round_to,
-                self.salt_buckets,
+                self.salt_buckets, self.salt_min_cell,
             ).filter(F.col("is_kept") == 1).select(self.id_col)
             (
                 ranked.select(
@@ -1224,7 +1224,7 @@ class SemanticStore(_ParquetStore):
             )
             ann_b = _semantic_annotate(
                 ranked, self.id_col, self.threshold, self.round_to,
-                self.salt_buckets,
+                self.salt_buckets, self.salt_min_cell,
             ).withColumnRenamed("dup_of", "_batch_dup")
             dup_of = F.coalesce(F.col("_hist_dup"), F.col("_batch_dup"))
             res = (

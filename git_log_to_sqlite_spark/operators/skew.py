@@ -83,9 +83,162 @@ def salted_join(
     becomes (on, salt): a hot key's rows land on B reducers instead of
     one. Dim cost: B x |dim| rows — use only when the dim is too big to
     broadcast but B x |dim| still shuffles comfortably.
+
+    Deliberately NOT co-partition-pinned (contrast
+    :func:`salted_pair_sides`): here AQE's rewrites are benign-to-good.
+    A broadcast conversion of the replicated dim turns the join
+    map-side over the fact's EXISTING partitioning — no fact shuffle at
+    all, strictly better than any salt; and partition coalescing only
+    fires when the fact side's shuffle bytes are small, in which case
+    per-row join work is linear (one dim row per key), not the
+    downstream pair EXPLOSION that defeats byte-based sizing in the
+    self-join case. The pinned variant exists for pair joins, where
+    output is quadratic in the hot key and invisible to AQE's
+    estimates.
     """
     f = fact.withColumn("_salt", _salt(F.col(fact_unique), buckets))
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>"))
     )
     return f.join(d, [on, "_salt"], how).drop("_salt")
+
+
+def _validate_pair_salting(
+    buckets: int, min_members: int | None, name: str
+) -> None:
+    """Salt-argument validation shared by every pair-salting entry
+    point (band joins' ``salt_min_bucket``, the semantic family's
+    ``salt_min_cell``) — callers invoke it BEFORE any pin, in their
+    own parameter vocabulary via ``name``."""
+    if buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {buckets}")
+    if min_members is not None:
+        if buckets < 2:
+            raise ValueError(f"{name} requires salt_buckets > 1")
+        if min_members < 2:
+            raise ValueError(f"{name} must be >= 2, got {min_members}")
+
+
+def _fixed_partition_count(session, buckets: int) -> int:
+    """The FIXED partition count a pinned salted pair join shuffles to:
+    the session's shuffle.partitions where readable, falling through
+    managed-runtime "auto" values and Spark-Connect sessions (no
+    sparkContext) to Spark's own 200 default; never below ``buckets``
+    (fewer partitions than salts would re-collide salted keys by
+    pigeonhole)."""
+    try:
+        n_part = int(session.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        try:
+            n_part = session.sparkContext.defaultParallelism
+        except Exception:
+            n_part = 200
+    return max(n_part, buckets)
+
+
+def salted_pair_sides(
+    a: DataFrame,
+    b: DataFrame,
+    a_keys: list[str],
+    b_keys: list[str],
+    a_salt_from: str,
+    buckets: int,
+    hot_a: DataFrame | None = None,
+    hot_b: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, Column]:
+    """The AQE-proof salting shape every PAIR join shares (SemDeDup's
+    cell join, the minhash/simhash band-bucket self-joins — one
+    derivation, no drifting copies; the :func:`~.dedup._hot_key_set`
+    precedent). A pair join's only equi-key is the bucket id, so one
+    oversized bucket is ONE join key — one task pays that bucket's
+    d(d-1)/2 pairs serially however many cores idle (AQE's skew split
+    cannot divide a single key's sort-merge group; measured in
+    BASELINE.md's mega-cell probe: 720.9 s unsalted vs 101.6 s at
+    S=32). Unlike a CAPPING valve, salting is a pure execution
+    strategy — every (a, b) pair still meets exactly once, at a's
+    salt — so recall guarantees are untouched.
+
+    Returns ``(a, b, cond)``: the a-side carries a deterministic
+    id-hash salt ``_salt_a`` (:func:`_salt`'s never-rand() rule —
+    reproducible, retry-safe), the b-side replicates ``buckets`` ways
+    as ``_salt_b``, both sides are explicitly co-partitioned on
+    (keys..., salt) at a fixed partition count, and ``cond`` is the
+    salt-equality clause the caller ANDs into its join condition.
+    Callers skip the call entirely when ``buckets == 1`` so the
+    default plan stays byte-identical to the unsalted form.
+
+    The explicit ``repartition(n, ...)`` (REPARTITION_BY_NUM — the one
+    shuffle origin AQE never rewrites) is the load-bearing half,
+    measured the hard way on the mega-cell probe: salting by join key
+    alone is SILENTLY DEFEATED by AQE, whose sizing sees only shuffle
+    BYTES while the pair explosion happens downstream of the shuffle
+    read — it either broadcast-converts the join (the stream side then
+    inherits its upstream bucket-hash partitioning: the hot bucket is
+    one non-empty partition again) or coalesces the tiny salted
+    partitions back into one task; the first salted probe ran at the
+    unsalted ~720 s. The b-side salt sequence casts to array<int>
+    INSIDE explode's argument (casting the generator's output is the
+    disallowed nesting): a bigint ``_salt_b`` would wrap ``_salt_a``
+    in a cast, the repartition would no longer satisfy the join's
+    required distribution, and the resulting ENSURE_REQUIREMENTS
+    shuffle is exactly the AQE-rewritable kind this helper exists to
+    avoid.
+
+    Price and the TARGETED form: uniform salting replicates the WHOLE
+    b-side ``buckets`` ways — S x the b-side shuffle volume, a
+    non-starter when the b-side is corpus-sized (and measured to
+    overtake its own win on this box: the sf0.1 hot-band probe's SMJ
+    regime read S=8 faster than S=32 because the replication term
+    grows with S while the hot family's spread gain saturates at the
+    family size). Passing ``hot_a`` / ``hot_b`` — the same tiny
+    keys-only frame, column-named for each side (the
+    :func:`~.dedup._hot_key_set` derivation both LSH valves and the
+    cell telemetry already compute) — switches to the targeted form:
+    only rows of hot buckets are salted (a-side) and replicated
+    (b-side, via a per-row ``when(hot, 0..S-1, [0])`` explode); every
+    other bucket keeps salt 0 on both sides, so its distribution by
+    (key, 0) is its distribution by key and its shuffle volume is
+    UNCHANGED. Hotness is a property of the BUCKET key, so within any
+    bucket both sides agree on whether it is salted and every pair
+    still meets exactly once. The marking joins are unhinted left
+    joins against the hot set (tiny in natural corpora — the planner
+    broadcasts it from estimates; grows only with corpus pathology,
+    where it degrades to a shuffled join on the bucket key). When the
+    hot set is runtime-empty, AQE's empty-relation propagation folds
+    the marks to NULL and every salt is 0 — the unsalted semantics,
+    output unchanged. Keep the default 1 for healthy corpora and arm
+    the knob when hot-key telemetry (cell stats, band-valve
+    observations) reports a bucket worth splitting.
+    """
+    if buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {buckets}")
+    if (hot_a is None) != (hot_b is None):
+        raise ValueError("hot_a and hot_b must be passed together")
+    if hot_a is None:
+        a = a.withColumn("_salt_a", _salt(F.col(a_salt_from), buckets))
+        b = b.withColumn(
+            "_salt_b",
+            F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>")),
+        )
+    else:
+        a = a.join(hot_a.withColumn("_hot_a", F.lit(True)), a_keys, "left")
+        a = a.withColumn(
+            "_salt_a",
+            F.when(F.col("_hot_a"), _salt(F.col(a_salt_from), buckets))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        ).drop("_hot_a")
+        b = b.join(hot_b.withColumn("_hot_b", F.lit(True)), b_keys, "left")
+        b = b.withColumn(
+            "_salt_b",
+            F.explode(
+                F.when(
+                    F.col("_hot_b"),
+                    F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>"),
+                ).otherwise(F.array(F.lit(0)).cast("array<int>"))
+            ),
+        ).drop("_hot_b")
+    n_part = _fixed_partition_count(a.sparkSession, buckets)
+    a = a.repartition(n_part, *[F.col(k) for k in a_keys], F.col("_salt_a"))
+    b = b.repartition(n_part, *[F.col(k) for k in b_keys], F.col("_salt_b"))
+    return a, b, F.col("_salt_a") == F.col("_salt_b")

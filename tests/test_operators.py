@@ -173,7 +173,6 @@ def test_minhash_band_cap_preserves_pairs(spark, oracle_sf_dir):
         ).collect()
     }
     assert capped == uncapped and len(uncapped) > 0
-
     history = docs.filter(F.col("doc_id") % 5 != 0)
     increment = docs.filter(F.col("doc_id") % 5 == 0)
     inc_un = {
@@ -189,6 +188,141 @@ def test_minhash_band_cap_preserves_pairs(spark, oracle_sf_dir):
         ).collect()
     }
     assert inc_cap == inc_un and len(inc_un) > 0
+
+
+def test_band_self_join_salted_row_identical(spark, oracle_sf_dir):
+    """salt_buckets on the band self-join (minhash + simhash/hamming —
+    the shared :func:`_band_self_pairs` stage): the recall-PRESERVING
+    hot-bucket arm. The valve DROPS degenerate buckets (recall loss by
+    design, forbidden where a guarantee is promised); salting CONSUMES
+    them in parallel with row-identical output — every pair still
+    meets exactly once, at a's salt, and the distinct-across-bands is
+    unaffected because salting never duplicates a (band, pair)
+    meeting. Corpus plants a hot bucket (15 byte-identical docs: every
+    band of their signatures collides) beside the real sf docs."""
+    from git_log_to_sqlite_spark.operators import simhash_pairs
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    viral = spark.createDataFrame(
+        [
+            (100000 + i, "viral boilerplate shard every copy identical " * 3)
+            for i in range(15)
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(viral)
+
+    def norm(out):
+        return sorted(map(tuple, out.collect()))
+
+    plain = norm(minhash_lsh_pairs(corpus, "doc_id", "text"))
+    # non-vacuous: the planted bucket's 105 within-family pairs are in
+    # the set (est_jaccard 1.0 for byte-identical texts)
+    fam = [t for t in plain if t[0] >= 100000 and t[1] >= 100000]
+    assert len(fam) == 15 * 14 // 2 and all(t[2] == 1.0 for t in fam)
+    for s in (4, 32):
+        assert (
+            norm(minhash_lsh_pairs(corpus, "doc_id", "text", salt_buckets=s))
+            == plain
+        ), s
+    # TARGETED salting (the at-scale form: only buckets >= the
+    # threshold replicate) — same rows whether the threshold bites
+    # only the planted family (10), everything repeated (2), or
+    # nothing at all (10**6 -> runtime-empty hot set, AQE's
+    # empty-relation fold must still yield the unsalted semantics)
+    for thresh in (10, 2, 10**6):
+        assert (
+            norm(
+                minhash_lsh_pairs(
+                    corpus, "doc_id", "text",
+                    salt_buckets=8, salt_min_bucket=thresh,
+                )
+            )
+            == plain
+        ), thresh
+    plain_sh = norm(simhash_pairs(corpus, "doc_id", "text"))
+    assert (
+        norm(simhash_pairs(corpus, "doc_id", "text", salt_buckets=4))
+        == plain_sh
+    )
+    assert len(plain_sh) >= len(fam)  # identical docs are 0-hamming pairs
+    assert (
+        norm(
+            simhash_pairs(
+                corpus, "doc_id", "text",
+                salt_buckets=4, salt_min_bucket=10,
+            )
+        )
+        == plain_sh
+    )
+
+
+def test_band_self_join_salted_plan_pinned_and_validated(spark):
+    """The salted band join must carry the same load-bearing plan
+    shape as the semantic pair join (one shared helper now —
+    :func:`~.skew.salted_pair_sides`): both sides explicitly
+    co-partitioned at a FIXED count (REPARTITION_BY_NUM — the one
+    shuffle origin AQE never rewrites on byte estimates; key-only
+    salting measured at the unsalted wall clock in BASELINE.md's
+    mega-cell probe), still an equi-join, never a cartesian. Defaults
+    stay salt-free, and salt_buckets=0 fails BEFORE any pin on every
+    entry point (the banding-validation precedent)."""
+    import contextlib
+    import io
+
+    from git_log_to_sqlite_spark.operators import hamming_pairs, simhash_pairs
+    from git_log_to_sqlite_spark.operators.caching import _LIVE, release_caches
+    from git_log_to_sqlite_spark.operators.dedup import _band_self_pairs
+
+    bands = spark.createDataFrame(
+        [(i, 0, "k") for i in range(6)],
+        "doc_id long, band int, band_key string",
+    )
+
+    def plan_of(df_):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df_.explain("formatted")
+        return buf.getvalue()
+
+    salted = plan_of(_band_self_pairs(bands, "doc_id", salt_buckets=4))
+    assert salted.count("REPARTITION_BY_NUM") == 2, salted
+    assert "CartesianProduct" not in salted
+    assert "BroadcastNestedLoopJoin" not in salted
+    # default plan carries no salting machinery at all
+    assert "REPARTITION_BY_NUM" not in plan_of(_band_self_pairs(bands, "doc_id"))
+
+    # targeted mode: the hot-set derivation + marking joins must keep
+    # the pinned co-partitioning and never go cartesian either
+    targeted = plan_of(
+        _band_self_pairs(bands, "doc_id", salt_buckets=4, salt_min_bucket=3)
+    )
+    assert targeted.count("REPARTITION_BY_NUM") == 2, targeted
+    assert "CartesianProduct" not in targeted
+    release_caches()  # the targeted hot set pins
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sig = spark.createDataFrame([(1, 7)], "doc_id long, sig long")
+    for call in (
+        lambda: _band_self_pairs(bands, "doc_id", salt_buckets=0),
+        lambda: minhash_lsh_pairs(docs, "doc_id", "text", salt_buckets=0),
+        lambda: simhash_pairs(docs, "doc_id", "text", salt_buckets=0),
+        lambda: hamming_pairs(sig, "doc_id", "sig", bits=32, salt_buckets=0),
+        # salt_min_bucket without a salt, and a degenerate threshold,
+        # both fail before any pin too
+        lambda: minhash_lsh_pairs(
+            docs, "doc_id", "text", salt_min_bucket=10
+        ),
+        lambda: simhash_pairs(
+            docs, "doc_id", "text", salt_buckets=4, salt_min_bucket=1
+        ),
+        lambda: hamming_pairs(
+            sig, "doc_id", "sig", bits=32, salt_min_bucket=10
+        ),
+    ):
+        with pytest.raises(ValueError, match="salt_"):
+            call()
+        assert _LIVE == []
 
 
 def test_minhash_band_cap_validation(spark):
@@ -1360,6 +1494,15 @@ def test_semantic_dedup_salted_pair_join_row_identical(spark):
         salted = semantic_dedup(df, "vec_id", "embedding", cents,
                                 threshold=threshold, salt_buckets=s)
         assert norm(salted) == plain, s
+    # TARGETED form: only cells >= salt_min_cell replicate — identical
+    # rows whether the threshold bites the 12-member hot cell only
+    # (10), every cell (2), or none (10**6: runtime-empty hot set,
+    # AQE's empty-relation fold must keep unsalted semantics)
+    for mc in (10, 2, 10**6):
+        targeted = semantic_dedup(df, "vec_id", "embedding", cents,
+                                  threshold=threshold, salt_buckets=4,
+                                  salt_min_cell=mc)
+        assert norm(targeted) == plain, mc
     # non-vacuous: the chain dropped somebody and kept somebody in
     # the hot cell, and the zero vector survived
     by_id = dict((t[0], t[3]) for t in plain)
@@ -1392,6 +1535,10 @@ def test_semantic_dedup_salted_pair_join_row_identical(spark):
 
     with pytest.raises(ValueError, match="salt_buckets"):
         _semantic_annotate(df.limit(0), "vec_id", 0.9, None, salt_buckets=0)
+    with pytest.raises(ValueError, match="salt_min_cell"):
+        _semantic_annotate(
+            df.limit(0), "vec_id", 0.9, None, salt_min_cell=100
+        )
 
 
 def test_semantic_store_salt_buckets_pass_through(spark, tmp_path):
