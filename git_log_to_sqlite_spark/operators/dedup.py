@@ -543,6 +543,84 @@ def _band_self_pairs(
     return a.join(b, pair_cond).select("id_a", "id_b").distinct()
 
 
+def _band_probe_pairs(
+    bands_p: DataFrame,
+    bands_c: DataFrame,
+    p_ids: list[str],
+    c_ids: list[str],
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from a probe-bands x corpus-bands equi-join on
+    (band, band_key) — the PROBE-shaped twin of
+    :func:`_band_self_pairs`, shared by :func:`hamming_probe` and
+    :func:`incremental_minhash_dedup` (previously two inline copies).
+    Returns ``(*p_ids, *c_ids)`` distinct.
+
+    ``salt_buckets > 1`` is the same recall-preserving hot-bucket arm,
+    with the sides chosen for the probe shape's asymmetry: the CORPUS
+    side (100 TB of history/train — the big one) takes the
+    deterministic per-row salt, and the PROBE side (a daily increment,
+    an eval suite — the small one) replicates S ways, so the
+    replication price lands on the side that can afford it. A hot
+    bucket's |probe bucket| x |corpus bucket| candidate product — one
+    join key, one task, and invisible to AQE's byte-based sizing
+    because the explosion is downstream of the shuffle read — spreads
+    over S tasks with row-identical output (each (p, c) match meets
+    exactly once, at c's salt). ``salt_min_bucket`` targets the salt
+    at corpus buckets >= that size (hotness measured on the CORPUS
+    side, matching the probe-shape valve's ``join_shape='probe'``
+    counting); everything below keeps salt 0 and its shuffle volume
+    unchanged. This is the arm :func:`fuzzy_decontaminate` can
+    actually use: its docstring forbids the capping valve (a capped
+    train bucket is a silent false negative), and salting preserves
+    the pigeonhole recall guarantee by construction."""
+    _validate_salting(salt_buckets, salt_min_bucket)
+    if salt_buckets <= 1:
+        return (
+            bands_p.join(bands_c, ["band", "band_key"])
+            .select(*p_ids, *c_ids)
+            .distinct()
+        )
+    from .skew import salted_pair_sides
+
+    a = bands_c.select(
+        F.col("band").alias("_band_c"),
+        F.col("band_key").alias("_bk_c"),
+        *c_ids,
+    )
+    b = bands_p.select(
+        F.col("band").alias("_band_p"),
+        F.col("band_key").alias("_bk_p"),
+        *p_ids,
+    )
+    pair_cond = (F.col("_band_c") == F.col("_band_p")) & (
+        F.col("_bk_c") == F.col("_bk_p")
+    )
+    hot_a = hot_b = None
+    if salt_min_bucket is not None:
+        hot = _hot_key_set(
+            bands_c, ["band", "band_key"], salt_min_bucket - 1, None
+        )
+        hot_a = hot.select(
+            F.col("band").alias("_band_c"), F.col("band_key").alias("_bk_c")
+        )
+        hot_b = hot.select(
+            F.col("band").alias("_band_p"), F.col("band_key").alias("_bk_p")
+        )
+    a, b, salt_cond = salted_pair_sides(
+        a,
+        b,
+        ["_band_c", "_bk_c"],
+        ["_band_p", "_bk_p"],
+        list(c_ids),
+        salt_buckets,
+        hot_a=hot_a,
+        hot_b=hot_b,
+    )
+    return a.join(b, pair_cond & salt_cond).select(*p_ids, *c_ids).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -1366,6 +1444,8 @@ def hamming_probe(
     max_band_size: int | None = None,
     band_size_quantile: float | None = None,
     observation: "Observation | None" = None,
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
 ) -> DataFrame:
     """Probe-shaped Hamming lookup: every (probe row, corpus row) pair
     within ``max_hamming`` bits — the content-ID / lookup twin of
@@ -1389,7 +1469,10 @@ def hamming_probe(
     bucket|, so capping the corpus bucket bounds every key at
     |probe| x cap — and telemetry reports ``rows_dropped``, the
     honest per-side number). Same keyspace-sizing caveat as
-    :func:`simhash_pairs`: size ``bits/bands`` to the CORPUS."""
+    :func:`simhash_pairs`: size ``bits/bands`` to the CORPUS.
+    ``salt_buckets`` / ``salt_min_bucket`` are the recall-preserving
+    hot-bucket arm for when capping is not acceptable — corpus side
+    salted, probe side replicated (:func:`_band_probe_pairs`)."""
     p_ids = [probe_id] if isinstance(probe_id, str) else list(probe_id)
     c_ids = [corpus_id] if isinstance(corpus_id, str) else list(corpus_id)
     clash = set(p_ids) & set(c_ids)
@@ -1400,6 +1483,7 @@ def hamming_probe(
     _validate_banding(
         bits, bands, max_hamming, max_band_size, band_size_quantile, observation
     )
+    _validate_salting(salt_buckets, salt_min_bucket)  # before the valve's pin
     bands_c = _capped_bands(
         _sig_bands(corpus, c_ids, sig_col, bits, bands),
         max_band_size,
@@ -1408,10 +1492,8 @@ def hamming_probe(
         join_shape="probe",
     )
     bands_p = _sig_bands(probe, p_ids, sig_col, bits, bands)
-    cand = (
-        bands_p.join(bands_c, ["band", "band_key"])
-        .select(*p_ids, *c_ids)
-        .distinct()
+    cand = _band_probe_pairs(
+        bands_p, bands_c, p_ids, c_ids, salt_buckets, salt_min_bucket
     )
     sp = probe.select(
         *[F.col(c) for c in p_ids], F.col(sig_col).alias("_sp")
@@ -1558,6 +1640,8 @@ def fuzzy_decontaminate(
     max_band_size: int | None = None,
     band_size_quantile: float | None = None,
     observation: "Observation | None" = None,
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
 ) -> DataFrame:
     """NEAR-duplicate benchmark decontamination: flag training
     documents whose simhash is within ``max_hamming`` bits of any
@@ -1588,7 +1672,15 @@ def fuzzy_decontaminate(
     with the probe side already small); reach for the valve only if
     a degenerate bucket (near-empty documents majority-voting to one
     signature) actually materializes, and treat its telemetry as a
-    recall warning, not bookkeeping. Same honest limit as every
+    recall warning, not bookkeeping. ``salt_buckets`` /
+    ``salt_min_bucket`` are the arm that needs NO such warning — the
+    recall-preserving answer to a hot train bucket this operator was
+    previously not allowed to have: the train side salts, the tiny
+    eval side replicates, matches are row-identical and the
+    pigeonhole guarantee holds untouched (:func:`_band_probe_pairs`).
+    Reach for the salt FIRST; the valve remains for corpora where
+    shedding the degenerate bucket is an accepted recall trade. Same
+    honest limit as every
     simhash operator: the
     signature distance is a document-LEVEL proxy — passage-level
     leakage belongs to :func:`decontaminate` or the substring
@@ -1596,6 +1688,7 @@ def fuzzy_decontaminate(
     _validate_banding(
         bits, bands, max_hamming, max_band_size, band_size_quantile, observation
     )
+    _validate_salting(salt_buckets, salt_min_bucket)  # before the pins
     sig_t = pin(
         simhash(train, id_col, text_col, bits).withColumnRenamed(
             id_col, "_train_id"
@@ -1622,6 +1715,8 @@ def fuzzy_decontaminate(
         max_band_size=max_band_size,
         band_size_quantile=band_size_quantile,
         observation=observation,
+        salt_buckets=salt_buckets,
+        salt_min_bucket=salt_min_bucket,
     )
     hits = matches.groupBy("_train_id").agg(
         F.count(F.lit(1)).alias("matched_evals"),
@@ -1661,6 +1756,8 @@ def incremental_minhash_dedup(
     observation: "Observation | None" = None,
     history_signatures: DataFrame | None = None,
     best_match: bool = False,
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
 ) -> DataFrame:
     """Dedup a new batch against the historical corpus WITHOUT
     re-pairing history with itself — the daily-ingest shape of fuzzy
@@ -1696,7 +1793,10 @@ def incremental_minhash_dedup(
     bucket bounds every key's candidate mass at |increment| x cap —
     linear in the (small) increment even when the increment itself
     carries a degenerate key, while removing a hot history bucket
-    removes the key from the join outright.
+    removes the key from the join outright. ``salt_buckets`` /
+    ``salt_min_bucket`` are the recall-PRESERVING alternative when a
+    hot history bucket must be consumed, not dropped: history side
+    salted, increment replicated (:func:`_band_probe_pairs`).
 
     Pass ``history_signatures`` (a wide ``(id, mh_0..mh_{K-1})`` table,
     e.g. :meth:`SignatureStore.read`) INSTEAD of ``history`` to run
@@ -1715,6 +1815,7 @@ def incremental_minhash_dedup(
     _validate_band_caps(  # before the pins — a bad call must not leak a cache entry
         max_band_size, band_size_quantile, observation
     )
+    _validate_salting(salt_buckets, salt_min_bucket)  # same rule
     if history_signatures is not None:
         missing = {id_col, *(f"mh_{j}" for j in range(num_hashes))} - set(
             history_signatures.columns
@@ -1735,17 +1836,15 @@ def incremental_minhash_dedup(
         join_shape="probe",
     )
     bands_i = _band_keys(mh_i, id_col, num_hashes, rows_per_band)
-    cand = (
-        bands_i.alias("i")
-        .join(
-            bands_h.alias("h"),
-            (F.col("i.band") == F.col("h.band"))
-            & (F.col("i.band_key") == F.col("h.band_key")),
-        )
-        .select(
-            F.col(f"i.{id_col}").alias("_inc"), F.col(f"h.{id_col}").alias("_hist")
-        )
-        .distinct()
+    # shared probe-pair stage: increment = probe (small, replicates
+    # under a salt), history = corpus (big, salted per row)
+    cand = _band_probe_pairs(
+        bands_i.withColumnRenamed(id_col, "_inc"),
+        bands_h.withColumnRenamed(id_col, "_hist"),
+        ["_inc"],
+        ["_hist"],
+        salt_buckets,
+        salt_min_bucket,
     )
     mi = mh_i.select(
         F.col(id_col).alias("_inc"),

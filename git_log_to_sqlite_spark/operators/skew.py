@@ -30,8 +30,9 @@ _MERGEABLE = {
 }
 
 
-def _salt(unique_col: Column, buckets: int) -> Column:
-    return F.pmod(F.xxhash64(unique_col), F.lit(buckets)).cast("int")
+def _salt(unique_col: "Column | list[Column]", buckets: int) -> Column:
+    cols = unique_col if isinstance(unique_col, list) else [unique_col]
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
 
 
 def salted_aggregate(
@@ -141,7 +142,7 @@ def salted_pair_sides(
     b: DataFrame,
     a_keys: list[str],
     b_keys: list[str],
-    a_salt_from: str,
+    a_salt_from: "str | list[str]",
     buckets: int,
     hot_a: DataFrame | None = None,
     hot_b: DataFrame | None = None,
@@ -214,8 +215,12 @@ def salted_pair_sides(
         raise ValueError(f"salt_buckets must be >= 1, got {buckets}")
     if (hot_a is None) != (hot_b is None):
         raise ValueError("hot_a and hot_b must be passed together")
+    salt_src = [
+        F.col(c)
+        for c in ([a_salt_from] if isinstance(a_salt_from, str) else a_salt_from)
+    ]
     if hot_a is None:
-        a = a.withColumn("_salt_a", _salt(F.col(a_salt_from), buckets))
+        a = a.withColumn("_salt_a", _salt(salt_src, buckets))
         b = b.withColumn(
             "_salt_b",
             F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>")),
@@ -224,7 +229,7 @@ def salted_pair_sides(
         a = a.join(hot_a.withColumn("_hot_a", F.lit(True)), a_keys, "left")
         a = a.withColumn(
             "_salt_a",
-            F.when(F.col("_hot_a"), _salt(F.col(a_salt_from), buckets))
+            F.when(F.col("_hot_a"), _salt(salt_src, buckets))
             .otherwise(F.lit(0))
             .cast("int"),
         ).drop("_hot_a")

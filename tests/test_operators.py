@@ -270,7 +270,13 @@ def test_band_self_join_salted_plan_pinned_and_validated(spark):
     import contextlib
     import io
 
-    from git_log_to_sqlite_spark.operators import hamming_pairs, simhash_pairs
+    from git_log_to_sqlite_spark.operators import (
+        fuzzy_decontaminate,
+        hamming_pairs,
+        hamming_probe,
+        incremental_minhash_dedup,
+        simhash_pairs,
+    )
     from git_log_to_sqlite_spark.operators.caching import _LIVE, release_caches
     from git_log_to_sqlite_spark.operators.dedup import _band_self_pairs
 
@@ -319,10 +325,92 @@ def test_band_self_join_salted_plan_pinned_and_validated(spark):
         lambda: hamming_pairs(
             sig, "doc_id", "sig", bits=32, salt_min_bucket=10
         ),
+        # the probe-shaped entry points share the rule
+        lambda: fuzzy_decontaminate(
+            docs, docs, "doc_id", "text", salt_buckets=0
+        ),
+        lambda: incremental_minhash_dedup(
+            docs, docs.limit(1), "doc_id", "text", salt_min_bucket=10
+        ),
+        lambda: hamming_probe(
+            sig.withColumnRenamed("doc_id", "pid"), sig,
+            probe_id="pid", corpus_id="doc_id", sig_col="sig",
+            bits=32, salt_buckets=4, salt_min_bucket=1,
+        ),
     ):
         with pytest.raises(ValueError, match="salt_"):
             call()
         assert _LIVE == []
+
+
+def test_band_probe_join_salted_row_identical(spark, oracle_sf_dir):
+    """Probe-shaped salting (:func:`_band_probe_pairs` behind
+    hamming_probe / fuzzy_decontaminate / incremental_minhash_dedup):
+    the CORPUS side salts, the small PROBE side replicates — the
+    asymmetry that keeps the replication price on the side that can
+    afford it. Row-identical output in uniform, targeted, and
+    runtime-empty-hot-set modes. fuzzy_decontaminate is the headline:
+    its no-cap recall contract previously left it with NO skew arm at
+    all (any valve cap is a silent false negative), and salting is
+    the arm that preserves the pigeonhole guarantee."""
+    from git_log_to_sqlite_spark.operators import (
+        fuzzy_decontaminate,
+        incremental_minhash_dedup,
+    )
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    viral_text = "viral boilerplate shard every copy identical " * 3
+    viral = spark.createDataFrame(
+        [(100000 + i, viral_text) for i in range(12)],
+        "doc_id long, text string",
+    )
+    train = docs.select("doc_id", "text").unionByName(viral)
+    bench = spark.createDataFrame(
+        [(1, viral_text), (2, "unrelated held-out evaluation question")],
+        "doc_id long, text string",
+    )
+
+    def norm(out):
+        return sorted(map(tuple, out.collect()))
+
+    plain = norm(fuzzy_decontaminate(train, bench, "doc_id", "text"))
+    # non-vacuous: every viral train member is flagged (hamming 0 to
+    # the identical eval doc)
+    flagged = {t[0] for t in plain if t[3] == 1}
+    assert {100000 + i for i in range(12)} <= flagged
+    for kw in (
+        {"salt_buckets": 4},
+        {"salt_buckets": 8, "salt_min_bucket": 10},
+        {"salt_buckets": 8, "salt_min_bucket": 10**6},
+    ):
+        assert (
+            norm(fuzzy_decontaminate(train, bench, "doc_id", "text", **kw))
+            == plain
+        ), kw
+
+    inc = spark.createDataFrame(
+        [(555555, viral_text), (555556, "a brand new never seen document")],
+        "doc_id long, text string",
+    )
+    plain_inc = norm(incremental_minhash_dedup(train, inc, "doc_id", "text"))
+    by_id = {t[0]: t for t in plain_inc}
+    assert by_id[555555][1] == 100000 or by_id[555555][1] in set(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )  # matched SOME history doc (min-id pick); definitely not new
+    assert by_id[555555][3] == 0
+    for kw in (
+        {"salt_buckets": 4},
+        {"salt_buckets": 8, "salt_min_bucket": 10},
+        {"salt_buckets": 8, "salt_min_bucket": 10**6},
+    ):
+        assert (
+            norm(
+                incremental_minhash_dedup(
+                    train, inc, "doc_id", "text", **kw
+                )
+            )
+            == plain_inc
+        ), kw
 
 
 def test_minhash_band_cap_validation(spark):
