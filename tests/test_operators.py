@@ -2276,6 +2276,65 @@ def test_image_near_dup_planted_twins(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_multimodal_salt_passthrough_row_identical(spark):
+    """The four Hamming-modality wrappers (image/audio/video near-dup,
+    cross-modal image-in-video) thread salt_buckets / salt_min_bucket
+    through to the shared pair/probe stages with row-identical output
+    — the knobs are pure execution strategy, and the stage-level
+    semantics are proven in the band-join tests; this pins the wrapper
+    plumbing, plus the before-the-pin validation (a bad salt arg must
+    not leak a signature-pin registry entry)."""
+    import random
+
+    from git_log_to_sqlite_spark.operators.caching import (
+        _LIVE,
+        release_caches,
+    )
+    from git_log_to_sqlite_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        image_in_video_frames,
+        image_near_dup_pairs,
+        video_near_dup_pairs,
+    )
+
+    def payload(seed, n=600):
+        r = random.Random(seed)
+        return bytes(r.randrange(256) for _ in range(n))
+
+    fam = payload("fam")
+    media = spark.createDataFrame(
+        [(i, fam, "application/octet-stream", len(fam)) for i in range(1, 7)]
+        + [
+            (10 + i, payload(f"solo{i}"), "application/octet-stream", 600)
+            for i in range(3)
+        ],
+        "media_id long, payload binary, mime_type string, byte_len int",
+    )
+    stills = media.filter("media_id >= 10")
+    grid_fn = lambda p, r, c: list(p[: r * (c + 1)])  # noqa: E731
+
+    def norm(df_):
+        return sorted(map(tuple, df_.collect()))
+
+    ops = (
+        lambda **s: image_near_dup_pairs(media, grid_fn=grid_fn, **s),
+        lambda **s: audio_near_dup_pairs(media, **s),
+        lambda **s: video_near_dup_pairs(media, grid_fn=grid_fn, **s),
+        lambda **s: image_in_video_frames(
+            stills, media, grid_fn=grid_fn, **s
+        ),
+    )
+    for op in ops:
+        plain = norm(op())
+        assert len(plain) > 0  # the 6-copy family pairs at hamming 0
+        assert norm(op(salt_buckets=3)) == plain
+        assert norm(op(salt_buckets=4, salt_min_bucket=4)) == plain
+        release_caches()
+        with pytest.raises(ValueError, match="salt_"):
+            op(salt_buckets=0)
+        assert _LIVE == []
+
+
 def test_audio_near_dup_planted_twins(spark):
     """Haitsma-Kalker fingerprint + hamming_pairs over a raw-energy
     payload format (the energy_fn seam makes the bit math testable
