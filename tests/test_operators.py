@@ -307,6 +307,28 @@ def test_band_self_join_salted_plan_pinned_and_validated(spark):
     assert "CartesianProduct" not in targeted
     release_caches()  # the targeted hot set pins
 
+    # the probe-shaped stage carries the identical pins (same shared
+    # helper, but its own entry path — both sides renamed, corpus side
+    # salted): uniform and targeted both co-partition at a fixed
+    # count, default is pin-free
+    from git_log_to_sqlite_spark.operators.dedup import _band_probe_pairs
+
+    bands_p = spark.createDataFrame(
+        [(100 + i, 0, "k") for i in range(2)],
+        "pid long, band int, band_key string",
+    )
+    for kw in ({"salt_buckets": 4}, {"salt_buckets": 4, "salt_min_bucket": 3}):
+        probe_plan = plan_of(
+            _band_probe_pairs(bands_p, bands, ["pid"], ["doc_id"], **kw)
+        )
+        assert probe_plan.count("REPARTITION_BY_NUM") == 2, (kw, probe_plan)
+        assert "CartesianProduct" not in probe_plan, kw
+        assert "BroadcastNestedLoopJoin" not in probe_plan, kw
+    release_caches()  # the targeted hot set pins
+    assert "REPARTITION_BY_NUM" not in plan_of(
+        _band_probe_pairs(bands_p, bands, ["pid"], ["doc_id"])
+    )
+
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     sig = spark.createDataFrame([(1, 7)], "doc_id long, sig long")
     for call in (
