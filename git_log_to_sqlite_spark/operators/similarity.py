@@ -1071,15 +1071,19 @@ class SemanticStore(_ParquetStore):
         self.dist_round_to = dist_round_to
         #: hot-cell parallelism for the intra-batch/bootstrap pair
         #: stage (see :func:`_semantic_annotate` — row-identical
-        #: output, S x b-side shuffle). The history probe join is NOT
-        #: salted: daily batches broadcast (no skew exposure), and a
-        #: backfill-scale shuffled ingest with a hot cell should
-        #: bootstrap a fresh store instead (one batch SemDeDup run,
-        #: where this knob applies). Validated HERE, not first inside
-        #: bootstrap's annotate stage — by then the centroid table
-        #: has already been overwritten and the store would be left
-        #: half-written. salt_min_cell targets the salt at hot cells
-        #: only (bounded replication — the at-scale form).
+        #: output, S x b-side shuffle) AND for the history probe join
+        #: in :meth:`ingest` (probe shape: store side salted per kept
+        #: row, batch replicated — the backfill-regime arm, where a
+        #: hot cell's |batch cell| x |kept cell| product is one join
+        #: key unsalted; when armed, a small daily batch pays the
+        #: pinned co-partitioning shuffles instead of the free
+        #: broadcast — pennies on an increment). Validated HERE, not
+        #: first inside bootstrap's annotate stage — by then the
+        #: centroid table has already been overwritten and the store
+        #: would be left half-written. salt_min_cell targets the salt
+        #: at hot cells only (bounded replication — the at-scale
+        #: form; on the history probe, hotness is measured on the
+        #: STORE side, the _band_probe_pairs convention).
         from .skew import _validate_pair_salting
 
         _validate_pair_salting(salt_buckets, salt_min_cell, "salt_min_cell")
@@ -1171,7 +1175,9 @@ class SemanticStore(_ParquetStore):
         |batch cell| x |kept cell|, the store never self-joins,
         unprobed cell partitions prune; a backfill-scale batch
         degrades to a shuffled cell join instead of a broadcast
-        cliff) and
+        cliff — and with the store's ``salt_buckets`` armed, that
+        shuffled regime's hot cells spread over S salted tasks,
+        row-identical by test) and
         the batch-internal annotate stage. Cache hygiene mirrors
         every sibling ingest: pins in a cache_scope, annotation
         checkpointed before the append. ``observation`` arms
@@ -1211,10 +1217,48 @@ class SemanticStore(_ParquetStore):
             # cells), while a backfill-scale batch degrades to a
             # shuffled cell join instead of hitting the 8 GB
             # broadcast cliff a hard hint would force
+            probe = ranked.select("_id", "_v", "_n", "cell")
+            if self.salt_buckets > 1:
+                # the store's salt knobs ride the HISTORY probe too
+                # (probe shape: store = corpus side, salted per kept
+                # row; batch = probe side, replicated): in the
+                # backfill SMJ regime a hot cell's
+                # |batch cell| x |kept cell| product is one join key
+                # — one task, invisible to AQE's byte sizing — and
+                # the groupBy below is on _id, so per-salt partials
+                # combine without any semantic change. Hotness for
+                # salt_min_cell is measured on the STORE side (the
+                # _band_probe_pairs convention). Price when armed: a
+                # small daily batch pays the pinned co-partitioning
+                # shuffles instead of the free broadcast — pennies on
+                # an increment, and the knob is opt-in for degenerate
+                # corpora (default S=1 keeps the broadcast regime).
+                from .caching import pin
+                from .skew import salted_pair_sides
+
+                a = s.withColumnRenamed("cell", "_cs")
+                b = probe.withColumnRenamed("cell", "_cp")
+                hot_a = hot_b = None
+                if self.salt_min_cell is not None:
+                    hot = pin(
+                        s.groupBy("cell")
+                        .agg(F.count(F.lit(1)).alias("_d"))
+                        .filter(F.col("_d") >= self.salt_min_cell)
+                        .select("cell")
+                    )
+                    hot_a = hot.select(F.col("cell").alias("_cs"))
+                    hot_b = hot.select(F.col("cell").alias("_cp"))
+                a, b, salt_cond = salted_pair_sides(
+                    a, b, ["_cs"], ["_cp"], "_hid", self.salt_buckets,
+                    hot_a=hot_a, hot_b=hot_b,
+                )
+                joined = b.join(
+                    a, (F.col("_cp") == F.col("_cs")) & salt_cond
+                )
+            else:
+                joined = probe.join(s, "cell")
             hist = (
-                ranked.select("_id", "_v", "_n", "cell")
-                .join(s, "cell")
-                .filter(sim >= F.lit(self.threshold))
+                joined.filter(sim >= F.lit(self.threshold))
                 .groupBy(F.col("_id").alias(self.id_col))
                 .agg(
                     F.min(

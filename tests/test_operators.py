@@ -1653,9 +1653,12 @@ def test_semantic_dedup_salted_pair_join_row_identical(spark):
 
 def test_semantic_store_salt_buckets_pass_through(spark, tmp_path):
     """SemanticStore(salt_buckets=S) must reproduce the unsalted
-    store bit for bit across bootstrap AND ingest (both intra-batch
-    annotate stages ride the knob; the history probe join is
-    deliberately unsalted — daily batches broadcast)."""
+    store bit for bit across bootstrap AND ingest — the knob rides
+    BOTH intra-batch annotate stages AND the history probe join
+    (probe shape: store side salted per kept row, batch replicated;
+    the backfill-regime arm — a hot cell's |batch cell| x |kept cell|
+    product is one join key unsalted). Uniform, targeted, and
+    runtime-empty-hot-set modes all bit-equal."""
     import math
 
     from git_log_to_sqlite_spark.operators import SemanticStore
@@ -1670,8 +1673,10 @@ def test_semantic_store_salt_buckets_pass_through(spark, tmp_path):
     batch = [(100 + i, at(6 * i + 1)) for i in range(5)]      # history dups
     batch += [(200, at(45.0)), (201, at(45.5)), (202, at(46.0))]  # batch chain
 
-    def run(path, s):
-        store = SemanticStore(spark, path, threshold=0.9995, salt_buckets=s)
+    def run(path, s, mc=None):
+        store = SemanticStore(
+            spark, path, threshold=0.9995, salt_buckets=s, salt_min_cell=mc
+        )
         store.bootstrap(spark.createDataFrame(boot, schema), cents)
         ann = sorted(map(tuple, store.ingest(
             spark.createDataFrame(batch, schema)).collect()))
@@ -1680,6 +1685,11 @@ def test_semantic_store_salt_buckets_pass_through(spark, tmp_path):
 
     plain = run(str(tmp_path / "plain"), 1)
     assert run(str(tmp_path / "salted"), 3) == plain
+    # targeted: threshold bites the store's populated cells (2), and
+    # a runtime-empty hot set (10**6 — AQE's empty-relation fold must
+    # keep the unsalted semantics on the history probe too)
+    assert run(str(tmp_path / "targeted"), 3, mc=2) == plain
+    assert run(str(tmp_path / "empty_hot"), 3, mc=10**6) == plain
     # non-vacuous: both drop sources actually fired under the fixture,
     # so the salted annotate path was exercised on real drops
     ann, kept = plain
