@@ -1173,6 +1173,8 @@ def incremental_substring_spans(
     quantile_headroom: int = 10,
     history_windows: DataFrame | None = None,
     observation: "Observation | None" = None,
+    salt_buckets: int = 1,
+    salt_min_bucket: int | None = None,
 ) -> DataFrame:
     """Passage-level dedup of a daily batch against accumulated
     history — :func:`substring_span_pairs`' production increment
@@ -1208,6 +1210,21 @@ def incremental_substring_spans(
     aggregation and the probe join each consume the table, and
     re-deriving means re-tokenizing history; without a cap the derived
     table is consumed once and a cache would only add write cost.
+
+    ``salt_buckets`` / ``salt_min_bucket`` are the recall-preserving
+    hot-window arm (:func:`~.skew.salted_pair_sides`, the probe
+    shape): a boilerplate window occurring d times in history meets
+    every increment occurrence on ONE join key — capping it sheds
+    real passage matches, salting consumes it over S tasks with
+    row-identical output (history side salted per (id, pos) window
+    row, increment replicated; downstream gaps-and-islands groups on
+    (inc_id, hist_id, diag), so per-salt partials are disjoint pair
+    meetings, never double-counted). ``salt_min_bucket`` targets
+    history windows with >= that many occurrences (counted on the
+    history side, the probe-valve convention). The batch operator
+    (:func:`substring_span_pairs`) deliberately has NO salt arm — its
+    pair stage is a posting-list explode (one ROW per hot window, the
+    jaccard adjudication), not a join.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -1217,6 +1234,7 @@ def incremental_substring_spans(
             "a shorter run has no complete window and cannot be observed"
         )
     _validate_df_caps(max_df, max_df_quantile, observation)
+    _validate_salting(salt_buckets, salt_min_bucket)  # before any pin
     if (history is None) == (history_windows is None):
         raise ValueError("exactly one of history / history_windows is required")
     if history_windows is not None:
@@ -1244,15 +1262,38 @@ def incremental_substring_spans(
             avoided="rows",
         )
         wh = wh.join(hot, "h", "left_anti")
-    m = (
-        wi.alias("i")
-        .join(wh.alias("hh"), F.col("i.h") == F.col("hh.h"))
-        .select(
-            F.col("i._id").alias("inc_id"),
-            F.col("hh._id").alias("hist_id"),
-            (F.col("i.pos") - F.col("hh.pos")).alias("diag"),
-            F.col("i.pos").alias("pos_a"),
+    # renamed projections, not aliases (an alias does not survive the
+    # salting branch's withColumn/repartition — the _band_self_pairs
+    # rule); history = corpus side (salted), increment = probe side
+    a = wh.select(
+        F.col("h").alias("_h_h"),
+        F.col("_id").alias("_hid"),
+        F.col("pos").alias("_hpos"),
+    )
+    b = wi.select(
+        F.col("h").alias("_h_i"),
+        F.col("_id").alias("_iid"),
+        F.col("pos").alias("_ipos"),
+    )
+    pair_cond = F.col("_h_i") == F.col("_h_h")
+    if salt_buckets > 1:
+        from .skew import salted_pair_sides
+
+        hot_a = hot_b = None
+        if salt_min_bucket is not None:
+            hot = _hot_key_set(wh, ["h"], salt_min_bucket - 1, None)
+            hot_a = hot.select(F.col("h").alias("_h_h"))
+            hot_b = hot.select(F.col("h").alias("_h_i"))
+        a, b, salt_cond = salted_pair_sides(
+            a, b, ["_h_h"], ["_h_i"], ["_hid", "_hpos"], salt_buckets,
+            hot_a=hot_a, hot_b=hot_b,
         )
+        pair_cond = pair_cond & salt_cond
+    m = b.join(a, pair_cond).select(
+        F.col("_iid").alias("inc_id"),
+        F.col("_hid").alias("hist_id"),
+        (F.col("_ipos") - F.col("_hpos")).alias("diag"),
+        F.col("_ipos").alias("pos_a"),
     )
     return _island_spans(m, "inc_id", "hist_id", window, min_run_tokens)
 
@@ -2053,10 +2094,16 @@ class SignatureStore(_ParquetStore):
         min_agree: float = 0.25,
         max_band_size: int | None = None,
         band_size_quantile: float | None = None,
+        salt_buckets: int = 1,
+        salt_min_bucket: int | None = None,
     ) -> DataFrame:
         """Dedup ``batch`` against the store and append the novel
         documents' signatures. Returns the materialized per-batch
         annotation ``(id, dup_of, best_est, is_new)``.
+        ``salt_buckets`` / ``salt_min_bucket`` ride through to
+        :func:`incremental_minhash_dedup`'s probe-shaped salt arm
+        (history side salted, batch replicated — row-identical, the
+        recall-preserving alternative to the capping valve).
 
         Every cache this call creates — the batch signature pin, the
         operator's internal twin of it, and (under the quantile valve)
@@ -2073,6 +2120,7 @@ class SignatureStore(_ParquetStore):
         post-append."""
         from .caching import cache_scope
 
+        _validate_salting(salt_buckets, salt_min_bucket)  # before the pin
         self._require_bootstrapped()
         with cache_scope():
             sigs = pin(self.signatures_for(batch, text_col))
@@ -2088,6 +2136,8 @@ class SignatureStore(_ParquetStore):
                 max_band_size=max_band_size,
                 band_size_quantile=band_size_quantile,
                 history_signatures=self.read(),
+                salt_buckets=salt_buckets,
+                salt_min_bucket=salt_min_bucket,
             ).localCheckpoint(eager=True)
             new_ids = res.filter(F.col("is_new") == 1).select(self.id_col)
             sigs.join(new_ids, self.id_col, "left_semi").write.mode(
@@ -2155,6 +2205,8 @@ class HammingStore(_ParquetStore):
         max_band_size: int | None = None,
         band_size_quantile: float | None = None,
         observation: "Observation | None" = None,
+        salt_buckets: int = 1,
+        salt_min_bucket: int | None = None,
     ) -> DataFrame:
         """Dedup a batch's signature table against the store and
         append the novel items' signatures. Returns the materialized
@@ -2164,13 +2216,17 @@ class HammingStore(_ParquetStore):
         ``is_new`` = 1 when no history signature is within
         ``max_hamming``. Cache hygiene mirrors
         :meth:`SignatureStore.ingest` (everything in a cache_scope;
-        checkpoint before append)."""
+        checkpoint before append). ``salt_buckets`` /
+        ``salt_min_bucket`` ride through to :func:`hamming_probe`'s
+        probe-shaped salt arm (history side salted, batch
+        replicated)."""
         from .caching import cache_scope
 
         _validate_banding(
             self.bits, bands, max_hamming, max_band_size,
             band_size_quantile, observation,
         )
+        _validate_salting(salt_buckets, salt_min_bucket)  # same rule
         self._require_bootstrapped()
         with cache_scope():
             sigs = pin(signatures.select(self.id_col, self.sig_col))
@@ -2187,6 +2243,8 @@ class HammingStore(_ParquetStore):
                 max_band_size=max_band_size,
                 band_size_quantile=band_size_quantile,
                 observation=observation,
+                salt_buckets=salt_buckets,
+                salt_min_bucket=salt_min_bucket,
             )
             best = matches.groupBy(self.id_col).agg(
                 F.min(F.struct("hamming", "_hist_id")).alias("_best")
@@ -2268,6 +2326,8 @@ class WindowStore(_ParquetStore):
         max_df: int | None = None,
         max_df_quantile: float | None = None,
         quantile_headroom: int = 10,
+        salt_buckets: int = 1,
+        salt_min_bucket: int | None = None,
     ) -> DataFrame:
         """Check ``batch`` for shared passages against the store and
         append the novel documents' windows. Returns the materialized
@@ -2283,9 +2343,13 @@ class WindowStore(_ParquetStore):
         cache_scope, so a long-lived foreachBatch loop neither leaks a
         pin per micro-batch nor serves a later batch a STALE
         pre-append cache; the annotation is checkpointed before the
-        append inside the scope."""
+        append inside the scope. ``salt_buckets`` /
+        ``salt_min_bucket`` ride through to
+        :func:`incremental_substring_spans`' probe-shaped salt arm
+        (history windows salted, batch replicated)."""
         from .caching import cache_scope
 
+        _validate_salting(salt_buckets, salt_min_bucket)  # before the pin
         self._require_bootstrapped()
         with cache_scope():
             wb = pin(self.windows_for(batch, text_col))
@@ -2300,6 +2364,8 @@ class WindowStore(_ParquetStore):
                 max_df_quantile=max_df_quantile,
                 quantile_headroom=quantile_headroom,
                 history_windows=self.read(),
+                salt_buckets=salt_buckets,
+                salt_min_bucket=salt_min_bucket,
             )
             per_doc = pairs.groupBy(F.col("inc_id").alias(self.id_col)).agg(
                 F.max("longest_run_tokens").alias("max_run_tokens"),

@@ -1006,6 +1006,90 @@ def test_incremental_substring_persisted_window_table(spark, oracle_sf_dir, tmp_
         )
 
 
+def test_incremental_substring_salted_row_identical(
+    spark, oracle_sf_dir, tmp_path
+):
+    """salt_buckets on the substring probe join (history windows
+    salted per (id, pos) row, increment replicated — the last
+    probe-shaped join to gain the arm): row-identical spans in
+    uniform, targeted, and runtime-empty-hot-set modes on a history
+    carrying a planted hot boilerplate passage; WindowStore threads
+    the knobs; bad salt args fail before any pin."""
+    from git_log_to_sqlite_spark.operators import (
+        WindowStore,
+        incremental_substring_spans,
+    )
+    from git_log_to_sqlite_spark.operators.caching import (
+        _LIVE,
+        release_caches,
+    )
+
+    d = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    boiler = (
+        "shared legal boilerplate passage repeated verbatim in every "
+        "single copy here"
+    )
+    hot = spark.createDataFrame(
+        [
+            (100000 + i, f"doc {i} unique prefix {boiler} unique suffix {i}")
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    history = d.filter(F.col("doc_id") % 5 != 0).unionByName(hot)
+    increment = spark.createDataFrame(
+        [
+            (900000, f"probe document carrying {boiler} and nothing else"),
+            (900001, "a fully novel document with no shared runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def norm(**kw):
+        return sorted(
+            tuple(r)
+            for r in incremental_substring_spans(
+                history, increment, "doc_id", "text",
+                window=6, min_run_tokens=6, **kw,
+            ).collect()
+        )
+
+    plain = norm()
+    hits = {t[1] for t in plain if t[0] == 900000}
+    assert {100000 + i for i in range(12)} <= hits  # non-vacuous
+    assert norm(salt_buckets=4) == plain
+    assert norm(salt_buckets=8, salt_min_bucket=10) == plain
+    assert norm(salt_buckets=8, salt_min_bucket=10**6) == plain
+
+    def run_store(path, **kw):
+        st = WindowStore(
+            spark, str(tmp_path / path), id_col="doc_id", window=6
+        )
+        st.bootstrap(history, "text")
+        ann = sorted(map(tuple, st.ingest(
+            increment, "text", min_run_tokens=6, **kw
+        ).collect()))
+        return ann, st.read().count()
+
+    splain = run_store("w_plain")
+    assert run_store("w_t", salt_buckets=4, salt_min_bucket=10) == splain
+
+    release_caches()  # the direct targeted calls' hot-set pins
+    stb = WindowStore(spark, str(tmp_path / "w_plain"), id_col="doc_id",
+                      window=6)
+    for call in (
+        lambda: incremental_substring_spans(
+            history, increment, "doc_id", "text", salt_buckets=0
+        ),
+        lambda: stb.ingest(increment, "text", salt_min_bucket=10),
+    ):
+        with pytest.raises(ValueError, match="salt_"):
+            call()
+        assert _LIVE == []
+
+
 def test_incremental_substring_history_valve(spark):
     """Degenerate HISTORY boilerplate (one window in 2,000 history
     docs) must be anti-filtered before the probe join: each of the 10
@@ -3065,6 +3149,78 @@ def test_hamming_store_multi_day_ingest(spark, tmp_path):
     # store grew by exactly the novel items: 20 bootstrap + 101
     assert store.read().count() == 21
     assert {r["mid"] for r in store.read().collect()} == set(base) | {101}
+
+
+def test_band_stores_salt_passthrough_row_identical(spark, tmp_path):
+    """SignatureStore.ingest / HammingStore.ingest thread the probe-
+    shaped salt knobs through to their operators (history side salted,
+    batch replicated — the SemanticStore precedent) with bit-identical
+    annotations AND store growth in uniform, targeted, and runtime-
+    empty-hot-set modes; bad salt args fail before any pin."""
+    import random
+
+    from git_log_to_sqlite_spark.operators import HammingStore, SignatureStore
+    from git_log_to_sqlite_spark.operators.caching import _LIVE
+
+    rng = random.Random(7)
+    base = [(i, rng.getrandbits(60)) for i in range(12)]
+    # hot history bucket: identical signatures — every band collides
+    hot = [(100 + i, base[0][1]) for i in range(10)]
+    batch = [(500, base[0][1] ^ 0b1), (501, rng.getrandbits(60))]
+
+    def run_h(path, **kw):
+        st = HammingStore(spark, str(tmp_path / path), id_col="mid",
+                          sig_col="sig", bits=60)
+        st.bootstrap(spark.createDataFrame(base + hot, "mid long, sig long"))
+        ann = sorted(map(tuple, st.ingest(
+            spark.createDataFrame(batch, "mid long, sig long"),
+            bands=4, max_hamming=3, **kw,
+        ).collect()))
+        return ann, sorted(r["mid"] for r in st.read().collect())
+
+    plain = run_h("h_plain")
+    assert plain[0][0][4] == 0  # the near-copy matched history
+    assert run_h("h_u", salt_buckets=4) == plain
+    assert run_h("h_t", salt_buckets=4, salt_min_bucket=5) == plain
+    assert run_h("h_e", salt_buckets=4, salt_min_bucket=10**6) == plain
+
+    viral_text = "viral boilerplate every copy identical " * 3
+    docs = [(i, f"some shared prefix words document number {i} " * 2)
+            for i in range(8)]
+    viral = [(50 + i, viral_text) for i in range(8)]
+    inc = [(900, viral_text), (901, "a genuinely brand new document")]
+
+    def run_s(path, **kw):
+        st = SignatureStore(spark, str(tmp_path / path), id_col="doc_id")
+        st.bootstrap(
+            spark.createDataFrame(docs + viral, "doc_id long, text string"),
+            "text",
+        )
+        ann = sorted(map(tuple, st.ingest(
+            spark.createDataFrame(inc, "doc_id long, text string"),
+            "text", **kw,
+        ).collect()))
+        return ann, sorted(r["doc_id"] for r in st.read().collect())
+
+    splain = run_s("s_plain")
+    by_id = {t[0]: t for t in splain[0]}
+    assert by_id[900][3] == 0 and by_id[901][3] == 1  # non-vacuous
+    assert run_s("s_u", salt_buckets=4) == splain
+    assert run_s("s_t", salt_buckets=4, salt_min_bucket=5) == splain
+
+    stb = HammingStore(spark, str(tmp_path / "h_plain"), id_col="mid",
+                       sig_col="sig", bits=60)
+    sts = SignatureStore(spark, str(tmp_path / "s_plain"), id_col="doc_id")
+    bdf = spark.createDataFrame(batch, "mid long, sig long")
+    idf = spark.createDataFrame(inc, "doc_id long, text string")
+    for call in (
+        lambda: stb.ingest(bdf, salt_buckets=0),
+        lambda: stb.ingest(bdf, salt_buckets=4, salt_min_bucket=1),
+        lambda: sts.ingest(idf, "text", salt_min_bucket=10),
+    ):
+        with pytest.raises(ValueError, match="salt_"):
+            call()
+        assert _LIVE == []
 
 
 def test_semantic_store_multi_day_ingest(spark, tmp_path):
