@@ -352,3 +352,60 @@ def test_simhash_pairs_matches_brute_force(sess, texts):
         ).collect()
     }
     assert got == want
+
+
+_band_rows = st.lists(
+    st.tuples(
+        st.integers(0, 24),            # id
+        st.integers(0, 2),             # band
+        st.sampled_from(["x", "y", "z"]),  # band_key — collisions likely
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(
+    rows=_band_rows,
+    probe=_band_rows,
+    s=st.sampled_from([2, 3, 5]),
+    thresh=st.sampled_from([None, 2, 3, 10**6]),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_pair_joins_row_identical_any_input(sess, rows, probe, s, thresh):
+    """Salting invariant on ANY bands table (SURVEY 5.2.4): the salted
+    self-join and probe-join stages are pure execution strategies —
+    for every salt width and every targeted threshold (including one
+    that never fires), the pair set equals the unsalted stage's. The
+    planted-fixture tests prove the interesting regimes; this pins the
+    algebra (every pair meets exactly once, at a's salt) against
+    arbitrary bucket shapes, duplicate rows included."""
+    from git_log_to_sqlite_spark.operators.caching import release_caches
+    from git_log_to_sqlite_spark.operators.dedup import (
+        _band_probe_pairs,
+        _band_self_pairs,
+    )
+
+    bands = sess.createDataFrame(
+        rows, "doc_id long, band int, band_key string"
+    )
+    kw = dict(salt_buckets=s)
+    if thresh is not None:
+        kw["salt_min_bucket"] = thresh
+    plain_self = set(map(tuple, _band_self_pairs(bands, "doc_id").collect()))
+    got_self = set(map(tuple, _band_self_pairs(bands, "doc_id", **kw).collect()))
+    release_caches()
+    assert got_self == plain_self
+
+    bands_p = sess.createDataFrame(
+        probe, "pid long, band int, band_key string"
+    )
+    plain_probe = set(map(tuple, _band_probe_pairs(
+        bands_p, bands, ["pid"], ["doc_id"]
+    ).collect()))
+    got_probe = set(map(tuple, _band_probe_pairs(
+        bands_p, bands, ["pid"], ["doc_id"], **kw
+    ).collect()))
+    release_caches()
+    assert got_probe == plain_probe
