@@ -3009,6 +3009,9 @@ def test_hamming_probe_matches_brute_force(spark):
     m = obs.get
     assert m["bands_dropped"] >= 1 and m["rows_dropped"] >= 40
     assert (100, 3, 0) in got_d and (101, 7, 2) in got_d
+    from git_log_to_sqlite_spark.operators import release_caches
+
+    release_caches()  # the capped run pins the valve's hot set
 
     with pytest.raises(ValueError, match="disjoint"):
         hamming_probe(probe, corpus, "sig", "sig", "sig", bits=32)
@@ -3160,7 +3163,10 @@ def test_band_stores_salt_passthrough_row_identical(spark, tmp_path):
     import random
 
     from git_log_to_sqlite_spark.operators import HammingStore, SignatureStore
-    from git_log_to_sqlite_spark.operators.caching import _LIVE
+    from git_log_to_sqlite_spark.operators.caching import (
+        _LIVE,
+        release_caches,
+    )
 
     rng = random.Random(7)
     base = [(i, rng.getrandbits(60)) for i in range(12)]
@@ -3208,6 +3214,10 @@ def test_band_stores_salt_passthrough_row_identical(spark, tmp_path):
     assert run_s("s_u", salt_buckets=4) == splain
     assert run_s("s_t", salt_buckets=4, salt_min_bucket=5) == splain
 
+    # the no-leak assertion below is about THIS test's calls: clear
+    # whatever pins earlier suite tests may have left (the sibling
+    # salted tests' release-then-assert pattern — _LIVE is global)
+    release_caches()
     stb = HammingStore(spark, str(tmp_path / "h_plain"), id_col="mid",
                        sig_col="sig", bits=60)
     sts = SignatureStore(spark, str(tmp_path / "s_plain"), id_col="doc_id")
