@@ -9,7 +9,18 @@ operators cover the cases AQE cannot fix:
   recombines, so the hot key's work spreads over B tasks;
 * a hot join key against a small-but-not-broadcastable dimension —
   ``salted_join`` replicates the small side B ways so the hot key's
-  fact rows spread over B tasks.
+  fact rows spread over B tasks;
+* a hot PAIR-join bucket, whose d(d-1)/2 (or |probe| x |corpus|)
+  output explosion is invisible to AQE's byte-based sizing —
+  ``salted_pair_sides`` is the one shared, co-partition-pinned
+  derivation behind every pair/probe stage's ``salt_buckets`` /
+  ``salt_min_*`` knobs: the band self-joins (minhash/simhash/hamming
+  and the image/audio/video wrappers), the probe joins
+  (hamming_probe, incremental_minhash_dedup, fuzzy_decontaminate,
+  image_in_video_frames, incremental_substring_spans), the SemDeDup
+  cell join (semantic_dedup), and the persisted stores' ingest paths
+  (SemanticStore history probe, SignatureStore / HammingStore /
+  WindowStore pass-through).
 
 Salts are deterministic (hash of a caller-named unique column, never
 rand()): results are reproducible and retried tasks can't double-count.
