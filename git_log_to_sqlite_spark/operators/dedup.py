@@ -1225,6 +1225,17 @@ def incremental_substring_spans(
     (:func:`substring_span_pairs`) deliberately has NO salt arm — its
     pair stage is a posting-list explode (one ROW per hot window, the
     jaccard adjudication), not a join.
+
+    Note the regime (measured, BASELINE.md): a window row is cheap —
+    the join emits plain (id, pos) tuples, no vector math — so the
+    one-key product must be LARGE before the salt's own overhead (a
+    corpus-linear occurrence count for the hot set, plus the pinned
+    co-partitioning shuffles of the full history window table) pays
+    back; at ~17M products on one key the targeted salt measured
+    SLOWER than unsalted. The product grows with d_hist x d_inc while
+    the overhead stays corpus-linear, so arm the knob from occurrence
+    telemetry only when a window's count makes the product dominate —
+    not prophylactically.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
