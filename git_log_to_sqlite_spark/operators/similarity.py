@@ -678,20 +678,17 @@ def _semantic_annotate(
         # co-partitioned on (cell, salt) at a FIXED partition count —
         # the full why, including the two measured AQE defeat modes
         # of key-only salting, lives on the helper)
-        from .caching import pin
         from .skew import salted_pair_sides
 
         hot_a = hot_b = None
         if salt_min_cell is not None:
-            # map-combinable cell count -> the hot-cell key set
-            # (pinned: two marking consumers); same shape as the band
-            # valves' _hot_key_set derivation
-            hot = pin(
-                ranked.groupBy("cell")
-                .agg(F.count(F.lit(1)).alias("_d"))
-                .filter(F.col("_d") >= salt_min_cell)
-                .select("cell")
-            )
+            # the shared hot-key derivation (single-sourced with the
+            # band valves: map-combinable count, > cap-1 == the
+            # >= salt_min_cell contract, returned pinned for the two
+            # marking consumers)
+            from .dedup import _hot_key_set
+
+            hot = _hot_key_set(ranked, ["cell"], salt_min_cell - 1, None)
             hot_a = hot.select(F.col("cell").alias("_ca"))
             hot_b = hot.select(F.col("cell").alias("_cb"))
         a, b, salt_cond = salted_pair_sides(
@@ -1233,18 +1230,18 @@ class SemanticStore(_ParquetStore):
                 # shuffles instead of the free broadcast — pennies on
                 # an increment, and the knob is opt-in for degenerate
                 # corpora (default S=1 keeps the broadcast regime).
-                from .caching import pin
+                from .dedup import _hot_key_set
                 from .skew import salted_pair_sides
 
                 a = s.withColumnRenamed("cell", "_cs")
                 b = probe.withColumnRenamed("cell", "_cp")
                 hot_a = hot_b = None
                 if self.salt_min_cell is not None:
-                    hot = pin(
-                        s.groupBy("cell")
-                        .agg(F.count(F.lit(1)).alias("_d"))
-                        .filter(F.col("_d") >= self.salt_min_cell)
-                        .select("cell")
+                    # the shared hot-key derivation (single-sourced
+                    # with the band valves; > cap-1 == the
+                    # >= salt_min_cell contract, returned pinned)
+                    hot = _hot_key_set(
+                        s, ["cell"], self.salt_min_cell - 1, None
                     )
                     hot_a = hot.select(F.col("cell").alias("_cs"))
                     hot_b = hot.select(F.col("cell").alias("_cp"))

@@ -52,86 +52,33 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 
-# Round-12 rotation (executing the plan pre-staged in round 11's
-# COVERAGE.md, with ZERO registry growth — the standing rule, re-
-# affirmed by the round-11 verdict: the corpus HOLDS at 126 queries /
-# 121 oracles until the gate grows).  No new operators ship gate rows
-# this round, so the prefix is pure rotation: the twenty-one round-9
-# rows spilled past round 11's slot 50 lead (oldest driver rows in
-# the corpus — the deterministic aggregate / scalar-projection /
-# window tail steered there by the standing rule), then the
-# round-10-gated block in CORRECTNESS_r10's key order.  21 + 29 of
-# 50 fill the prefix, so twenty-one round-10 rows spill to round 13
-# — the minhash/simhash/asof/text/sim/udf/sql deterministic tail of
-# that block, never the streaming-replay (`stream_dedup_replay`),
-# ETL-parity (`etl_repos_skipped_parity`), or composite rows, which
-# sit inside the prefix at slots 37-38.  Freshness cycle stays
-# ~2.52 rounds (126 against a 2x50 gate), marginally past the ~2.5
-# guideline and accepted per the round-10 verdict's adjudication
-# (a never-gated operator is worse than a slightly staler rotation).
-# Round-11 audit-trail correction (ADVICE r11): that round's prefix
-# was 6 new + 15 round-8 holdovers + 29 of the round-9 block (not
-# 31), spilling the twenty-one names below after sem_dedup_assign /
-# sample_dsir were gated same-round — COVERAGE.md's late-round
-# update records it.
+# Round-13 rotation (executing the plan pre-staged in round 12's
+# COVERAGE.md, with ZERO registry growth — the standing rule: the
+# corpus HOLDS at 126 queries / 121 oracles until the gate grows).
+# Pure rotation again: the twenty-one round-10 rows spilled past
+# round 12's slot 50 LEAD (their last gate is r10 — the oldest
+# driver rows in the corpus: the minhash/simhash/asof/text/sim/udf/
+# sql deterministic tail), then 29 of the 50 round-11-gated rows in
+# CORRECTNESS_r11 key order with the special evidence classes
+# FORCE-INCLUDED per the round-12 doctrine (never spill streaming-
+# replay, ETL-parity, or composite rows): etl_logs_parity,
+# stream_tumbling/session/join_replay, pipeline_curate/
+# pretrain_corpus.  pipeline_pretrain_corpus already sits inside the
+# first 29 of the r11 key order; the other five displace the five
+# tail rows dedup_incremental_substring, sim_ann_ivf_assign,
+# dedup_simhash_pairs, dedup_decontaminate, sample_token_budget —
+# all deterministic/hash-checkable and green in r11 — which join the
+# sixteen r11 rows after them (joins, agg_salted_skew, sessionize/
+# cohort, domain_mix, dedup_incremental_lsh, dedup_embedding_groups)
+# as the twenty-one-row spill that leads round 14.  Freshness cycle
+# stays ~2.52 rounds (126 against a 2x50 gate), accepted per the
+# round-10 verdict's adjudication (a never-gated operator is worse
+# than a slightly staler rotation).
 _prioritize(
     first=[
-        # --- round-9 holdovers (oldest driver rows; spilled past
-        #     round 11's slot 50) ---
-        "dedup_dropduplicates_subset",
-        "agg_pivot",
-        "agg_grouping_sets",
-        "fn_array",
-        "fn_explode",
-        "text_langid",
-        "text_quality",
-        "text_tokens",
-        "text_fingerprint",
-        "mm_binary_meta",
-        "text_repetition",
-        "win_topk_per_group",
-        "win_ranking_suite",
-        "win_lag_lead",
-        "win_running_frames",
-        "win_first_last_nth",
-        "win_range_between",
-        "win_time_bucket",
-        "agg_collect_sorted",
-        "agg_rollup",
-        "agg_cube",
-        # --- round-10-gated block, CORRECTNESS_r10 key order (29 of
-        #     50 names; the twenty-one deterministic rows listed
-        #     after the prefix spill to round 13) ---
-        "mm_image_near_dup",
-        "mm_video_near_dup",
-        "mm_audio_near_dup",
-        "sort_topk_orders",
-        "sort_multikey_nulls",
-        "setop_union",
-        "setop_intersect",
-        "setop_except",
-        "setop_intersect_all",
-        "setop_except_all",
-        "fn_higher_order",
-        "fn_cast",
-        "fn_map",
-        "join_cross",
-        "join_self_nation_pairs",
-        "etl_repos_skipped_parity",
-        "stream_dedup_replay",
-        "agg_pricing_summary",
-        "agg_percentiles",
-        "agg_global",
-        "agg_distinct",
-        "agg_stats",
-        "events_window_tumbling",
-        "events_funnel_depth",
-        "events_window_sliding",
-        "events_top_paths",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_group_assign",
-        # --- spill past slot 50 → lead the round-13 rotation ---
+        # --- round-10 spills (oldest driver rows; spilled past
+        #     round 12's slot 50; order = round-12 spill list /
+        #     COVERAGE.md pre-staging) ---
         "dedup_minhash_lsh",
         "dedup_minhash_groups",
         "dedup_simhash",
@@ -153,6 +100,64 @@ _prioritize(
         "sql_scalar_subquery",
         "sql_correlated_scalar_agg",
         "sql_in_subquery",
+        # --- round-11-gated block, CORRECTNESS_r11 key order (29 of
+        #     50 names: the first 23 non-special rows, then the six
+        #     force-included special evidence rows at their r11 key
+        #     positions; the twenty-one rows listed after the prefix
+        #     spill to round 14) ---
+        "mm_fuzzy_decontaminate",
+        "mm_video_scene_pairs",
+        "mm_image_in_video",
+        "mm_audio_segment_pairs",
+        "sem_dedup_assign",
+        "sample_dsir",
+        "fn_math",
+        "fn_conditional",
+        "fn_strings",
+        "fn_regex",
+        "fn_dates",
+        "fn_json",
+        "fn_from_json_struct",
+        "text_chunk_overlap",
+        "text_pii_mask",
+        "text_clean",
+        "udf_scalar_python",
+        "udf_pandas_vectorized",
+        "udf_map_in_pandas",
+        "udf_table_function",
+        "udf_native_udtf",
+        "dedup_substring_spans",
+        "dedup_substring_groups",
+        "pipeline_pretrain_corpus",
+        "pipeline_curate_corpus",
+        "stream_tumbling_replay",
+        "stream_session_replay",
+        "stream_join_replay",
+        "etl_logs_parity",
+        # --- spill past slot 50 → lead the round-14 rotation (r11
+        #     key order; all deterministic/hash-checkable, green in
+        #     r11) ---
+        "dedup_incremental_substring",
+        "sim_ann_ivf_assign",
+        "dedup_simhash_pairs",
+        "dedup_decontaminate",
+        "sample_token_budget",
+        "dedup_incremental_lsh",
+        "join_revenue_per_customer",
+        "join_region_revenue",
+        "join_left_outer",
+        "join_full_outer",
+        "join_right_outer",
+        "join_merge_hint",
+        "join_semi",
+        "join_anti",
+        "join_range_bands",
+        "join_asof_last_event",
+        "agg_salted_skew",
+        "events_sessionize",
+        "events_cohort_retention",
+        "sample_domain_mix",
+        "dedup_embedding_groups",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

@@ -136,11 +136,10 @@ def test_simhash_pairs_no_cartesian(spark, sf):
         i
         for i, b in nodes.items()
         # the shared _band_self_pairs stage joins renamed projections
-        # (_bk_a/_bk_b, survives the salting branch) — accept either
-        # spelling of the bucket-key equi-join
-        if "Join type: Inner" in b
-        and ("band_key" in b.split("Right keys")[0]
-             or "_bk_a" in b.split("Right keys")[0])
+        # (_bk_a on the left, in every salting mode) — the ONLY
+        # spelling; a raw band_key join here would mean a plan that
+        # bypassed the shared stage
+        if "Join type: Inner" in b and "_bk_a" in b.split("Right keys")[0]
     ]
     assert len(anti) == 2 and band_inner
     assert max(anti) < min(band_inner), (anti, band_inner)
@@ -482,11 +481,11 @@ def test_minhash_band_cap_filters_before_band_join(spark, sf):
     band_inner = [
         i
         for i, b in nodes.items()
-        # _band_self_pairs joins renamed projections (_bk_a/_bk_b) —
-        # accept either spelling of the bucket-key equi-join
-        if "Join type: Inner" in b
-        and ("band_key" in b.split("Right keys")[0]
-             or "_bk_a" in b.split("Right keys")[0])
+        # _band_self_pairs joins renamed projections (_bk_a on the
+        # left, in every salting mode) — the ONLY spelling; a raw
+        # band_key join here would mean a plan that bypassed the
+        # shared stage
+        if "Join type: Inner" in b and "_bk_a" in b.split("Right keys")[0]
     ]
     assert len(anti) == 2, sorted(nodes)  # one per self-join alias
     assert band_inner, sorted(nodes)
