@@ -697,6 +697,44 @@ def minhash_lsh_pairs(
     )
 
 
+def recommend_salt_min_bucket(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    quantile: float = 0.92,
+    spread: int = 10,
+    straggler_factor: float = 2.0,
+) -> "int | None":
+    """Derive a recommended ``salt_min_bucket`` for this corpus at
+    these banding parameters, from the band-bucket size distribution
+    the hot-band valve observes (:func:`~.skew.
+    recommend_salt_threshold` — the shared spread + straggler
+    guards). ``None`` means don't arm: every bucket sits near the
+    bulk, or the hottest bucket's pair mass is too light to be the
+    critical path. A non-None value passes verbatim to
+    :func:`minhash_lsh_pairs` / :func:`simhash_pairs` /
+    :func:`hamming_pairs` ``salt_min_bucket`` (pair banding shares
+    the bucket-size statistics whenever the band projection does:
+    for the signature families, feed their band frames to the core
+    helper with ``["band", "band_key"]``-shaped keys instead).
+    Diagnostic-only: one scalar aggregate, no pins, no effect on any
+    subsequent plan."""
+    from .skew import recommend_salt_threshold
+
+    mh = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bands = _band_keys(mh, id_col, num_hashes, rows_per_band)
+    return recommend_salt_threshold(
+        bands,
+        ["band", "band_key"],
+        quantile=quantile,
+        spread=spread,
+        straggler_factor=straggler_factor,
+    )
+
+
 def _quantile_cap(d_values: DataFrame, q: float) -> DataFrame:
     """1-row ``(_max_df)`` DataFrame: the smallest posting-list length
     d* such that at least fraction ``q`` of (length >= 2) posting lists

@@ -447,6 +447,52 @@ def semantic_dedup(
     )
 
 
+def recommend_salt_min_cell(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "list[list[float]] | DataFrame",
+    quantile: float = 0.92,
+    spread: int = 10,
+    straggler_factor: float = 2.0,
+    dist_round_to: int | None = None,
+) -> "int | None":
+    """Derive a recommended ``salt_min_cell`` for this corpus under
+    this quantizer, from the cell-occupancy distribution
+    :func:`_observe_cell_stats` reports (:func:`~.skew.
+    recommend_salt_threshold` — the shared spread + straggler
+    guards). ``None`` means don't arm: the quantizer spreads the
+    corpus (every cell near the bulk occupancy), or the largest
+    cell's pair mass is too light to be the critical path. A non-None
+    value passes verbatim to :func:`semantic_dedup` /
+    :class:`SemanticStore` ``salt_min_cell``. Runs the assignment
+    only (no rank window, no cosine — cheaper than the operator it
+    advises); ``centroids`` takes either form
+    (:func:`~.clustering.assign_clusters` literals or the
+    :func:`~.clustering.assign_clusters_table` large-k table), with
+    ``dist_round_to`` matching the operator call so the advised plan
+    assigns identically. Diagnostic-only: one scalar aggregate, no
+    pins, no effect on any subsequent plan."""
+    from .clustering import assign_clusters, assign_clusters_table
+    from .skew import recommend_salt_threshold
+
+    base = df.select(_as_double(F.col(vec_col)).alias("_v"))
+    if isinstance(centroids, DataFrame):
+        assigned = assign_clusters_table(
+            base, "_v", centroids, round_to=dist_round_to
+        )
+    else:
+        assigned = assign_clusters(
+            base, "_v", centroids, round_to=dist_round_to
+        )
+    return recommend_salt_threshold(
+        assigned.select(F.col("cluster").alias("cell")),
+        ["cell"],
+        quantile=quantile,
+        spread=spread,
+        straggler_factor=straggler_factor,
+    )
+
+
 def _observe_cell_stats(ranked: DataFrame, observation: "Observation") -> None:
     """Cell-occupancy telemetry for the SemDeDup family — the one pair
     stage that had no observable for its degenerate input (the VERDICT

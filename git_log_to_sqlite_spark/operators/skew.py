@@ -258,3 +258,95 @@ def salted_pair_sides(
     a = a.repartition(n_part, *[F.col(k) for k in a_keys], F.col("_salt_a"))
     b = b.repartition(n_part, *[F.col(k) for k in b_keys], F.col("_salt_b"))
     return a, b, F.col("_salt_a") == F.col("_salt_b")
+
+
+def recommend_salt_threshold(
+    keyed: DataFrame,
+    key_cols: list[str],
+    quantile: float = 0.92,
+    spread: int = 10,
+    straggler_factor: float = 2.0,
+) -> "int | None":
+    """Close the telemetry->knob loop for the targeted pair salt:
+    derive a recommended ``salt_min_bucket`` / ``salt_min_cell`` from
+    the same repeated-key count distribution the skew valves already
+    observe (:func:`~.dedup._hot_key_set`'s histogram, the SemDeDup
+    cell stats), so a production user arms the salt from numbers the
+    engine emits instead of hand-tuning.
+
+    ``keyed`` is one row per bucket MEMBER — exactly the frame the
+    valves count: the ``(id, band, band_key)`` projection for the LSH
+    families, the cell-assigned corpus for the semantic family (the
+    public wrappers :func:`~.dedup.recommend_salt_min_bucket` /
+    :func:`~.similarity.recommend_salt_min_cell` build it from a raw
+    corpus). The recommendation is the hot-key statistic the valves'
+    quantile route already computes, re-used as an ARMING threshold:
+
+    * bulk = the ``quantile`` point of the repeated-key (d >= 2) size
+      distribution (:func:`~.dedup._quantile_cap` — derived in-plan,
+      no corpus constant);
+    * spread guard: a key is HOT when d > ``spread`` x bulk — the
+      same headroom shape :func:`~.dedup._capped_bands` defaults to,
+      so a healthy corpus (every bucket near the bulk) recommends
+      nothing no matter its absolute size;
+    * straggler guard: hotness only matters because one join key is
+      one task, so arming is recommended only when the LARGEST key's
+      pair mass d(d-1)/2 exceeds ``straggler_factor`` x the even
+      per-partition share of TOTAL pair mass (partition count =
+      :func:`_fixed_partition_count`, the same count the salted join
+      will shuffle to) — i.e. that key alone would run several even
+      shares long and is the critical path salting can actually cut.
+
+    Returns the value to pass verbatim as ``salt_min_bucket`` /
+    ``salt_min_cell`` (hot set == keys with d >= the returned value:
+    the ``> threshold`` spelling below is the valves' ``> cap``
+    convention, returned as ``threshold + 1`` to match the knobs'
+    ``>= min_members`` contract), or ``None`` when the corpus is
+    healthy or the hot tail is too light to pay the salt's
+    replication. Purely diagnostic: one tiny aggregate collected to
+    the driver (a scalar probe, the CC-convergence class — never on a
+    default plan), NO pins, NO cache entries, NO effect on any
+    subsequent plan; default operator plans stay byte-identical
+    whether or not this ran (asserted in tests). Pair mass uses the
+    valves' ``shiftright`` exact-long form, so the guard arithmetic
+    cannot round at exactly the mega-key scale it exists to detect.
+    """
+    if spread < 1:
+        raise ValueError(f"spread must be >= 1, got {spread}")
+    if straggler_factor <= 0:
+        raise ValueError(
+            f"straggler_factor must be > 0, got {straggler_factor}"
+        )
+    from .dedup import _quantile_cap
+
+    counts = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    cap = _quantile_cap(
+        counts.select(F.col("d").cast("long").alias("d")), quantile
+    )
+    d = F.col("d").cast("long")
+    threshold = F.col("_max_df") * F.lit(spread)
+    mass = F.shiftright(d * (d - 1), 1)
+    row = (
+        counts.crossJoin(F.broadcast(cap))
+        .agg(
+            F.coalesce(F.sum(mass), F.lit(0)).cast("long").alias("_total"),
+            F.coalesce(F.max(mass), F.lit(0)).cast("long").alias("_max_mass"),
+            F.coalesce(
+                F.sum((d > threshold).cast("long")), F.lit(0)
+            ).alias("_hot_keys"),
+            F.coalesce(F.max(threshold), F.lit(0))
+            .cast("long")
+            .alias("_threshold"),
+        )
+        .first()
+    )
+    if row is None or row["_hot_keys"] == 0 or row["_total"] == 0:
+        return None
+    n_part = _fixed_partition_count(keyed.sparkSession, 1)
+    if row["_max_mass"] * n_part <= straggler_factor * row["_total"]:
+        return None
+    return int(row["_threshold"]) + 1

@@ -4442,3 +4442,159 @@ def test_token_budget_routes_agree_on_fractional_weights(spark):
     b = {r["doc_id"]: r["cum_before"] for r in two.collect()}
     assert set(a) == set(b)
     assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
+def test_recommend_salt_threshold_core_guards(spark):
+    """The telemetry->knob loop (VERDICT r12 #3): the recommendation
+    must flag a planted mega key, stay None on healthy corpora, and
+    respect BOTH guards — spread (hot tail exists above the bulk) and
+    straggler (that tail's largest key would actually serialize a
+    task worth splitting). Parallelism is pinned to the driver's 32
+    for the straggler arithmetic: the guard is DELIBERATELY
+    parallelism-dependent (four equal hot buckets on four partitions
+    are balanced, the same corpus on 32 is one straggler)."""
+    from git_log_to_sqlite_spark.operators import recommend_salt_threshold
+    from git_log_to_sqlite_spark.operators.dedup import _hot_key_set
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        # healthy: 200 keys x 3 members — nothing above 10 x p92
+        healthy = spark.range(600).select((F.col("id") % 200).alias("k"))
+        assert recommend_salt_threshold(healthy, ["k"]) is None
+        # planted mega key (-1, 500 members) over the same bulk:
+        # p92 of the repeated-key sizes = 3, so the recommendation is
+        # 10 x 3 + 1 — and _hot_key_set armed with it (the knobs'
+        # >= contract == the valve's > rec-1 spelling) captures
+        # EXACTLY the planted key
+        mega = healthy.unionByName(
+            spark.range(500).select(F.lit(-1).alias("k"))
+        )
+        rec = recommend_salt_threshold(mega, ["k"])
+        assert rec == 31
+        hot = _hot_key_set(mega, ["k"], rec - 1, None)
+        assert [r["k"] for r in hot.collect()] == [-1]
+        # hot-but-light: a 41-member key over 10k 4-member keys —
+        # the spread guard fires (41 > 10 x p92=4) but its 820 pairs
+        # are no critical path next to 60k bulk pairs, so the
+        # straggler guard vetoes the salt's replication cost
+        light = (
+            spark.range(40000)
+            .select((F.col("id") % 10000).alias("k"))
+            .unionByName(spark.range(41).select(F.lit(-1).alias("k")))
+        )
+        assert recommend_salt_threshold(light, ["k"]) is None
+        # singleton-only corpus: no repeated keys at all -> None
+        # (the empty-histogram path, coalesced zeros end to end)
+        singles = spark.range(100).select(F.col("id").alias("k"))
+        assert recommend_salt_threshold(singles, ["k"]) is None
+        with pytest.raises(ValueError):
+            recommend_salt_threshold(healthy, ["k"], spread=0)
+        with pytest.raises(ValueError):
+            recommend_salt_threshold(healthy, ["k"], straggler_factor=0.0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_recommend_salt_knob_wrappers_and_noop_path(spark, oracle_sf_dir):
+    """The public wrappers arm the knobs from a raw corpus: the band
+    form flags the planted viral-boilerplate buckets on real sf docs
+    and stays None without the plant; the cell form flags a planted
+    mega cell and stays None on a balanced quantizer. The helpers are
+    diagnostic-ONLY: the advised operators' default plans are
+    byte-identical whether or not a recommendation ran (the no-op
+    mutation check — no pins, no cache entries, no conf writes)."""
+    import io
+    import contextlib
+    import math
+
+    from git_log_to_sqlite_spark.operators import (
+        minhash_lsh_pairs,
+        recommend_salt_min_bucket,
+        recommend_salt_min_cell,
+        semantic_dedup,
+    )
+    from git_log_to_sqlite_spark.operators.dedup import (
+        _band_keys,
+        _hot_key_set,
+        minhash_signatures,
+    )
+
+    def plan(df):
+        import re
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        # strip the session-monotonic counters (attribute exprIds,
+        # plan/cache ids) — they advance on EVERY query the session
+        # ran in between, so "byte-identical plan" means identical
+        # after this normalization and nothing else may differ
+        out = re.sub(r"#\d+|plan_id=\d+|cached \d+", "#", buf.getvalue())
+        return re.sub(r"lambda [a-z]+_\d+", "lambda v", out)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        docs = spark.read.parquet(
+            f"{oracle_sf_dir}/documents.parquet"
+        ).select("doc_id", "text")
+        assert recommend_salt_min_bucket(docs, "doc_id", "text") is None
+        viral = spark.createDataFrame(
+            [
+                (100000 + i, "viral boilerplate shard every copy identical " * 3)
+                for i in range(100)
+            ],
+            "doc_id long, text string",
+        )
+        corpus = docs.unionByName(viral)
+        spark.catalog.clearCache()
+        before = plan(minhash_lsh_pairs(corpus, "doc_id", "text"))
+        spark.catalog.clearCache()
+        rec_b = recommend_salt_min_bucket(corpus, "doc_id", "text")
+        # the hot set the recommendation selects is exactly the
+        # plant: one bucket per band of the identical-signature
+        # family, every member a viral doc id
+        assert rec_b is not None and 2 <= rec_b <= 100
+        bands = _band_keys(
+            minhash_signatures(corpus, "doc_id", "text", 8, 3),
+            "doc_id", 8, 2,
+        )
+        hot = _hot_key_set(bands, ["band", "band_key"], rec_b - 1, None)
+        assert hot.count() == 4  # 8 hashes / 2 rows -> 4 bands
+        hot_members = bands.join(hot, ["band", "band_key"], "left_semi")
+        assert hot_members.filter(F.col("doc_id") < 100000).count() == 0
+        spark.catalog.clearCache()
+        after = plan(minhash_lsh_pairs(corpus, "doc_id", "text"))
+        assert before == after  # byte-identical default plan
+
+        def at(deg):
+            r = math.radians(deg)
+            return [math.cos(r), math.sin(r)]
+
+        cents = [at(360 * j / 20) for j in range(20)]
+        balanced = spark.createDataFrame(
+            [(i * 1000 + j, at(360 * j / 20)) for j in range(20) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        assert recommend_salt_min_cell(balanced, "embedding", cents) is None
+        rows = [(i * 1000 + j, at(360 * j / 20)) for j in range(20) for i in range(3)]
+        rows += [(90000 + i, at(0.001)) for i in range(400)]
+        megacell = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        spark.catalog.clearCache()
+        before = plan(
+            semantic_dedup(megacell, "vec_id", "embedding", cents, threshold=0.9)
+        )
+        spark.catalog.clearCache()
+        # 403-member cell over a 3-member bulk: 10 x p92(=3) + 1
+        assert recommend_salt_min_cell(megacell, "embedding", cents) == 31
+        spark.catalog.clearCache()
+        after = plan(
+            semantic_dedup(megacell, "vec_id", "embedding", cents, threshold=0.9)
+        )
+        assert before == after  # byte-identical default plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()
