@@ -806,6 +806,7 @@ class IvfIndex:
         k: int = 8,
         max_iter: int = 10,
         fit_sample_size: int | None = 4096,
+        stage_times: "dict | None" = None,
     ) -> None:
         """Fit the quantizer on ``corpus`` and (over)write the index.
 
@@ -826,12 +827,28 @@ class IvfIndex:
         md5-ordered, so the new default is still deterministic across
         runs; callers needing the exact pre-change centroids opt out
         with ``fit_sample_size=None``. Also noted in README
-        "Behavior changes"."""
+        "Behavior changes".
+
+        ``stage_times``: pass a dict to receive per-stage wall-clock
+        seconds — ``fit`` (the quantizer training action),
+        ``assign_write`` (the cell assignment pipelined into the
+        partitioned index write: assignment is a lazy projection the
+        write executes, so the two are ONE job by design — timing
+        them apart would require an extra materialization), and
+        ``centroids_write`` (the k-row model-state write). A rebuild
+        is the most contention-variance-prone extra in the bench
+        (write amplification), so the per-stage split is what lets a
+        reader attribute a slow whole-run number to fit dispatch vs
+        write contention instead of re-litigating it from floor lore.
+        """
+        import time
+
         from .clustering import assign_clusters, kmeans, kmeans_fit_sample
 
         fit = corpus.select(
             self.id_col, _as_double(F.col(self.vec_col)).alias("_v")
         )
+        t0 = time.perf_counter()
         if fit_sample_size is None:
             _, centroids = kmeans(fit, self.id_col, "_v", k=k, max_iter=max_iter)
         else:
@@ -839,6 +856,8 @@ class IvfIndex:
                 fit, self.id_col, "_v", k=k, max_iter=max_iter,
                 sample_size=fit_sample_size,
             )
+        if stage_times is not None:
+            stage_times["fit"] = round(time.perf_counter() - t0, 3)
         indexed = assign_clusters(
             corpus.select(
                 F.col(self.id_col).alias("neighbor_id"),
@@ -848,19 +867,25 @@ class IvfIndex:
             "_cv",
             centroids,
         ).withColumnRenamed("cluster", "cell")
+        t0 = time.perf_counter()
         indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{self.path}/index"
         )
+        if stage_times is not None:
+            stage_times["assign_write"] = round(time.perf_counter() - t0, 3)
         # repartition(1), NOT coalesce(1): a Python-parallelized
         # LocalRelation spreads over defaultParallelism pickled
         # partitions, and coalesce makes ONE task deserialize each of
         # them through a serial Python-worker round-trip (~170 ms x 32
         # partitions = ~5.5 s measured for these 8 rows); repartition
         # deserializes in parallel map tasks and shuffles 8 rows.
+        t0 = time.perf_counter()
         self.spark.createDataFrame(
             [(j, c) for j, c in enumerate(centroids)],
             "cell int, centroid array<double>",
         ).repartition(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        if stage_times is not None:
+            stage_times["centroids_write"] = round(time.perf_counter() - t0, 3)
 
     def centroids(self) -> list[list[float]]:
         rows = (
