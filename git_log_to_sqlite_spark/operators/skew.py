@@ -310,6 +310,13 @@ def recommend_salt_threshold(
     whether or not this ran (asserted in tests). Pair mass uses the
     valves' ``shiftright`` exact-long form, so the guard arithmetic
     cannot round at exactly the mega-key scale it exists to detect.
+
+    Scope: this recommends the TARGETED knob only. A flat-but-coarse
+    distribution — a handful of equally huge buckets with no bulk
+    below them (p-quantile ~ max, so the spread guard never fires) —
+    deliberately returns None: targeting there would replicate
+    essentially the whole b-side, which is just uniform salting with
+    extra marking joins; arm plain ``salt_buckets`` for that regime.
     """
     if spread < 1:
         raise ValueError(f"spread must be >= 1, got {spread}")
