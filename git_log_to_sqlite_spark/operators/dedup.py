@@ -1264,16 +1264,27 @@ def incremental_substring_spans(
     pair stage is a posting-list explode (one ROW per hot window, the
     jaccard adjudication), not a join.
 
-    Note the regime (measured, BASELINE.md): a window row is cheap —
-    the join emits plain (id, pos) tuples, no vector math — so the
-    one-key product must be LARGE before the salt's own overhead (a
-    corpus-linear occurrence count for the hot set, plus the pinned
-    co-partitioning shuffles of the full history window table) pays
-    back; at ~17M products on one key the targeted salt measured
-    SLOWER than unsalted. The product grows with d_hist x d_inc while
-    the overhead stays corpus-linear, so arm the knob from occurrence
-    telemetry only when a window's count makes the product dominate —
-    not prophylactically.
+    The arming regime is the JOIN STRATEGY, not the product size
+    (established round 13, BASELINE.md — resolving the round-12
+    "crossover unmeasured" note): a daily-scale increment broadcasts
+    (the window table sits far under the broadcast threshold), and a
+    BroadcastHashJoin has NO single-key serialization to fix — the
+    hot key's d_hist x d_inc product parallelizes over the HISTORY
+    side's input splits, so the unsalted join stage reads 1.3-2.7 s
+    even at 487M one-key products while arming the salt (whose
+    co-partition pin deliberately forces the shuffled join) can only
+    add overhead: it measured SLOWER at 17M, 152M, AND 487M products
+    in this regime — every earlier "product crossover" probe was
+    unknowingly here, which is why no crossover ever appeared. The
+    serialization the arm exists for is the SMJ/backfill regime —
+    an increment too large to broadcast — where one hot window's
+    sort-merge group IS one task: forced-SMJ at the same 487M shape,
+    the unsalted join stage reads 36-53 s against 7-8 s targeted
+    S=16 (5-7.6x), 152-233 s vs 66-95 s end-to-end. So: arm the salt
+    only when BOTH hold — the increment is backfill-scale (the join
+    would shuffle anyway) and occurrence telemetry shows a hot
+    window; never for a broadcastable daily increment, where the
+    knob trades a parallel BHJ for the SMJ it then has to salt.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
