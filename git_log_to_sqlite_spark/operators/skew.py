@@ -137,7 +137,14 @@ def _fixed_partition_count(session, buckets: int) -> int:
     managed-runtime "auto" values and Spark-Connect sessions (no
     sparkContext) to Spark's own 200 default; never below ``buckets``
     (fewer partitions than salts would re-collide salted keys by
-    pigeonhole)."""
+    pigeonhole).  Fallbacks are announced on the ``py4j``-sibling
+    logger namespace (one line, WARNING) so a production user
+    debugging an unexpectedly narrow or wide salted shuffle can see
+    which count was chosen and why — the pinned repartition is exempt
+    from AQE coalescing by design, so a surprising count here is
+    otherwise invisible until stage metrics."""
+    import logging
+
     try:
         n_part = int(session.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
@@ -145,6 +152,12 @@ def _fixed_partition_count(session, buckets: int) -> int:
             n_part = session.sparkContext.defaultParallelism
         except Exception:
             n_part = 200
+        logging.getLogger(__name__).warning(
+            "spark.sql.shuffle.partitions unreadable (managed 'auto' "
+            "value or Spark-Connect session); salted pair join pinned "
+            "to %d partitions instead",
+            max(n_part, buckets),
+        )
     return max(n_part, buckets)
 
 
