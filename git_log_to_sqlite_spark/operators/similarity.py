@@ -447,6 +447,34 @@ def semantic_dedup(
     )
 
 
+def _centroids_frame(spark, centroids: "list[list[float]]") -> DataFrame:
+    """The k-row ``(cell, centroid)`` model-state frame every
+    persisted quantizer writes (IvfIndex.build, SemanticStore.
+    bootstrap), built via the ARROW local path: a pandas input
+    converts driver-side to Arrow batches and lands as a JVM
+    LocalRelation — no pickled partitions and no Python workers at
+    execution. The tuple-list ``createDataFrame`` form spreads the
+    rows over defaultParallelism pickled partitions instead, and its
+    write measured 0.57–1.7 s against 0.25–0.31 s here for the same
+    8 rows (value-identical output; BASELINE.md round-13 notes) —
+    pure Python-worker round-trip cost for a k-row table.
+    ``repartition(1)``, NOT ``coalesce(1)``: one output file for the
+    model state, and on a LocalRelation the shuffle is a trivial
+    JVM move of k rows (the serial Python-worker deserialize trap
+    coalesce used to hit is gone with the workers themselves)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "cell": range(len(centroids)),
+            "centroid": [[float(x) for x in c] for c in centroids],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "cell int, centroid array<double>"
+    ).repartition(1)
+
+
 def recommend_salt_min_cell(
     df: DataFrame,
     vec_col: str,
@@ -873,17 +901,10 @@ class IvfIndex:
         )
         if stage_times is not None:
             stage_times["assign_write"] = round(time.perf_counter() - t0, 3)
-        # repartition(1), NOT coalesce(1): a Python-parallelized
-        # LocalRelation spreads over defaultParallelism pickled
-        # partitions, and coalesce makes ONE task deserialize each of
-        # them through a serial Python-worker round-trip (~170 ms x 32
-        # partitions = ~5.5 s measured for these 8 rows); repartition
-        # deserializes in parallel map tasks and shuffles 8 rows.
         t0 = time.perf_counter()
-        self.spark.createDataFrame(
-            [(j, c) for j, c in enumerate(centroids)],
-            "cell int, centroid array<double>",
-        ).repartition(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        _centroids_frame(self.spark, centroids).write.mode("overwrite").parquet(
+            f"{self.path}/centroids"
+        )
         if stage_times is not None:
             stage_times["centroids_write"] = round(time.perf_counter() - t0, 3)
 
@@ -1196,10 +1217,7 @@ class SemanticStore(_ParquetStore):
 
         self._dim_cache = None  # new quantizer → re-read the dim
         if not isinstance(centroids, DataFrame):
-            cdf = self.spark.createDataFrame(
-                [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
-                "cell int, centroid array<double>",
-            ).repartition(1)
+            cdf = _centroids_frame(self.spark, centroids)
         else:
             cdf = centroids
         cdf.write.mode("overwrite").parquet(f"{self.base}/centroids")
