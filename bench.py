@@ -97,14 +97,16 @@ def main() -> None:
     # the whole artifact as non-comparable.  All samples are
     # reported; a genuinely busy box still shows out-of-band numbers.
     calibration_pre = _calibrate(spark)
-    cooldown_retries = []
+    pre_batches = [calibration_pre]
     for _ in range(2):
         if min(calibration_pre) <= 0.45:
             break
         time.sleep(20)
-        retry = _calibrate(spark)
-        cooldown_retries.append(retry)
-        calibration_pre = retry
+        calibration_pre = _calibrate(spark)
+        pre_batches.append(calibration_pre)
+    # batches superseded by a cool-down retry, INCLUDING the one that
+    # triggered it — nothing measured is dropped from the artifact
+    cooldown_retries = pre_batches[:-1]
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -353,9 +355,10 @@ def main() -> None:
         # BASELINE.md prose: dsir_select exists to track the per-gram
         # hashing cost, which a warm feature-bag cache bypasses.
         "extra_cold": ["dsir_select", "dsir_select_xxhash64"],
-        # Pre-suite cool-down retries, if any (see the calibration
-        # comment above): non-empty means the first calibration read
-        # out of band and the suite start was delayed 20 s per entry.
+        # Pre-suite calibration batches superseded by a cool-down
+        # retry (the out-of-band trigger batch first): non-empty means
+        # the suite start was delayed 20 s per entry; calibration_runs
+        # "pre" is the final (accepted) batch.
         "calibration_cooldown_retries": cooldown_retries,
         # Raw per-query runs (run 1 includes codegen/compile) so a
         # reader can audit variance instead of trusting min-of-3.
