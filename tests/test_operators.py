@@ -4589,12 +4589,31 @@ def test_recommend_salt_knob_wrappers_and_noop_path(spark, oracle_sf_dir):
         )
         spark.catalog.clearCache()
         # 403-member cell over a 3-member bulk: 10 x p92(=3) + 1
-        assert recommend_salt_min_cell(megacell, "embedding", cents) == 31
+        rec_c = recommend_salt_min_cell(megacell, "embedding", cents)
+        assert rec_c == 31
         spark.catalog.clearCache()
         after = plan(
             semantic_dedup(megacell, "vec_id", "embedding", cents, threshold=0.9)
         )
         assert before == after  # byte-identical default plan
+        # the loop end to end: feed the recommendation straight into
+        # the knob it names — output row-identical to unsalted
+        def rows(df_):
+            return sorted(
+                tuple("NaN" if isinstance(x, float) and x != x else x for x in r)
+                for r in map(tuple, df_.collect())
+            )
+
+        plain = rows(
+            semantic_dedup(megacell, "vec_id", "embedding", cents, threshold=0.9)
+        )
+        armed = rows(
+            semantic_dedup(
+                megacell, "vec_id", "embedding", cents, threshold=0.9,
+                salt_buckets=4, salt_min_cell=rec_c,
+            )
+        )
+        assert armed == plain
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         spark.catalog.clearCache()
