@@ -102,8 +102,16 @@ def main() -> None:
         if min(calibration_pre) <= 0.45:
             break
         time.sleep(20)
-        calibration_pre = _calibrate(spark)
-        pre_batches.append(calibration_pre)
+        retry = _calibrate(spark)
+        pre_batches.append(retry)
+        improved = min(retry) < 0.9 * min(calibration_pre)
+        calibration_pre = retry
+        # the idle floor is host-epoch-dependent (BASELINE.md: the
+        # 0.33-0.45 band is unreachable on some epochs however quiet
+        # the box) — when a retry stops improving materially we are AT
+        # the floor, and further waiting just delays the suite
+        if not improved:
+            break
     # batches superseded by a cool-down retry, INCLUDING the one that
     # triggered it — nothing measured is dropped from the artifact
     cooldown_retries = pre_batches[:-1]
