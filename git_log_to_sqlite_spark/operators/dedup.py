@@ -574,7 +574,16 @@ def _band_probe_pairs(
     unchanged. This is the arm :func:`fuzzy_decontaminate` can
     actually use: its docstring forbids the capping valve (a capped
     train bucket is a silent false negative), and salting preserves
-    the pigeonhole recall guarantee by construction."""
+    the pigeonhole recall guarantee by construction.
+
+    Arming precondition (the round-13 regime law, BASELINE.md): the
+    single-key serialization this arm fixes only EXISTS when the
+    join shuffles. A probe side small enough to broadcast gives a
+    BroadcastHashJoin, which parallelizes a hot bucket's product
+    over the corpus side's input splits — no hot task, nothing to
+    salt, and arming (whose co-partition pin forces the shuffled
+    join) can only lose. Arm for backfill-scale probes; never for a
+    broadcastable daily increment."""
     _validate_salting(salt_buckets, salt_min_bucket)
     if salt_buckets <= 1:
         return (

@@ -231,7 +231,18 @@ def salted_pair_sides(
     where it degrades to a shuffled join on the bucket key). When the
     hot set is runtime-empty, AQE's empty-relation propagation folds
     the marks to NULL and every salt is 0 — the unsalted semantics,
-    output unchanged. Keep the default 1 for healthy corpora and arm
+    output unchanged.
+
+    Arming precondition (the round-13 regime law, BASELINE.md): the
+    single-key serialization this helper fixes only exists when the
+    join SHUFFLES — one key is one sort-merge group is one task. When
+    one side is small enough to broadcast, the BroadcastHashJoin
+    parallelizes a hot key's product over the other side's input
+    splits and there is no hot task at all; the explicit repartition
+    here (deliberately AQE-proof) then FORCES the shuffled join, so
+    arming in a broadcast regime can only lose — measured on the
+    substring probe shape at 17M/152M/487M one-key products. Keep the
+    default 1 for healthy corpora or broadcastable probes, and arm
     the knob when hot-key telemetry (cell stats, band-valve
     observations) reports a bucket worth splitting.
     """
