@@ -661,3 +661,28 @@ def test_video_fingerprint_vote_combines_map_side(spark, sf):
     assert sum("HashAggregate" in l for l in node_lines) == 2, node_lines
     # the partial (map-side) aggregate carries the per-bit sums
     assert "partial_sum" in plan and "shiftright" in plan
+
+
+def test_incremental_substring_default_plan_broadcasts_small_increment(spark, sf):
+    """The regime-law premise (BASELINE.md round 13): a daily-sized
+    increment's window table must BROADCAST in the default (unsalted,
+    uncapped) incremental plan — the BroadcastHashJoin parallelizes a
+    hot window's d_hist x d_inc product over the history side's input
+    splits, which is exactly why the salt knob must stay off in this
+    regime (its co-partition pin would force the shuffled join:
+    measured 36-53 s vs 1.3-2.7 s on the join stage at 487M one-key
+    products). A change that silently defeats this broadcast — a
+    stray repartition on the default path, a projection that breaks
+    size estimation — costs 10-50x at scale, so the strategy is
+    pinned here."""
+    from pyspark.sql import functions as F
+
+    from git_log_to_sqlite_spark.operators import incremental_substring_spans
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 7 != 0)
+    inc = docs.filter(F.col("doc_id") % 7 == 0).limit(20)
+    plan = plan_of(incremental_substring_spans(history, inc, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
