@@ -729,8 +729,11 @@ def recommend_salt_min_bucket(
     the bucket-size statistics whenever the band projection does:
     for the signature families, feed their band frames to the core
     helper with ``["band", "band_key"]``-shaped keys instead).
-    Diagnostic-only: one scalar aggregate, no pins, no effect on any
-    subsequent plan."""
+    Diagnostic-only: no pins, no effect on any subsequent plan — but
+    the convenience costs one corpus pass (the shingle explode + K-way
+    min signature build); at production scale, prefer handing
+    :func:`~.skew.recommend_salt_threshold` the band frame your
+    pipeline already computes instead of re-deriving it here."""
     from .skew import recommend_salt_threshold
 
     mh = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)

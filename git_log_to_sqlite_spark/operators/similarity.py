@@ -498,8 +498,12 @@ def recommend_salt_min_cell(
     (:func:`~.clustering.assign_clusters` literals or the
     :func:`~.clustering.assign_clusters_table` large-k table), with
     ``dist_round_to`` matching the operator call so the advised plan
-    assigns identically. Diagnostic-only: one scalar aggregate, no
-    pins, no effect on any subsequent plan."""
+    assigns identically. Diagnostic-only: no pins, no effect on any
+    subsequent plan — but the convenience costs one corpus pass (the
+    k-way assignment fold); at production scale, prefer handing
+    :func:`~.skew.recommend_salt_threshold` a cell-assigned frame
+    your pipeline already has (the SemDeDup ranked frame, a store's
+    kept table) instead of re-assigning here."""
     from .clustering import assign_clusters, assign_clusters_table
     from .skew import recommend_salt_threshold
 
