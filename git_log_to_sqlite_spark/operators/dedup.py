@@ -724,11 +724,13 @@ def recommend_salt_min_bucket(
     guards). ``None`` means don't arm: every bucket sits near the
     bulk, or the hottest bucket's pair mass is too light to be the
     critical path. A non-None value passes verbatim to
-    :func:`minhash_lsh_pairs` / :func:`simhash_pairs` /
-    :func:`hamming_pairs` ``salt_min_bucket`` (pair banding shares
-    the bucket-size statistics whenever the band projection does:
-    for the signature families, feed their band frames to the core
-    helper with ``["band", "band_key"]``-shaped keys instead).
+    :func:`minhash_lsh_pairs` ``salt_min_bucket`` at the SAME banding
+    parameters — the recommendation is a property of THIS band-bucket
+    distribution, so it does NOT transfer to :func:`simhash_pairs` /
+    :func:`hamming_pairs`, whose buckets come from signature
+    bit-slices: for those, feed their own band frames
+    (:func:`_sig_bands`) to the core helper with the
+    ``["band", "band_key"]`` keys.
     Diagnostic-only: no pins, no effect on any subsequent plan — but
     the convenience costs one corpus pass (the shingle explode + K-way
     min signature build); at production scale, prefer handing
