@@ -409,3 +409,68 @@ def test_salted_pair_joins_row_identical_any_input(sess, rows, probe, s, thresh)
     ).collect()))
     release_caches()
     assert got_probe == plain_probe
+
+
+@given(
+    counts=st.lists(st.integers(1, 400), min_size=1, max_size=10),
+    spread=st.integers(2, 12),
+    factor=st.floats(0.5, 4.0, allow_nan=False),
+)
+@settings(**_SETTINGS)
+def test_recommend_salt_threshold_matches_python_reference(
+    sess, counts, spread, factor
+):
+    """Pure-Python reference equality for the telemetry->knob
+    recommendation on ARBITRARY bucket shapes (the DSIR-style oracle):
+    the reference re-implements the exact contract — repeated-key
+    (d >= 2) histogram, the smallest d* with >= q of repeated keys at
+    or under it via the same exact integer compare _quantile_cap
+    compiles (cum * den >= num * tot), hot = d > spread x d*,
+    straggler = max d(d-1)/2 x n_part > factor x total pair mass —
+    so the Spark plan and the spec can never drift silently."""
+    from fractions import Fraction
+
+    from git_log_to_sqlite_spark.operators.skew import (
+        _fixed_partition_count,
+        recommend_salt_threshold,
+    )
+
+    q = 0.92
+    old = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        rows = [(k,) for k, c in enumerate(counts) for _ in range(c)]
+        keyed = sess.createDataFrame(rows, "k long")
+
+        rep = sorted(c for c in counts if c >= 2)
+        if not rep:
+            expected = None
+        else:
+            frac = Fraction(str(q))
+            tot = len(rep)
+            cum = 0
+            dstar = rep[-1]
+            seen = 0
+            for d in sorted(set(rep)):
+                seen += rep.count(d)
+                if seen * frac.denominator >= frac.numerator * tot:
+                    dstar = d
+                    break
+            threshold = dstar * spread
+            hot = [c for c in rep if c > threshold]
+            total = sum(c * (c - 1) // 2 for c in rep)
+            max_mass = max(c * (c - 1) // 2 for c in rep)
+            n_part = _fixed_partition_count(sess, 1)
+            if not hot or total == 0:
+                expected = None
+            elif max_mass * n_part <= factor * total:
+                expected = None
+            else:
+                expected = threshold + 1
+
+        got = recommend_salt_threshold(
+            keyed, ["k"], quantile=q, spread=spread, straggler_factor=factor
+        )
+        assert got == expected, (counts, spread, factor, got, expected)
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old)
