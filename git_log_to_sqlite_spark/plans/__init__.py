@@ -52,91 +52,32 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 
-# Round-13 rotation (executing the plan pre-staged in round 12's
+# Round-14 rotation (executing the plan pre-staged in round 13's
 # COVERAGE.md, with ZERO registry growth — the standing rule: the
 # corpus HOLDS at 126 queries / 121 oracles until the gate grows).
-# Pure rotation again: the twenty-one round-10 rows spilled past
-# round 12's slot 50 LEAD (their last gate is r10 — the oldest
-# driver rows in the corpus: the minhash/simhash/asof/text/sim/udf/
-# sql deterministic tail), then 29 of the 50 round-11-gated rows in
-# CORRECTNESS_r11 key order with the special evidence classes
-# FORCE-INCLUDED per the round-12 doctrine (never spill streaming-
-# replay, ETL-parity, or composite rows): etl_logs_parity,
-# stream_tumbling/session/join_replay, pipeline_curate/
-# pretrain_corpus.  pipeline_pretrain_corpus already sits inside the
-# first 29 of the r11 key order; the other five displace the five
-# tail rows dedup_incremental_substring, sim_ann_ivf_assign,
-# dedup_simhash_pairs, dedup_decontaminate, sample_token_budget —
-# all deterministic/hash-checkable and green in r11 — which join the
-# sixteen r11 rows after them (joins, agg_salted_skew, sessionize/
-# cohort, domain_mix, dedup_incremental_lsh, dedup_embedding_groups)
-# as the twenty-one-row spill that leads round 14.  Freshness cycle
-# stays ~2.52 rounds (126 against a 2x50 gate), accepted per the
-# round-10 verdict's adjudication (a never-gated operator is worse
-# than a slightly staler rotation).
+# Pure rotation again: the twenty-one round-11 rows spilled past
+# round 13's slot 50 LEAD (their last gate is r11 — the oldest
+# driver rows in the corpus: the incremental-dedup tail, the join
+# block, agg_salted_skew, sessionize/cohort, domain_mix,
+# dedup_embedding_groups), then 29 of the 50 round-12-gated rows in
+# CORRECTNESS_r12 key order with the special evidence classes
+# FORCE-INCLUDED per the standing doctrine (never spill streaming-
+# replay, ETL-parity, or composite rows): the first 27 rows of the
+# r12 key order (dedup_dropduplicates_subset .. setop_union) plus
+# etl_repos_skipped_parity and stream_dedup_replay at their r12
+# relative positions, displacing setop_intersect and setop_except
+# to the round-15 spill.  The twenty-one r12 rows after the prefix
+# (setops, fn_higher_order/cast/map, cross/self joins, the agg
+# block, the events block, dedup_exact/ngram_jaccard/group_assign)
+# — all deterministic/hash-checkable and green in r12 — spill to
+# lead round 15.  Freshness cycle stays ~2.52 rounds (126 against a
+# 2x50 gate), accepted per the round-10 verdict's adjudication (a
+# never-gated operator is worse than a slightly staler rotation).
 _prioritize(
     first=[
-        # --- round-10 spills (oldest driver rows; spilled past
-        #     round 12's slot 50; order = round-12 spill list /
+        # --- round-11 spills (oldest driver rows; spilled past
+        #     round 13's slot 50; order = round-13 spill list /
         #     COVERAGE.md pre-staging) ---
-        "dedup_minhash_lsh",
-        "dedup_minhash_groups",
-        "dedup_simhash",
-        "asof_event_value",
-        "text_topk_terms",
-        "text_tfidf_topk",
-        "text_pack_shards",
-        "sample_weighted_reservoir",
-        "sim_cosine_topk",
-        "sim_ann_bucketed",
-        "sim_pairs_threshold",
-        "dedup_embedding_cosine",
-        "sim_centroid_per_label",
-        "sim_ann_multiprobe",
-        "udf_grouped_map",
-        "udf_grouped_agg",
-        "sql_correlated_exists",
-        "sql_not_exists",
-        "sql_scalar_subquery",
-        "sql_correlated_scalar_agg",
-        "sql_in_subquery",
-        # --- round-11-gated block, CORRECTNESS_r11 key order (29 of
-        #     50 names: the first 23 non-special rows, then the six
-        #     force-included special evidence rows at their r11 key
-        #     positions; the twenty-one rows listed after the prefix
-        #     spill to round 14) ---
-        "mm_fuzzy_decontaminate",
-        "mm_video_scene_pairs",
-        "mm_image_in_video",
-        "mm_audio_segment_pairs",
-        "sem_dedup_assign",
-        "sample_dsir",
-        "fn_math",
-        "fn_conditional",
-        "fn_strings",
-        "fn_regex",
-        "fn_dates",
-        "fn_json",
-        "fn_from_json_struct",
-        "text_chunk_overlap",
-        "text_pii_mask",
-        "text_clean",
-        "udf_scalar_python",
-        "udf_pandas_vectorized",
-        "udf_map_in_pandas",
-        "udf_table_function",
-        "udf_native_udtf",
-        "dedup_substring_spans",
-        "dedup_substring_groups",
-        "pipeline_pretrain_corpus",
-        "pipeline_curate_corpus",
-        "stream_tumbling_replay",
-        "stream_session_replay",
-        "stream_join_replay",
-        "etl_logs_parity",
-        # --- spill past slot 50 → lead the round-14 rotation (r11
-        #     key order; all deterministic/hash-checkable, green in
-        #     r11) ---
         "dedup_incremental_substring",
         "sim_ann_ivf_assign",
         "dedup_simhash_pairs",
@@ -158,6 +99,65 @@ _prioritize(
         "events_cohort_retention",
         "sample_domain_mix",
         "dedup_embedding_groups",
+        # --- round-12-gated block, CORRECTNESS_r12 key order (29 of
+        #     50 names: the first 27 rows, then the two force-included
+        #     special evidence rows etl_repos_skipped_parity and
+        #     stream_dedup_replay at their r12 relative positions;
+        #     the twenty-one rows listed after the prefix spill to
+        #     round 15) ---
+        "dedup_dropduplicates_subset",
+        "agg_pivot",
+        "agg_grouping_sets",
+        "fn_array",
+        "fn_explode",
+        "text_langid",
+        "text_quality",
+        "text_tokens",
+        "text_fingerprint",
+        "mm_binary_meta",
+        "text_repetition",
+        "win_topk_per_group",
+        "win_ranking_suite",
+        "win_lag_lead",
+        "win_running_frames",
+        "win_first_last_nth",
+        "win_range_between",
+        "win_time_bucket",
+        "agg_collect_sorted",
+        "agg_rollup",
+        "agg_cube",
+        "mm_image_near_dup",
+        "mm_video_near_dup",
+        "mm_audio_near_dup",
+        "sort_topk_orders",
+        "sort_multikey_nulls",
+        "setop_union",
+        "etl_repos_skipped_parity",
+        "stream_dedup_replay",
+        # --- spill past slot 50 → lead the round-15 rotation (r12
+        #     key order; all deterministic/hash-checkable, green in
+        #     r12) ---
+        "setop_intersect",
+        "setop_except",
+        "setop_intersect_all",
+        "setop_except_all",
+        "fn_higher_order",
+        "fn_cast",
+        "fn_map",
+        "join_cross",
+        "join_self_nation_pairs",
+        "agg_pricing_summary",
+        "agg_percentiles",
+        "agg_global",
+        "agg_distinct",
+        "agg_stats",
+        "events_window_tumbling",
+        "events_funnel_depth",
+        "events_window_sliding",
+        "events_top_paths",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_group_assign",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /
