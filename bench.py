@@ -5,6 +5,15 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The stdout line is deliberately COMPACT (~700 chars): the driver that
+records it captures only the tail of stdout, and round 13's artifact of
+record lost its ``value`` field when in-line instrumentation grew the
+JSON past that window (BENCH_r13 ``"parsed": null``).  Everything that
+is not needed to read the headline — raw per-query runs, the extras
+block, cool-down batches, per-window calibration — goes to a sidecar
+``bench_detail.json`` next to this script, referenced by name in the
+compact line's ``detail`` field.
+
 Each query is fully materialized through the ``noop`` sink (real
 execution, no driver-side collect bottleneck). Numbers are recorded in
 BASELINE.md; the first recorded value per row is the frozen baseline.
@@ -105,16 +114,22 @@ def main() -> None:
         retry = _calibrate(spark)
         pre_batches.append(retry)
         improved = min(retry) < 0.9 * min(calibration_pre)
-        calibration_pre = retry
+        # accept the retry only when it is at least as good: a LAST
+        # retry that reads worse than the batch that triggered it must
+        # not displace the better sample from calibration_s (the
+        # superseded batches survive only in the detail sidecar)
+        if min(retry) <= min(calibration_pre):
+            calibration_pre = retry
         # the idle floor is host-epoch-dependent (BASELINE.md: the
         # 0.33-0.45 band is unreachable on some epochs however quiet
         # the box) — when a retry stops improving materially we are AT
         # the floor, and further waiting just delays the suite
         if not improved:
             break
-    # batches superseded by a cool-down retry, INCLUDING the one that
-    # triggered it — nothing measured is dropped from the artifact
-    cooldown_retries = pre_batches[:-1]
+    # batches superseded by a cool-down retry — nothing measured is
+    # dropped from the artifact; the accepted batch is whichever pre
+    # batch carries the best (minimum) sample
+    cooldown_retries = [b for b in pre_batches if b is not calibration_pre]
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -156,6 +171,16 @@ def main() -> None:
     # deployment pays once at index build, so the number would track
     # scheduler latency rather than the ANN probe the query exists
     # for — the recall test at sf0.1 is its perf/quality gate).
+    # Per-window contention sentinel sampled immediately BEFORE the
+    # extras block: the pre-suite cool-down protects the headline, but
+    # the extras run after it un-guarded — BENCH_r13's extras sampled
+    # the most contended window of any round (cold dsir A/B read
+    # reversed purely from load) and nothing in the artifact made that
+    # self-diagnosing.  A reader comparing extras across rounds checks
+    # this sample first; far above the idle band means the extras (not
+    # the headline) are a contended sample.
+    calibration_extras = _calibrate(spark)
+
     extra: dict[str, float] = {}
     extra_errors: dict[str, str] = {}
     for name in ("pipeline_pretrain_corpus", "dedup_incremental_lsh",
@@ -345,6 +370,12 @@ def main() -> None:
     calibration_post = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    # COMPACT driver-parsed line: metric/value/queries/sf/calibration
+    # only (~700 chars) — the driver captures a bounded stdout tail and
+    # round 13's in-line extras grew the JSON past it, nulling the
+    # artifact of record.  Everything else lives in the sidecar.
     out = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -356,7 +387,15 @@ def main() -> None:
         # well above the band means the suite ran on a contended box and
         # `value` is not comparable across rounds.
         "calibration_s": round(min(calibration_pre + calibration_post), 3),
-        "calibration_runs": {"pre": calibration_pre, "post": calibration_post},
+        # Full instrumentation (raw runs, extras, per-window
+        # calibration, cool-down batches) — sidecar filename, not
+        # inlined, to keep this line inside the capture window.
+        "detail": os.path.basename(detail_path),
+    }
+    detail = {
+        "calibration_runs": {"pre": calibration_pre,
+                             "extras": calibration_extras,
+                             "post": calibration_post},
         # Extras that deliberately measure a COLD path (caches dropped
         # between runs) while every other extra is warm min-of-3 —
         # self-describing so cross-round comparisons don't depend on
@@ -364,23 +403,25 @@ def main() -> None:
         # hashing cost, which a warm feature-bag cache bypasses.
         "extra_cold": ["dsir_select", "dsir_select_xxhash64"],
         # Pre-suite calibration batches superseded by a cool-down
-        # retry (the out-of-band trigger batch first): non-empty means
-        # the suite start was delayed 20 s per entry; calibration_runs
-        # "pre" is the final (accepted) batch.
+        # retry: non-empty means the suite start was delayed 20 s per
+        # entry; calibration_runs "pre" is the accepted (best) batch.
         "calibration_cooldown_retries": cooldown_retries,
         # Raw per-query runs (run 1 includes codegen/compile) so a
         # reader can audit variance instead of trusting min-of-3.
         "runs": all_runs,
-        # Non-headline round-7 queries (excluded from `value` so the
-        # suite total stays comparable across rounds / vs baseline).
+        # Non-headline queries (excluded from `value` so the suite
+        # total stays comparable across rounds / vs baseline).
         "extra": extra,
     }
     if extra_errors:
-        out["extra_errors"] = extra_errors
+        detail["extra_errors"] = extra_errors
     if errors:
         # value covers only completed queries — flag the gap loudly.
         out["errors"] = errors
         out["incomplete"] = True
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
     print(json.dumps(out))
     spark.stop()
 
