@@ -18,6 +18,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .caching import pin
+from .skew import _quantile_cap  # noqa: F401 — re-export; see note at
+# the round-14 relocation comment (the shared quantile statistic moved
+# to skew so skew no longer imports dedup; this direction is cycle-free
+# because skew's remaining dedup references are docstring-only)
 
 if TYPE_CHECKING:
     from pyspark.sql import Observation
@@ -749,65 +753,13 @@ def recommend_salt_min_bucket(
     )
 
 
-def _quantile_cap(d_values: DataFrame, q: float) -> DataFrame:
-    """1-row ``(_max_df)`` DataFrame: the smallest posting-list length
-    d* such that at least fraction ``q`` of (length >= 2) posting lists
-    have length <= d* — a discrete quantile of the shingle
-    document-frequency distribution, computed INSIDE the plan (no
-    driver collect, no corpus constant).
-
-    Takes a ``(d)`` DataFrame with one row per length-{>=2} posting
-    list. Since round 7 the caller derives it from the PERSISTED
-    per-shingle count table (the same table that drives the
-    cap-before-collect hot-set filter), so the histogram costs no extra
-    corpus pass. (Round 6 context: a separate count-aggregation over
-    the exploded ``(_id, shingle)`` table can never share work with the
-    posting build — the count-agg's partial differs from
-    partial_collect_list, so the two branches never shared an exchange
-    and the whole corpus was scanned + shingle-exploded TWICE, half the
-    round-6 query's wall clock at sf0.1). The persisted set is exactly
-    the repeated-shingle posting lists — a subset of the one shuffle
-    output the pair explode consumes anyway, so it is never larger than
-    the re-scan it replaces, and in natural corpora (rare shingles
-    dominate) it is a small fraction of the corpus; MEMORY_AND_DISK
-    spills instead of evicting under pressure.
-
-    The windows here are global but run over the df *histogram* (one
-    row per distinct posting-list length — bounded by the longest
-    posting list, thousands of rows at worst at corpus scale), not over
-    data; same bounded-dimension exemption as build_repositories.
-    """
-    hist = d_values.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Deliberately global windows: the boundedness argument above is
-    # why one partition is fine. (WindowExec's single-partition warning
-    # is suppressed at the logger in session.get_spark — a lit(0)
-    # partition key does not work; EliminateWindowPartitions folds it.)
-    cum_w = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot_w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    # The threshold compare is pure integer arithmetic (cum * den >=
-    # num * tot with q = num/den taken from q's decimal digits), so the
-    # Spark and DuckDB twins can never disagree by a rounding ulp the
-    # way ceil(double * count) can (e.g. 0.9 * 10 = 9.000000000000002
-    # in doubles).
-    from fractions import Fraction
-
-    frac = Fraction(str(q))
-    return (
-        hist.select(
-            "d",
-            F.sum("n_sh").over(cum_w).alias("cum"),
-            F.sum("n_sh").over(tot_w).alias("tot"),
-        )
-        .filter(
-            F.col("cum") * F.lit(frac.denominator)
-            >= F.lit(frac.numerator) * F.col("tot")
-        )
-        .agg(F.min("d").alias("_max_df"))
-    )
+# _quantile_cap lives in skew.py since round 14: the recommend helper
+# made the skew <-> dedup cycle load-bearing in both directions (dedup
+# pulled salted_pair_sides, skew pulled _quantile_cap via a
+# function-body import); lifting the shared quantile statistic into
+# skew makes every import point one direction (dedup -> skew).  The
+# module-top re-export keeps dedup._quantile_cap valid for existing
+# callers and docstring references.
 
 
 def ngram_jaccard_pairs(

@@ -735,7 +735,13 @@ def _semantic_annotate(
     the whole b-side (the entire ranked corpus) replicates S ways —
     acceptable for a one-off rescue on a mid-size corpus, a
     non-starter at 100 TB. Pick the threshold from the cell-stats
-    telemetry's max_cell_rows."""
+    telemetry's max_cell_rows.  The contract is ``salt_min_cell >= 2``
+    (enforced by :func:`~.skew._validate_pair_salting` here and in
+    :class:`SemanticStore`): the shared :func:`~.dedup._hot_key_set`
+    derivation pre-filters to repeated cells (d >= 2), which is
+    behavior-identical to the inline derivation it replaced exactly
+    because 1 is rejected — a singleton cell emits no pairs, so it
+    could never need the salt anyway."""
     from .skew import _validate_pair_salting
 
     _validate_pair_salting(salt_buckets, salt_min_cell, "salt_min_cell")

@@ -28,7 +28,7 @@ rand()): results are reproducible and retried tasks can't double-count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Algebraic aggregates decompose into (partial op, final op) — the same
@@ -137,14 +137,17 @@ def _fixed_partition_count(session, buckets: int) -> int:
     managed-runtime "auto" values and Spark-Connect sessions (no
     sparkContext) to Spark's own 200 default; never below ``buckets``
     (fewer partitions than salts would re-collide salted keys by
-    pigeonhole).  Fallbacks are announced on the ``py4j``-sibling
-    logger namespace (one line, WARNING) so a production user
+    pigeonhole).  Surprising counts are announced on this module's
+    logger (``git_log_to_sqlite_spark.operators.skew``, one WARNING
+    line each): the conf-unreadable fallback AND the pigeonhole bump
+    (``buckets`` exceeding the configured count), so a production user
     debugging an unexpectedly narrow or wide salted shuffle can see
     which count was chosen and why — the pinned repartition is exempt
     from AQE coalescing by design, so a surprising count here is
     otherwise invisible until stage metrics."""
     import logging
 
+    log = logging.getLogger(__name__)
     try:
         n_part = int(session.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
@@ -152,11 +155,20 @@ def _fixed_partition_count(session, buckets: int) -> int:
             n_part = session.sparkContext.defaultParallelism
         except Exception:
             n_part = 200
-        logging.getLogger(__name__).warning(
+        log.warning(
             "spark.sql.shuffle.partitions unreadable (managed 'auto' "
             "value or Spark-Connect session); salted pair join pinned "
             "to %d partitions instead",
             max(n_part, buckets),
+        )
+    if n_part < buckets:
+        log.warning(
+            "salt_buckets (%d) exceeds the configured shuffle "
+            "partition count (%d); salted pair join pinned to %d "
+            "partitions so salted keys cannot re-collide by pigeonhole",
+            buckets,
+            n_part,
+            buckets,
         )
     return max(n_part, buckets)
 
@@ -284,12 +296,78 @@ def salted_pair_sides(
     return a, b, F.col("_salt_a") == F.col("_salt_b")
 
 
+def _quantile_cap(d_values: DataFrame, q: float) -> DataFrame:
+    """1-row ``(_max_df)`` DataFrame: the smallest posting-list length
+    d* such that at least fraction ``q`` of (length >= 2) posting lists
+    have length <= d* — a discrete quantile of the shingle
+    document-frequency distribution, computed INSIDE the plan (no
+    driver collect, no corpus constant).  (Lives here since round 14 —
+    it is the shared bucket-size quantile statistic behind both the
+    dedup valves and :func:`recommend_salt_threshold`; hosting it in
+    ``skew`` keeps every ``skew``/``dedup`` import pointing one
+    direction, dedup -> skew.)
+
+    Takes a ``(d)`` DataFrame with one row per length-{>=2} posting
+    list. Since round 7 the caller derives it from the PERSISTED
+    per-shingle count table (the same table that drives the
+    cap-before-collect hot-set filter), so the histogram costs no extra
+    corpus pass. (Round 6 context: a separate count-aggregation over
+    the exploded ``(_id, shingle)`` table can never share work with the
+    posting build — the count-agg's partial differs from
+    partial_collect_list, so the two branches never shared an exchange
+    and the whole corpus was scanned + shingle-exploded TWICE, half the
+    round-6 query's wall clock at sf0.1). The persisted set is exactly
+    the repeated-shingle posting lists — a subset of the one shuffle
+    output the pair explode consumes anyway, so it is never larger than
+    the re-scan it replaces, and in natural corpora (rare shingles
+    dominate) it is a small fraction of the corpus; MEMORY_AND_DISK
+    spills instead of evicting under pressure.
+
+    The windows here are global but run over the df *histogram* (one
+    row per distinct posting-list length — bounded by the longest
+    posting list, thousands of rows at worst at corpus scale), not over
+    data; same bounded-dimension exemption as build_repositories.
+    """
+    hist = d_values.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Deliberately global windows: the boundedness argument above is
+    # why one partition is fine. (WindowExec's single-partition warning
+    # is suppressed at the logger in session.get_spark — a lit(0)
+    # partition key does not work; EliminateWindowPartitions folds it.)
+    cum_w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # The threshold compare is pure integer arithmetic (cum * den >=
+    # num * tot with q = num/den taken from q's decimal digits), so the
+    # Spark and DuckDB twins can never disagree by a rounding ulp the
+    # way ceil(double * count) can (e.g. 0.9 * 10 = 9.000000000000002
+    # in doubles).
+    from fractions import Fraction
+
+    frac = Fraction(str(q))
+    return (
+        hist.select(
+            "d",
+            F.sum("n_sh").over(cum_w).alias("cum"),
+            F.sum("n_sh").over(tot_w).alias("tot"),
+        )
+        .filter(
+            F.col("cum") * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * F.col("tot")
+        )
+        .agg(F.min("d").alias("_max_df"))
+    )
+
+
 def recommend_salt_threshold(
     keyed: DataFrame,
     key_cols: list[str],
     quantile: float = 0.92,
     spread: int = 10,
     straggler_factor: float = 2.0,
+    salt_buckets: int = 1,
 ) -> "int | None":
     """Close the telemetry->knob loop for the targeted pair salt:
     derive a recommended ``salt_min_bucket`` / ``salt_min_cell`` from
@@ -307,8 +385,8 @@ def recommend_salt_threshold(
     quantile route already computes, re-used as an ARMING threshold:
 
     * bulk = the ``quantile`` point of the repeated-key (d >= 2) size
-      distribution (:func:`~.dedup._quantile_cap` — derived in-plan,
-      no corpus constant);
+      distribution (:func:`_quantile_cap` — derived in-plan, no
+      corpus constant);
     * spread guard: a key is HOT when d > ``spread`` x bulk — the
       same headroom shape :func:`~.dedup._capped_bands` defaults to,
       so a healthy corpus (every bucket near the bulk) recommends
@@ -316,10 +394,17 @@ def recommend_salt_threshold(
     * straggler guard: hotness only matters because one join key is
       one task, so arming is recommended only when the LARGEST key's
       pair mass d(d-1)/2 exceeds ``straggler_factor`` x the even
-      per-partition share of TOTAL pair mass (partition count =
-      :func:`_fixed_partition_count`, the same count the salted join
-      will shuffle to) — i.e. that key alone would run several even
-      shares long and is the critical path salting can actually cut.
+      per-partition share of TOTAL pair mass.  The partition count is
+      :func:`_fixed_partition_count` at ``salt_buckets`` — pass the
+      ``salt_buckets`` the join will actually use and the guard's
+      even share is computed at exactly the count the salted join
+      shuffles to (max(shuffle.partitions, salt_buckets)); the
+      default (1) evaluates at plain shuffle.partitions, which is
+      conservative when salt_buckets would exceed it (a smaller
+      denominator count means a LARGER even share, so the guard can
+      only under-arm, never over-arm) — i.e. the hot key alone would
+      run several even shares long and is the critical path salting
+      can actually cut.
 
     Returns the value to pass verbatim as ``salt_min_bucket`` /
     ``salt_min_cell`` (hot set == keys with d >= the returned value:
@@ -348,7 +433,8 @@ def recommend_salt_threshold(
         raise ValueError(
             f"straggler_factor must be > 0, got {straggler_factor}"
         )
-    from .dedup import _quantile_cap
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
 
     counts = (
         keyed.groupBy(*key_cols)
@@ -377,7 +463,7 @@ def recommend_salt_threshold(
     )
     if row is None or row["_hot_keys"] == 0 or row["_total"] == 0:
         return None
-    n_part = _fixed_partition_count(keyed.sparkSession, 1)
+    n_part = _fixed_partition_count(keyed.sparkSession, salt_buckets)
     if row["_max_mass"] * n_part <= straggler_factor * row["_total"]:
         return None
     return int(row["_threshold"]) + 1

@@ -4492,6 +4492,46 @@ def test_recommend_salt_threshold_core_guards(spark):
             recommend_salt_threshold(healthy, ["k"], spread=0)
         with pytest.raises(ValueError):
             recommend_salt_threshold(healthy, ["k"], straggler_factor=0.0)
+        with pytest.raises(ValueError):
+            recommend_salt_threshold(healthy, ["k"], salt_buckets=0)
+        # salt_buckets pass-through (round-14 ADVICE): the armed join
+        # shuffles to max(shuffle.partitions, salt_buckets), so the
+        # straggler guard's even share must be computed at that SAME
+        # count. The hot-but-light corpus above is vetoed at 32
+        # partitions (820-pair max key vs a ~1.9k even share), but at
+        # salt_buckets=256 the even share shrinks ~8x below the max
+        # key's mass — the key IS the critical path at that
+        # parallelism and the guard arms: rec = 10 x p92(=4) + 1.
+        assert (
+            recommend_salt_threshold(light, ["k"], salt_buckets=256) == 41
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_fixed_partition_count_announces_surprising_counts(spark, caplog):
+    """_fixed_partition_count (round-14 ADVICE): the pigeonhole bump
+    (salt_buckets above the configured shuffle partition count) must be
+    announced on this module's own logger — the pinned repartition is
+    AQE-exempt, so a silently widened count is otherwise invisible
+    until stage metrics — while in-range bucket counts stay silent."""
+    import logging
+
+    from git_log_to_sqlite_spark.operators.skew import (
+        _fixed_partition_count,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        logger = "git_log_to_sqlite_spark.operators.skew"
+        with caplog.at_level(logging.WARNING, logger=logger):
+            assert _fixed_partition_count(spark, 8) == 32
+            assert not caplog.records
+            assert _fixed_partition_count(spark, 128) == 128
+        assert any(
+            "pigeonhole" in r.getMessage() for r in caplog.records
+        ), [r.getMessage() for r in caplog.records]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
