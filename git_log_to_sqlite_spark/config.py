@@ -48,6 +48,10 @@ class Config:
         )
 
     def author_map_df(self, spark: SparkSession) -> DataFrame:
-        """The author map as a broadcastable dimension DataFrame."""
+        """The author map as a broadcastable dimension DataFrame —
+        built via the Arrow local path (``session.local_frame``) so the
+        broadcast build executes without a Python-worker round-trip."""
+        from .session import local_frame
+
         rows = [(email, name) for email, name in sorted(self.author_map.items())]
-        return spark.createDataFrame(rows or [], schema=AUTHOR_MAP_SCHEMA)
+        return local_frame(spark, rows, AUTHOR_MAP_SCHEMA)

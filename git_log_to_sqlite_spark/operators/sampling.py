@@ -115,8 +115,13 @@ def domain_mix(
     needed).
     """
     spark = df.sparkSession
-    rates_df = spark.createDataFrame(
-        sorted(rates.items()), f"{domain_col} string, _rate double"
+    from ..session import local_frame
+
+    # Arrow local path: the rates dim is a broadcast build side, and a
+    # tuple-list frame pays a Python-worker round-trip per execution
+    # for a handful of rows (local_frame docstring has the numbers)
+    rates_df = local_frame(
+        spark, sorted(rates.items()), f"{domain_col} string, _rate double"
     )
     keyed = df.join(F.broadcast(rates_df), domain_col, "left").withColumn(
         "_rate", F.coalesce(F.col("_rate"), F.lit(float(default_rate)))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..config import Config
 from ..etl.gitlog import parse_git_log
 from ..etl.pipeline import run_pipeline
+from ..session import local_frame
 from .registry import register
 
 X01, X02 = "\x01", "\x02"
@@ -203,7 +204,7 @@ def _write_fixture_dir() -> str:
 def etl_logs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs_dir = _write_fixture_dir()
     commits = parse_git_log(spark, logs_dir)
-    repos_meta = spark.createDataFrame(_REPOS_META, "name string, url string")
+    repos_meta = local_frame(spark, _REPOS_META, "name string, url string")
     res = run_pipeline(spark, commits, repos_meta, config=_CONFIG)
 
     n_files = (
@@ -307,8 +308,10 @@ _REPOS_SKIPPED_ORACLE = f"""
 def etl_repos_skipped_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs_dir = _write_fixture_dir()
     commits = parse_git_log(spark, logs_dir)
-    repos_meta = spark.createDataFrame(_MULTI_REPOS_META, "name string, url string")
-    scanned = spark.createDataFrame([(p,) for p in _SCANNED_DIRS], "path string")
+    # Arrow local path for both meta frames (round 14): each is a
+    # broadcast build side executed per gate run
+    repos_meta = local_frame(spark, _MULTI_REPOS_META, "name string, url string")
+    scanned = local_frame(spark, [(p,) for p in _SCANNED_DIRS], "path string")
     res = run_pipeline(
         spark, commits, repos_meta, scanned_dirs=scanned, config=_CONFIG
     )

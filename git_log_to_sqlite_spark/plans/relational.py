@@ -572,7 +572,13 @@ def join_self_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
-    bands = p.sparkSession.createDataFrame(
+    from ..session import local_frame
+
+    # Arrow local path (round 14): the 4-row broadcast build side of a
+    # tuple-list frame pays a Python-worker round-trip per execution —
+    # measured 0.401 s vs 0.212 s min-of-5 at sf0.01 (BASELINE.md)
+    bands = local_frame(
+        p.sparkSession,
         [
             ("budget", 0.0, 930.0),
             ("mid", 930.0, 960.0),

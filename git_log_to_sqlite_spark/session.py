@@ -110,3 +110,38 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register the driver tables as temp views for ``spark.sql`` use."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def local_frame(spark: SparkSession, rows, schema):
+    """Bounded driver-side state as a JVM LocalRelation via the ARROW
+    local path: a pandas input converts driver-side to Arrow batches,
+    so the frame executes with no pickled partitions and no Python
+    workers.  The tuple-list ``createDataFrame`` form instead spreads
+    the rows over defaultParallelism pickled partitions, and every
+    EXECUTION that consumes them (a broadcast build, a model-state
+    write) pays a Python-worker round-trip for a handful of rows —
+    measured twice on this box: the round-13 centroid write (8 rows:
+    0.57-1.7 s tuple-list vs 0.25-0.31 s Arrow) and the round-14
+    broadcast-dim probe (4-row bands join at sf0.01: 0.401 s vs
+    0.212 s min-of-5, BASELINE.md).  Use for every small dim/model
+    frame on a TIMED or gated path; plain tuple-list remains fine for
+    one-shot setup (CLI report tables, test fixtures).
+
+    ``rows`` is a list of tuples in ``schema`` column order; ``schema``
+    is a DDL string or a StructType.  The explicit schema keeps types
+    identical to the tuple-list form (pandas would otherwise
+    widen/narrow dtypes by inference).
+    """
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        # zero-row frames carry no per-row worker cost to save; the
+        # tuple-list form also sidesteps pandas' all-object dtype
+        # inference on an empty frame
+        return spark.createDataFrame([], schema)
+    if isinstance(schema, str):
+        cols = [f.split()[0].strip() for f in schema.split(",")]
+    else:
+        cols = list(schema.fieldNames())
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
