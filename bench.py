@@ -393,6 +393,11 @@ def main() -> None:
         "detail": os.path.basename(detail_path),
     }
     detail = {
+        # Self-identification: the sidecar is overwritten per run, so a
+        # reader pairing it with a recorded stdout line checks these
+        # match that line's sf/value before trusting the detail.
+        "sf": sf,
+        "value": total,
         "calibration_runs": {"pre": calibration_pre,
                              "extras": calibration_extras,
                              "post": calibration_post},
