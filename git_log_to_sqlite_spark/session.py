@@ -141,7 +141,13 @@ def local_frame(spark: SparkSession, rows, schema):
         # inference on an empty frame
         return spark.createDataFrame([], schema)
     if isinstance(schema, str):
-        cols = [f.split()[0].strip() for f in schema.split(",")]
+        # real DDL parse, not a comma split: nested comma-bearing types
+        # (map<string,int>, struct<a:int,b:int>) would break a naive
+        # split, and the active session this helper requires is exactly
+        # what fromDDL needs
+        from pyspark.sql.types import StructType
+
+        cols = StructType.fromDDL(schema).fieldNames()
     else:
         cols = list(schema.fieldNames())
     return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)

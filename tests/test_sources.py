@@ -183,3 +183,36 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     rows = {r["id"]: (r["name"], r["quality"]) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 0.9)}
     assert "quality" in merged.columns and "batch" in merged.columns
+
+
+def test_local_frame_matches_tuple_list_form(spark):
+    """session.local_frame (the Arrow local path for bounded dim/model
+    frames) must be value- and schema-identical to the tuple-list
+    createDataFrame it replaces — including a nested comma-bearing DDL
+    type, which a naive comma-split column parse would break on, and
+    the zero-row fallback."""
+    from git_log_to_sqlite_spark.session import local_frame
+
+    ddl = "k string, v double"
+    rows = [("a", 1.5), ("b", -2.0)]
+    got = local_frame(spark, rows, ddl)
+    want = spark.createDataFrame(rows, ddl)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    nested_ddl = "k string, m map<string,int>, s struct<a:int,b:string>"
+    nested_rows = [("x", {"p": 1, "q": 2}, (7, "y"))]
+    got_n = local_frame(spark, nested_rows, nested_ddl)
+    want_n = spark.createDataFrame(nested_rows, nested_ddl)
+    assert got_n.schema == want_n.schema
+    [gr], [wr] = got_n.collect(), want_n.collect()
+    assert (gr["k"], dict(gr["m"]), tuple(gr["s"])) == (
+        wr["k"],
+        dict(wr["m"]),
+        tuple(wr["s"]),
+    )
+
+    empty = local_frame(spark, [], ddl)
+    assert empty.schema == want.schema and empty.count() == 0
