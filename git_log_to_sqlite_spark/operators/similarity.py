@@ -1025,14 +1025,28 @@ class IvfIndex:
 
         HARD CONTRACT on ``queries``: the probe side is FORCE-broadcast
         (after the n_probe cell fan-out — n_probe rows per query of
-        ~8 B x dims each), because the broadcast is what lets the cell
-        keys dynamically prune the partitioned index scan; unhinted, a
-        bad estimate could shuffle the INDEX instead and read every
-        cell. A probe batch must therefore fit a broadcast (tens of MB
-        = ~100k queries at 64 dims); for corpus-sized "probes" use
-        :func:`embedding_dedup_ann` (all-vs-index dedup) — or chunk
-        the batch and union, which is exact since per-query top-k is
-        independent across chunks."""
+        ~8 B x dims each); unhinted, a bad estimate could shuffle the
+        INDEX instead. A probe batch must therefore fit a broadcast
+        (tens of MB = ~100k queries at 64 dims); for corpus-sized
+        "probes" use :func:`embedding_dedup_ann` (all-vs-index dedup)
+        — or chunk the batch and union, which is exact since per-query
+        top-k is independent across chunks.
+
+        Partition pruning is STATIC, not dynamic: the batch's probed
+        cells are collected (a bounded model-state-class collect —
+        at most min(|batch| x n_probe, k) ints, the same class as the
+        ``centroids()`` read above) and applied as an ``isin`` filter
+        on the partition column, so the scan reads exactly the probed
+        cells' files whatever the planner estimates. Spark's dynamic
+        partition pruning is NOT relied on because its insertion rule
+        requires a selective predicate (a Filter) on the build side,
+        and a real probe batch — a LocalRelation, a checkpoint, a
+        plain parquet table — has none: measured on an 8x-replicated
+        sf0.1 corpus, the DPP-shaped join read all 64 files / 16,000
+        rows of the index for a single-cell probe batch (round 14,
+        BASELINE.md). The cell-set derivation executes the (bounded)
+        ``queries`` plan once more; cache it first if it is derived
+        expensively."""
         centroids = self.centroids()
         index = self.spark.read.parquet(f"{self.path}/index")
         q = queries.select(
@@ -1045,6 +1059,10 @@ class IvfIndex:
             "_qv",
             "_qn",
         )
+        probed = sorted(
+            r["_qc"] for r in q.select("_qc").distinct().collect()
+        )
+        index = index.filter(F.col("cell").isin(probed))
         sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
         joined = F.broadcast(q).join(
             index,
@@ -1254,6 +1272,33 @@ class SemanticStore(_ParquetStore):
                 .parquet(self.path)
             )
 
+    def _probed_store_side(self, ranked: DataFrame) -> DataFrame:
+        """The kept table as the history-probe join's store side,
+        STATICALLY pruned to the batch's occupied cells: the cell set
+        is collected off the PINNED ranked frame (bounded — at most k
+        ints, model-state class) and reaches the cell-partitioned
+        kept scan as an ``isin`` partition filter. Spark's dynamic
+        partition pruning does NOT cover this join — its insertion
+        rule wants a selective predicate on the batch side, which a
+        checkpointed/pinned frame never has: measured at sf0.1, a
+        one-cell batch scanned all 8 kept partitions (2,000 rows)
+        before this filter, 1 partition after (round 14,
+        BASELINE.md). A backfill-scale batch occupying every cell
+        degrades gracefully (the filter passes all partitions)."""
+        probed = sorted(
+            r["cell"] for r in ranked.select("cell").distinct().collect()
+        )
+        return (
+            self.read()
+            .select(
+                F.col(self.id_col).alias("_hid"),
+                F.col("_v").alias("_hv"),
+                F.col("_n").alias("_hn"),
+                "cell",
+            )
+            .filter(F.col("cell").isin(probed))
+        )
+
     def ingest(
         self, batch: DataFrame, observation: "Observation | None" = None
     ) -> DataFrame:
@@ -1269,7 +1314,9 @@ class SemanticStore(_ParquetStore):
         the kept table's cell-partitioned scan while the batch is
         small — candidate mass is sum over probed cells of
         |batch cell| x |kept cell|, the store never self-joins,
-        unprobed cell partitions prune; a backfill-scale batch
+        unprobed cell partitions prune STATICALLY via the batch's
+        collected cell set (see the in-body note: DPP skips this
+        join shape); a backfill-scale batch
         degrades to a shuffled cell join instead of a broadcast
         cliff — and with the store's ``salt_buckets`` armed, that
         shuffled regime's hot cells spread over S salted tasks,
@@ -1294,12 +1341,7 @@ class SemanticStore(_ParquetStore):
             )
             if observation is not None:
                 _observe_cell_stats(ranked, observation)
-            s = self.read().select(
-                F.col(self.id_col).alias("_hid"),
-                F.col("_v").alias("_hv"),
-                F.col("_n").alias("_hn"),
-                "cell",
-            )
+            s = self._probed_store_side(ranked)
             pden = F.col("_n") * F.col("_hn")
             sim = F.when(
                 pden > 0, _dot(F.col("_v"), F.col("_hv")) / pden

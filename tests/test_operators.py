@@ -1309,9 +1309,138 @@ def test_ivf_index_persisted_probe(clustered_vectors, tmp_path):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         probe.explain("formatted")
-    assert "dynamicpruning" in buf.getvalue().lower(), (
-        "probe join must dynamically prune the cell-partitioned scan"
+    # STATIC partition pruning (round 14): the probed cell set reaches
+    # the scan as an IN partition filter. The previous dynamic-pruning
+    # assertion held only because this test's probe side carries a
+    # Filter — Spark's DPP insertion requires a selective predicate on
+    # the build side, so a bare batch (LocalRelation / checkpoint /
+    # plain table, the real deployment shape) got NO pruning and read
+    # the full index (measured: 64/64 files at 8x replication).
+    plan_text = buf.getvalue().lower()
+    assert "partitionfilters" in plan_text and "cell" in plan_text
+    assert " in (" in plan_text or " in(" in plan_text, (
+        "probed cell set must reach the index scan as a static IN "
+        "partition filter"
     )
+
+
+def test_ivf_probe_prunes_unfiltered_batch(clustered_vectors, tmp_path):
+    """The deployment-shape pruning guarantee: a probe batch with NO
+    filter on it (a bare createDataFrame batch — the case Spark's
+    dynamic partition pruning silently skips) must still read only the
+    probed cells' files, measured on the scan's own metrics, and
+    return exactly the in-memory operator's result."""
+    from git_log_to_sqlite_spark.operators import IvfIndex, ivf_ann_topk, kmeans
+
+    e = clustered_vectors
+    fit = e.withColumn("kid", (F.col("vec_id") % 25) * 4 + F.col("cluster"))
+    _, centroids = kmeans(fit, "kid", "embedding", k=4, max_iter=10)
+    idx = IvfIndex(e.sparkSession, str(tmp_path / "ivf"))
+    corpus_df = fit.select("kid", "embedding").withColumnRenamed("kid", "vec_id")
+    idx.build(corpus_df, k=4, max_iter=10, fit_sample_size=None)
+
+    # bare batch: one query vector, n_probe=1 → exactly one probed cell
+    one = corpus_df.limit(1).collect()
+    bare = e.sparkSession.createDataFrame(one, corpus_df.schema)
+    res = idx.probe(bare, n_probe=1, k=5)
+    got = {tuple(r) for r in res.collect()}
+    mem = {
+        tuple(r)
+        for r in ivf_ann_topk(
+            bare, corpus_df, "vec_id", "embedding", centroids,
+            n_probe=1, k=5,
+        ).collect()
+    }
+    assert got == mem and len(got) > 0
+
+    # measured on the executed scan: only the probed cell's partition
+    # was read (cells are near-balanced by construction, so one cell
+    # is well under half the index)
+    total_rows = corpus_df.count()
+    scanned = _index_scan_rows(res)
+    assert scanned < total_rows / 2, (
+        f"unfiltered probe batch read {scanned} of {total_rows} index "
+        "rows — partition pruning did not happen"
+    )
+
+
+def test_semantic_store_history_probe_prunes_kept_scan(spark, tmp_path):
+    """SemanticStore.ingest's history probe must read only the kept
+    partitions of the batch's occupied cells (the _probed_store_side
+    contract — static pruning, since DPP skips the pinned-batch join
+    shape), measured on the executed scan, and ingest must still blame
+    history duplicates correctly through the pruned scan."""
+    import math
+
+    from git_log_to_sqlite_spark.operators import SemanticStore
+    from git_log_to_sqlite_spark.operators.similarity import _semantic_ranked
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    store = SemanticStore(spark, str(tmp_path / "s"), threshold=0.98)
+    store.bootstrap(
+        spark.createDataFrame(
+            [(1, at(0)), (2, at(40)), (3, at(179)), (4, at(140))],
+            "vec_id long, embedding array<double>",
+        ),
+        cents,
+    )
+    # bare one-cell batch (cell 0: x > 0)
+    batch = spark.createDataFrame(
+        [(10, at(5)), (11, at(12))], "vec_id long, embedding array<double>"
+    )
+    ranked = _semantic_ranked(
+        batch, "vec_id", "embedding", store.centroids_df(), None, None,
+        expect_dim=2, guard_context="test",
+    )
+    side = store._probed_store_side(ranked)
+    rows = side.collect()
+    kept_cell0 = {r["_hid"] for r in rows}
+    assert all(r["cell"] == 0 for r in rows) and len(rows) > 0
+    # measured: the scan itself read only cell 0's partition rows
+    kept_total = store.read().count()
+    scanned = _index_scan_rows(side)
+    assert 0 < scanned < kept_total, (
+        f"kept scan read {scanned} of {kept_total} rows — the history "
+        "probe did not prune unprobed cell partitions"
+    )
+    assert scanned == len(rows)
+    # end-to-end through ingest: cell-0 batch rows still blame the
+    # cell-0 history row they duplicate
+    res = {r["vec_id"]: r for r in store.ingest(batch).collect()}
+    assert res[10]["dup_source"] == "history" and res[10]["dup_of"] in kept_cell0
+
+
+def _index_scan_rows(res) -> int:
+    """numOutputRows of the largest executed FileSourceScanExec under
+    ``res``'s plan (the index scan), walked through AQE wrappers."""
+    rows = []
+
+    def walk(node):
+        nm = node.getClass().getSimpleName()
+        if nm == "FileSourceScanExec":
+            opt = node.metrics().get("numOutputRows")
+            if not opt.isEmpty():
+                rows.append(opt.get().value())
+            return
+        if nm == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStageExec" in nm:
+            walk(node.plan())
+            return
+        if nm == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(res._jdf.queryExecution().executedPlan())
+    return max(rows) if rows else 0
 
 
 def test_kmeans_fit_sample_quality_and_determinism(clustered_vectors, tmp_path):
