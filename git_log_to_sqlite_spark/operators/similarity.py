@@ -818,10 +818,12 @@ class IvfIndex:
     id, cast vector, precomputed norm, assigned cell) lives as parquet
     PARTITIONED BY CELL, and the centroids (model state, k x dims
     doubles) live beside it as a tiny parquet. Each probe batch then
-    reads only the probed cells: the probe join's query side broadcasts
-    and its cell keys dynamically prune the partitioned scan (Spark's
-    dynamic partition pruning — asserted on the plan in tests), so a
-    batch probing m of k cells reads ~m/k of the index bytes. Rebuild
+    reads only the probed cells: the batch's cell set is collected
+    (bounded by k) and STATICALLY prunes the partitioned scan — see
+    :meth:`probe` for why dynamic partition pruning is not relied on
+    (measured: it never fired on bare batches) — so a batch probing
+    m of k cells reads ~m/k of the index bytes, asserted on the
+    executed scan's own metrics in tests. Rebuild
     the index when the corpus drifts (centroid fit is a batch job, the
     same cadence as any ANN index rebuild).
     """
@@ -1351,10 +1353,10 @@ class SemanticStore(_ParquetStore):
             # deliberately UNHINTED (the jaccard hot-set-join
             # doctrine): the pinned ranked frame gives the planner an
             # accurate size, so a daily-increment batch broadcasts
-            # into the cell-partitioned kept scan (pruning unprobed
-            # cells), while a backfill-scale batch degrades to a
-            # shuffled cell join instead of hitting the 8 GB
-            # broadcast cliff a hard hint would force
+            # into the statically cell-pruned kept scan
+            # (_probed_store_side), while a backfill-scale batch
+            # degrades to a shuffled cell join instead of hitting the
+            # 8 GB broadcast cliff a hard hint would force
             probe = ranked.select("_id", "_v", "_n", "cell")
             if self.salt_buckets > 1:
                 # the store's salt knobs ride the HISTORY probe too
