@@ -424,9 +424,16 @@ def main() -> None:
         # value covers only completed queries — flag the gap loudly.
         out["errors"] = errors
         out["incomplete"] = True
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1)
-        fh.write("\n")
+    # The sidecar write must NEVER cost the stdout line: the compact
+    # line is the artifact of record, and an unwritable script dir
+    # (read-only checkout, full disk) after minutes of measured work
+    # would otherwise destroy exactly what the sidecar split protects.
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        out["detail_error"] = f"{type(exc).__name__}: {exc}"
     print(json.dumps(out))
     spark.stop()
 

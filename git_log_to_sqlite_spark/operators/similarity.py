@@ -1046,9 +1046,15 @@ class IvfIndex:
         plain parquet table — has none: measured on an 8x-replicated
         sf0.1 corpus, the DPP-shaped join read all 64 files / 16,000
         rows of the index for a single-cell probe batch (round 14,
-        BASELINE.md). The cell-set derivation executes the (bounded)
-        ``queries`` plan once more; cache it first if it is derived
-        expensively."""
+        BASELINE.md).
+
+        This makes ``probe`` EAGER: the (bounded) fan-out frame is
+        pinned via ``localCheckpoint`` when this method is CALLED —
+        one materialization feeds both the cell-set collect and the
+        join, so a non-deterministic ``queries`` source (an unordered
+        limit, a sample, a table appended to mid-flight) cannot leave
+        the pruned scan disagreeing with the cells the join actually
+        probes."""
         centroids = self.centroids()
         index = self.spark.read.parquet(f"{self.path}/index")
         q = queries.select(
@@ -1060,7 +1066,7 @@ class IvfIndex:
             F.explode(_nearest_cells("_qv", centroids, n_probe)).alias("_qc"),
             "_qv",
             "_qn",
-        )
+        ).localCheckpoint(eager=True)
         probed = sorted(
             r["_qc"] for r in q.select("_qc").distinct().collect()
         )

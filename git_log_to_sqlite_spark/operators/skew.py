@@ -148,24 +148,33 @@ def _fixed_partition_count(session, buckets: int) -> int:
     import logging
 
     log = logging.getLogger(__name__)
+    conf_unreadable = False
     try:
         n_part = int(session.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
+        conf_unreadable = True
         try:
             n_part = session.sparkContext.defaultParallelism
         except Exception:
             n_part = 200
+        # this line already reports the final (possibly bucket-bumped)
+        # count, so the pigeonhole warning below is suppressed for it
         log.warning(
             "spark.sql.shuffle.partitions unreadable (managed 'auto' "
-            "value or Spark-Connect session); salted pair join pinned "
-            "to %d partitions instead",
+            "value or Spark-Connect session); salted-shuffle partition "
+            "count resolved to %d instead",
             max(n_part, buckets),
         )
-    if n_part < buckets:
+    if n_part < buckets and not conf_unreadable:
+        # worded for BOTH callers: the salted operators pin their
+        # shuffle to this count, while recommend_salt_threshold only
+        # EVALUATES its straggler guard at it (pure telemetry — no
+        # shuffle happens on that path)
         log.warning(
             "salt_buckets (%d) exceeds the configured shuffle "
-            "partition count (%d); salted pair join pinned to %d "
-            "partitions so salted keys cannot re-collide by pigeonhole",
+            "partition count (%d); salted-shuffle partition count "
+            "resolved to %d so salted keys cannot re-collide by "
+            "pigeonhole",
             buckets,
             n_part,
             buckets,

@@ -4661,6 +4661,29 @@ def test_fixed_partition_count_announces_surprising_counts(spark, caplog):
         assert any(
             "pigeonhole" in r.getMessage() for r in caplog.records
         ), [r.getMessage() for r in caplog.records]
+        # conf-unreadable AND bucket-bumped: exactly ONE line — the
+        # fallback already reports the final bumped count, so the
+        # pigeonhole warning is suppressed for it (no duplicate,
+        # conflicting-sounding pair for the same call). The live conf
+        # validates its values, so the managed-'auto' case is driven
+        # through a stub exposing the two attributes the helper reads.
+        caplog.clear()
+
+        class _AutoConf:
+            def get(self, key):
+                return "auto"
+
+        class _ManagedSession:
+            conf = _AutoConf()
+            sparkContext = spark.sparkContext
+
+        big = spark.sparkContext.defaultParallelism + 64
+        with caplog.at_level(logging.WARNING, logger=logger):
+            assert _fixed_partition_count(_ManagedSession(), big) == big
+        assert len(caplog.records) == 1, [
+            r.getMessage() for r in caplog.records
+        ]
+        assert "unreadable" in caplog.records[0].getMessage()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
