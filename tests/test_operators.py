@@ -1363,6 +1363,21 @@ def test_ivf_probe_prunes_unfiltered_batch(clustered_vectors, tmp_path):
         "rows — partition pruning did not happen"
     )
 
+    # and it must survive append (the daily-ingest growth path): new
+    # files land inside the cell= partitions, so the same bare-batch
+    # probe stays pruned — measured again, not inferred from layout
+    grown = corpus_df.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    idx.append(grown)
+    res2 = idx.probe(bare, n_probe=1, k=5)
+    res2.collect()
+    total2 = 2 * total_rows
+    scanned2 = _index_scan_rows(res2)
+    assert 0 < scanned2 < total2 / 2, (
+        f"post-append probe read {scanned2} of {total2} index rows"
+    )
+
 
 def test_semantic_store_history_probe_prunes_kept_scan(spark, tmp_path):
     """SemanticStore.ingest's history probe must read only the kept
@@ -1412,6 +1427,18 @@ def test_semantic_store_history_probe_prunes_kept_scan(spark, tmp_path):
     # cell-0 history row they duplicate
     res = {r["vec_id"]: r for r in store.ingest(batch).collect()}
     assert res[10]["dup_source"] == "history" and res[10]["dup_of"] in kept_cell0
+
+    # pruning must survive the store lifecycle: compact() rewrites the
+    # files and ingest appends — if either demoted or split the cell
+    # layout, the probe would silently fall back to full scans (this
+    # is measured, not layout-asserted: cell= dirs existing does not
+    # prove the scan pruned)
+    store.compact(num_files=2)
+    side2 = store._probed_store_side(ranked)
+    rows2 = side2.collect()
+    total2 = store.read().count()
+    scanned2 = _index_scan_rows(side2)
+    assert 0 < scanned2 < total2 and scanned2 == len(rows2)
 
 
 def _index_scan_rows(res) -> int:
