@@ -254,6 +254,10 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
+            # since round 14 each probe() call pays the pinned-batch
+            # checkpoint + cell-set collect that guarantee static
+            # partition pruning (band moved ~0.94-1.15 -> ~1.3-1.6 s
+            # at sf0.1; flat in corpus size — BASELINE.md round 14)
             idx.probe(probes, n_probe=2, k=5).write.mode("overwrite").format(
                 "noop"
             ).save()
