@@ -45,10 +45,31 @@ _DDL = (
 )
 
 
-def write_parquet(df: DataFrame, path: str, partition_by: Iterable[str] = ()) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Iterable[str] = (),
+    max_records_per_file: "int | None" = None,
+) -> None:
     """The scale sink. ``--clear`` semantics == mode('overwrite')
-    (analyzer.rs:190-194)."""
+    (analyzer.rs:190-194).
+
+    ``max_records_per_file`` bounds output file size per task (the
+    per-write form of ``spark.sql.files.maxRecordsPerFile``): at fleet
+    scale a skewed task otherwise emits one giant file that downstream
+    scans cannot split below the row-group level, while the default
+    (None = Spark's 0) keeps today's one-file-per-task layout. This is
+    an upper bound only — tiny-file pressure from over-parallel inputs
+    is the caller's repartition/coalesce decision, and compaction for
+    append-cadence stores lives with the store (see
+    ``_ParquetStore.compact``)."""
     writer = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        if max_records_per_file < 1:
+            raise ValueError(
+                f"max_records_per_file must be >= 1, got {max_records_per_file}"
+            )
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     partition_by = list(partition_by)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

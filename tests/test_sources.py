@@ -216,3 +216,35 @@ def test_local_frame_matches_tuple_list_form(spark):
 
     empty = local_frame(spark, [], ddl)
     assert empty.schema == want.schema and empty.count() == 0
+
+
+def test_write_parquet_bounds_records_per_file(spark, tmp_path):
+    """The scale sink's file-sizing knob: max_records_per_file must
+    bound every output file (a skewed task otherwise emits one giant
+    unsplittable-below-row-group file at fleet scale), the rows must
+    round-trip exactly, and the default must keep the unbounded
+    one-file-per-task layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from git_log_to_sqlite_spark.etl.writers import write_parquet
+
+    df = spark.range(100).coalesce(1).selectExpr("id", "id * 2 AS v")
+
+    write_parquet(df, str(tmp_path / "bounded"), max_records_per_file=30)
+    files = glob.glob(str(tmp_path / "bounded" / "*.parquet"))
+    assert len(files) == 4  # ceil(100 / 30) from the single task
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 30 for f in files)
+    back = spark.read.parquet(str(tmp_path / "bounded"))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+    write_parquet(df, str(tmp_path / "default"))
+    assert len(glob.glob(str(tmp_path / "default" / "*.parquet"))) == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        write_parquet(df, str(tmp_path / "bad"), max_records_per_file=0)
