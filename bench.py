@@ -428,18 +428,24 @@ def main() -> None:
         # value covers only completed queries — flag the gap loudly.
         out["errors"] = errors
         out["incomplete"] = True
-    # The sidecar write must NEVER cost the stdout line: the compact
-    # line is the artifact of record, and an unwritable script dir
-    # (read-only checkout, full disk) after minutes of measured work
-    # would otherwise destroy exactly what the sidecar split protects.
+    _write_detail(detail, detail_path, out)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _write_detail(detail: dict, detail_path: str, out: dict) -> None:
+    """Write the instrumentation sidecar WITHOUT ever costing the
+    stdout line: the compact line is the artifact of record, and an
+    unwritable script dir (read-only checkout, full disk) after
+    minutes of measured work would otherwise destroy exactly what the
+    sidecar split protects. A failed write surfaces as
+    ``detail_error`` in the compact line instead."""
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
             fh.write("\n")
     except OSError as exc:
         out["detail_error"] = f"{type(exc).__name__}: {exc}"
-    print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -248,3 +248,27 @@ def test_write_parquet_bounds_records_per_file(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_records_per_file"):
         write_parquet(df, str(tmp_path / "bad"), max_records_per_file=0)
+
+
+def test_bench_detail_write_never_costs_the_stdout_line(tmp_path):
+    """bench._write_detail (the round-14 artifact-of-record guard): a
+    happy write round-trips the sidecar and leaves the compact line
+    untouched; an unwritable path surfaces as detail_error in the
+    compact line instead of raising after minutes of measured work."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _write_detail
+
+    detail = {"sf": 0.01, "value": 1.23, "runs": {"q": [1.0]}}
+    out = {"metric": "m", "value": 1.23}
+    ok_path = str(tmp_path / "detail.json")
+    _write_detail(detail, ok_path, out)
+    assert "detail_error" not in out
+    assert json.load(open(ok_path)) == detail
+
+    bad_path = str(tmp_path / "no_such_dir" / "detail.json")
+    _write_detail(detail, bad_path, out)
+    assert out["detail_error"].startswith("FileNotFoundError")
+    assert out["value"] == 1.23  # the compact payload survives
