@@ -444,7 +444,10 @@ def _write_detail(detail: dict, detail_path: str, out: dict) -> None:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
             fh.write("\n")
-    except OSError as exc:
+    except (OSError, TypeError, ValueError) as exc:
+        # TypeError/ValueError: a future extra slipping a
+        # non-serializable value (numpy scalar, set) into the detail
+        # must degrade the SIDECAR, not the artifact of record
         out["detail_error"] = f"{type(exc).__name__}: {exc}"
 
 

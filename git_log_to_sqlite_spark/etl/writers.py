@@ -49,7 +49,7 @@ def write_parquet(
     df: DataFrame,
     path: str,
     partition_by: Iterable[str] = (),
-    max_records_per_file: "int | None" = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """The scale sink. ``--clear`` semantics == mode('overwrite')
     (analyzer.rs:190-194).

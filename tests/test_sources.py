@@ -256,9 +256,12 @@ def test_bench_detail_write_never_costs_the_stdout_line(tmp_path):
     untouched; an unwritable path surfaces as detail_error in the
     compact line instead of raising after minutes of measured work."""
     import json
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from bench import _write_detail
 
     detail = {"sf": 0.01, "value": 1.23, "runs": {"q": [1.0]}}
@@ -272,3 +275,10 @@ def test_bench_detail_write_never_costs_the_stdout_line(tmp_path):
     _write_detail(detail, bad_path, out)
     assert out["detail_error"].startswith("FileNotFoundError")
     assert out["value"] == 1.23  # the compact payload survives
+
+    # a non-JSON-serializable value in the detail (the other way a
+    # sidecar write can fail) must degrade the sidecar, not the line
+    out2 = {"metric": "m", "value": 4.56}
+    _write_detail({"bad": {1, 2}}, str(tmp_path / "d2.json"), out2)
+    assert out2["detail_error"].startswith("TypeError")
+    assert out2["value"] == 4.56
