@@ -4836,3 +4836,53 @@ def test_recommend_salt_knob_wrappers_and_noop_path(spark, oracle_sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         spark.catalog.clearCache()
+
+
+def test_append_assignment_never_shuffles_the_data(clustered_vectors, tmp_path):
+    """IvfIndex.append's scale contract ('one codegen projection, no
+    shuffle beyond the partitioned write'): the assignment plan's only
+    exchanges move the k-row centroid model state (a SinglePartition
+    collapse of k rows + its one-row broadcast) — the appended
+    vectors themselves must never hash-shuffle, at any corpus size by
+    construction. Measured on the executed plan the daily-ingest path
+    builds."""
+    from git_log_to_sqlite_spark.operators import IvfIndex
+    from git_log_to_sqlite_spark.operators.clustering import (
+        assign_clusters_table,
+    )
+    from git_log_to_sqlite_spark.operators.similarity import (
+        _as_double,
+        vnorm,
+    )
+
+    e = clustered_vectors
+    idx = IvfIndex(e.sparkSession, str(tmp_path / "ivf"))
+    idx.build(
+        e.select("vec_id", "embedding"), k=4, max_iter=3,
+        fit_sample_size=None,
+    )
+    cdf = e.sparkSession.read.parquet(f"{idx.path}/centroids")
+    new = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("_cv"),
+        vnorm(F.col("embedding")).alias("_cn"),
+    )
+    af = assign_clusters_table(new, "_cv", cdf)
+    af.collect()
+    plan = af._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        ln.strip() for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    # the executed adaptive plan may render the k-row centroid branch
+    # more than once; the CONTRACT is about exchange KINDS: every one
+    # is either the model-state broadcast or the k-row SinglePartition
+    # collapse feeding it — never a hash shuffle of the data
+    assert exchanges, plan
+    assert all(
+        "BroadcastExchange" in ln or "SinglePartition" in ln
+        for ln in exchanges
+    ), exchanges
+    assert not any("hashpartitioning" in ln for ln in exchanges), (
+        "the appended data hash-shuffled — the O(increment) append "
+        "contract is broken"
+    )
