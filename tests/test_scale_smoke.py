@@ -580,3 +580,44 @@ def test_token_budget_domain_isolation_under_replication(spark, oracle_sf_dir):
         for r in kept_big.filter(~F.col("source").contains("_rep")).collect()
     }
     assert got == base
+
+
+def test_pretrain_pipeline_invariant_under_exact_replication(spark, oracle_sf_dir):
+    """The flagship composite is invariant under exact corpus
+    duplication: replicas (same text, disjoint higher doc_ids) must be
+    collapsed by the exact-dedup stage to the original min-id
+    survivor, and every downstream stage (per-source token-budget mix,
+    shard pack) is deterministic over that surviving set — so the 4x
+    corpus produces the IDENTICAL shard assignment the 1x corpus does.
+    The Observation funnel pins WHERE the collapse happens: every
+    pre-dedup stage sees exactly 4x rows (quality and decontamination
+    decide per-text, so replicas never flip a decision), the output
+    none. This is the dedup-at-scale contract stated on the whole
+    pipeline instead of the standalone operator."""
+    from git_log_to_sqlite_spark.plans.llm_ops import pretrain_corpus
+
+    d = table(spark, oracle_sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    reps = 4
+    copies = [corpus] + [
+        corpus.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(1, reps)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+
+    tel_base, tel_big = {}, {}
+    base = sorted(
+        tuple(r) for r in pretrain_corpus(corpus, bench, telemetry=tel_base).collect()
+    )
+    rep = sorted(
+        tuple(r) for r in pretrain_corpus(big, bench, telemetry=tel_big).collect()
+    )
+    assert base == rep
+    got_base = {name: obs.get["rows"] for name, obs in tel_base.items()}
+    got_big = {name: obs.get["rows"] for name, obs in tel_big.items()}
+    for stage in ("input", "post_quality", "post_decontam"):
+        assert got_big[stage] == reps * got_base[stage], stage
+    assert got_big["post_mix"] == got_base["post_mix"] == len(base) > 0
