@@ -621,3 +621,35 @@ def test_pretrain_pipeline_invariant_under_exact_replication(spark, oracle_sf_di
     for stage in ("input", "post_quality", "post_decontam"):
         assert got_big[stage] == reps * got_base[stage], stage
     assert got_big["post_mix"] == got_base["post_mix"] == len(base) > 0
+
+
+def test_curate_pipeline_invariant_under_exact_replication(spark, oracle_sf_dir):
+    """Same whole-pipeline contract for the curation composite, with a
+    sharper read: under 4x exact replication (disjoint ids) the
+    survivor set, token counts, and shard assignment must be
+    IDENTICAL to the 1x run, while n_copies — the one column that
+    counts duplicates — scales by exactly the replication factor on
+    every survivor."""
+    from git_log_to_sqlite_spark.plans.llm_ops import curate_corpus
+
+    d = table(spark, oracle_sf_dir, "documents")
+    reps = 4
+    copies = [d] + [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(1, reps)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+
+    base = {
+        r["doc_id"]: (r["n_tokens"], r["n_copies"], r["shard_id"])
+        for r in curate_corpus(d).collect()
+    }
+    rep = {
+        r["doc_id"]: (r["n_tokens"], r["n_copies"], r["shard_id"])
+        for r in curate_corpus(big).collect()
+    }
+    assert set(base) == set(rep) and len(base) > 0
+    for doc_id, (n_tokens, n_copies, shard_id) in base.items():
+        assert rep[doc_id] == (n_tokens, reps * n_copies, shard_id), doc_id
