@@ -653,3 +653,42 @@ def test_curate_pipeline_invariant_under_exact_replication(spark, oracle_sf_dir)
     assert set(base) == set(rep) and len(base) > 0
     for doc_id, (n_tokens, n_copies, shard_id) in base.items():
         assert rep[doc_id] == (n_tokens, reps * n_copies, shard_id), doc_id
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the queries whose determinism is most at risk from partition
+        # layout: md5-coin admission order, unordered-window survivor
+        # selection, two-phase prefix sums, banded pair self-joins,
+        # connected-components fixpoints, weighted-reservoir ranking
+        "sample_token_budget",
+        "sample_weighted_reservoir",
+        "dedup_exact",
+        "dedup_minhash_groups",
+        "dedup_substring_groups",
+        "text_pack_shards",
+        "sem_dedup_assign",
+        "sample_dsir",
+    ],
+)
+def test_partition_count_invariance(spark, sf_dir, name):
+    """The one-off continuation-session sweep measured ALL 126
+    registry queries row-set-identical at shuffle.partitions=7 vs 32
+    AND with AQE off (COVERAGE.md). This pins the property permanently
+    on the eight queries where partition layout could most plausibly
+    leak into results: a deployment never runs at the test box's
+    partition count, so partition-count-determinism is not
+    determinism."""
+    from git_log_to_sqlite_spark import plans
+
+    fn = plans.REGISTRY[name].fn
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt and len(base) > 0
