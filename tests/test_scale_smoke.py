@@ -692,3 +692,39 @@ def test_partition_count_invariance(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == alt and len(base) > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # every query whose plan crosses the Arrow boundary: the UDF
+        # surface demos and the pandas-UDF multimodal hashers — the
+        # operators that would break if any of them assumed
+        # whole-group or whole-partition Arrow batches
+        "udf_pandas_vectorized",
+        "udf_map_in_pandas",
+        "udf_grouped_agg",
+        "mm_image_near_dup",
+        "mm_audio_segment_pairs",
+        "mm_video_scene_pairs",
+    ],
+)
+def test_arrow_batch_size_invariance(spark, sf_dir, name):
+    """Companion to the partition-count pin (the continuation-session
+    sweep measured all 126 queries row-set-identical at 16-row vs 10k
+    Arrow batches): pandas-UDF operators must be pure per-row/per-group
+    functions of their input, never of the batch framing a deployment
+    tunes via arrow.maxRecordsPerBatch."""
+    from git_log_to_sqlite_spark import plans
+
+    fn = plans.REGISTRY[name].fn
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10000")
+        base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        spark.conf.set(key, "16")
+        alt = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set(key, old)
+    assert base == alt and len(base) > 0
