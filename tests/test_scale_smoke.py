@@ -675,7 +675,9 @@ def test_curate_pipeline_invariant_under_exact_replication(spark, oracle_sf_dir)
 def test_partition_count_invariance(spark, sf_dir, name):
     """The one-off continuation-session sweep measured ALL 126
     registry queries row-set-identical at shuffle.partitions=7 vs 32
-    AND with AQE off (COVERAGE.md). This pins the property permanently
+    (the bench/sweep configuration — the pytest session factory
+    itself defaults to the CPU count) AND with AQE off (COVERAGE.md).
+    This pins the property permanently
     on the eight queries where partition layout could most plausibly
     leak into results: a deployment never runs at the test box's
     partition count, so partition-count-determinism is not
