@@ -1,8 +1,15 @@
 """Text-analysis operators: language ID, quality stats, token counts,
 document fingerprinting. All pure Column expressions — the whole
-battery runs inside whole-stage codegen in one scan pass."""
+battery runs inside whole-stage codegen in one scan pass — except the
+one deliberate Arrow seam, :func:`subword_token_counts`, which carries
+a real subword tokenizer (stub-or-real, the Pillow convention from
+``operators.multimodal``) when a deployment budgets BPE tokens rather
+than whitespace tokens."""
 
 from __future__ import annotations
+
+import re as _re
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,6 +78,123 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn("bpe_ish_tokens", F.size(bpe))
         .withColumn("unique_tokens", uniq)
         .withColumn("unique_ratio", F.round(uniq.cast("double") / F.size(toks), 6))
+    )
+
+
+# --------------------------------------------------------------------------
+# Subword tokenizer seam (round 15): whitespace/regex counts above are
+# the oracle-stable gate basis, but a 100 TB pipeline budgets SUBWORD
+# tokens, and real tokenizers (tiktoken, HF) are Python libraries — so
+# the production knob is an Arrow-batched mapInPandas seam, the exact
+# convention of operators.multimodal's Pillow decode seam: a plain
+# per-text Python callable, real when its library is importable, a
+# deterministic stub otherwise, pinnable explicitly in tests.
+
+#: the BPE-ish segmentation of :func:`token_counts`, as a Python regex —
+#: kept character-identical to the JVM pattern so the Arrow seam is
+#: equivalence-testable against the codegen column.
+_BPE_ISH_PATTERN = _re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+
+
+def _count_subword_stub(text: str | None) -> int:
+    """Deterministic stand-in tokenizer: counts the same BPE-ish
+    segments token_counts derives JVM-side. Real tokenizers plug in
+    with the identical ``(str) -> int`` signature."""
+    if not text:
+        return 0
+    return len(_BPE_ISH_PATTERN.findall(text))
+
+
+try:  # real tokenizer when importable (absent from this container)
+    import tiktoken  # type: ignore[import-not-found]
+
+    _TIKTOKEN_ENC = tiktoken.get_encoding("cl100k_base")
+
+    def _count_subword_tiktoken(text: str | None) -> int:
+        return len(_TIKTOKEN_ENC.encode(text)) if text else 0
+
+    HAS_TOKENIZER = True
+except Exception:  # pragma: no cover - environment-dependent
+    HAS_TOKENIZER = False
+
+#: default subword counter — real when tiktoken is importable, stub
+#: otherwise (the multimodal ``decode_image`` convention)
+count_subword_tokens: Callable[[str | None], int] = (
+    _count_subword_tiktoken if HAS_TOKENIZER else _count_subword_stub
+)
+
+
+def subword_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer_fn: Callable[[str | None], int] | None = None,
+    out_col: str = "subword_tokens",
+) -> DataFrame:
+    """``(id_col, subword_tokens)`` via Arrow-batched ``mapInPandas``.
+
+    ``tokenizer_fn`` is any per-text ``(str) -> int`` counter — it is
+    pickled to the Python workers once and applied per Arrow batch
+    (vectorized transport, per-row function), so a real BPE tokenizer
+    costs one Python call per document, never a row-at-a-time UDF
+    round-trip. Defaults to :data:`count_subword_tokens`. Null/empty
+    text counts 0 by contract (stubs and the tiktoken wrapper agree).
+
+    Scale shape: a pure projection — one scan, zero shuffles; the id
+    type is carried from the input schema so downstream joins need no
+    cast."""
+    import pandas as pd
+
+    counter = tokenizer_fn or count_subword_tokens
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [int(counter(t)) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, {out_col} int"
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 4096,
+    tokenizer_fn: Callable[[str | None], int] | None = None,
+) -> DataFrame:
+    """Token-budget shard packing: running token sum over the
+    deterministic ``id_col`` order, ``shard_id = floor((cum-1)/budget)``
+    — the training-data sequence-packing shape, over
+    ``operators.ordered.ordered_running_sum`` (two-phase parallel
+    prefix sum; no data-sized single-reducer window).
+
+    Token basis: whitespace tokens JVM-side by default (the
+    oracle-stable gate basis of the ``text_pack_shards`` query); pass
+    ``tokenizer_fn`` to budget real subword tokens through the
+    :func:`subword_token_counts` Arrow seam instead — same plan shape,
+    the count projection just moves to the Python workers."""
+    from .ordered import ordered_running_sum
+
+    if tokenizer_fn is None:
+        toks = df.select(
+            id_col, F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+        )
+    else:
+        toks = subword_token_counts(
+            df, id_col, text_col, tokenizer_fn, out_col="n_tokens"
+        )
+    packed = ordered_running_sum(toks, [id_col], "n_tokens", out_col="cum_tokens")
+    return packed.select(
+        id_col,
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - 1) / budget).cast("int").alias("shard_id"),
     )
 
 

@@ -1482,22 +1482,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Token-budget shard packing (the training-data sequence-packing "
     "shape): running token sum over a deterministic document order, "
-    "shard = floor(cum/budget). Uses operators.ordered."
-    "ordered_running_sum — a two-phase parallel prefix sum (range-"
-    "partition, partition-local window, broadcast offsets) — so no "
-    "data-sized single-reducer global window appears in the plan.",
+    "shard = floor(cum/budget), via operators.text.pack_token_shards "
+    "on its default whitespace basis (the oracle-stable gate form; the "
+    "operator's tokenizer_fn knob swaps in a real subword tokenizer "
+    "through the Arrow seam for production budgeting). Uses operators."
+    "ordered.ordered_running_sum — a two-phase parallel prefix sum "
+    "(range-partition, partition-local window, broadcast offsets) — so "
+    "no data-sized single-reducer global window appears in the plan.",
 )
 def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
-    )
-    packed = ordered_running_sum(toks, ["doc_id"], "n_tokens", out_col="cum_tokens")
-    return packed.select(
-        "doc_id",
-        "n_tokens",
-        F.floor((F.col("cum_tokens") - 1) / 4096).cast("int").alias("shard_id"),
-    )
+    return tx.pack_token_shards(d, "doc_id", "text", budget=4096)
 
 
 @register(

@@ -4886,3 +4886,96 @@ def test_append_assignment_never_shuffles_the_data(clustered_vectors, tmp_path):
         "the appended data hash-shuffled — the O(increment) append "
         "contract is broken"
     )
+
+
+# ---------------------------------------------------------------------------
+# Subword tokenizer seam (round 15): equivalence-shaped tests on the
+# stub — the Arrow seam must change the TRANSPORT of the count, never
+# its value, so every assertion compares the mapInPandas path against
+# the JVM codegen column computing the same segmentation.
+
+
+def test_subword_seam_matches_jvm_bpe_ish_column(spark, oracle_sf_dir):
+    """The default stub counts the exact BPE-ish segments token_counts
+    derives JVM-side (the Python regex is kept character-identical to
+    the JVM pattern), so the Arrow path must equal the codegen column
+    on every document of the real corpus."""
+    from git_log_to_sqlite_spark.operators import (
+        subword_token_counts,
+        token_counts,
+    )
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    jvm = {
+        r["doc_id"]: r["bpe_ish_tokens"]
+        for r in token_counts(docs, "text").select("doc_id", "bpe_ish_tokens").collect()
+    }
+    seam = {
+        r["doc_id"]: r["subword_tokens"]
+        for r in subword_token_counts(docs, "doc_id", "text").collect()
+    }
+    assert seam == jvm and len(seam) > 0
+
+
+def test_pack_token_shards_seam_row_identical_to_jvm_basis(spark, oracle_sf_dir):
+    """pack_token_shards with a whitespace-counting tokenizer_fn through
+    the Arrow seam is ROW-IDENTICAL to the default JVM whitespace
+    basis — i.e. the knob swaps the count's transport, and the prefix
+    sum / shard assignment downstream see exactly the same numbers.
+    The Python counter mirrors F.split(text, ' ') semantics (split on
+    single spaces, empties kept)."""
+    from git_log_to_sqlite_spark.operators import pack_token_shards
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    base = sorted(
+        tuple(r) for r in pack_token_shards(docs, "doc_id", "text").collect()
+    )
+    seam = sorted(
+        tuple(r)
+        for r in pack_token_shards(
+            docs, "doc_id", "text",
+            tokenizer_fn=lambda t: len(t.split(" ")) if t else 0,
+        ).collect()
+    )
+    assert base == seam and len(base) > 0
+
+
+def test_subword_seam_custom_tokenizer_and_empty_text(spark):
+    """A custom tokenizer_fn (the real-tokenizer slot) is applied
+    per-text with the documented null/empty -> 0 contract, and shard
+    budgeting reflects ITS counts, not the whitespace basis."""
+    from git_log_to_sqlite_spark.operators import (
+        pack_token_shards,
+        subword_token_counts,
+    )
+
+    rows = [(0, "aa bb"), (1, ""), (2, None), (3, "cc dd ee")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "tokenizer" that charges 3 tokens per character — deterministic
+    # and deliberately unlike any whitespace count
+    fn = lambda t: 3 * len(t) if t else 0  # noqa: E731
+    got = {
+        r["doc_id"]: r["subword_tokens"]
+        for r in subword_token_counts(df, "doc_id", "text", fn).collect()
+    }
+    assert got == {0: 15, 1: 0, 2: 0, 3: 24}
+    packed = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in pack_token_shards(df, "doc_id", "text", budget=16,
+                                   tokenizer_fn=fn).collect()
+    }
+    # cum: 15, 15, 15, 39 -> shards floor((cum-1)/16): 0, 0, 0, 2
+    assert packed == {0: (15, 0), 1: (0, 0), 2: (0, 0), 3: (24, 2)}
+
+
+def test_subword_seam_plan_is_single_scan_projection(spark, oracle_sf_dir):
+    """The seam is a pure projection: one scan, zero exchanges — the
+    tokenizer must never induce a shuffle (the scale contract that
+    makes it affordable at corpus size)."""
+    from git_log_to_sqlite_spark.operators import subword_token_counts
+
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+    out = subword_token_counts(docs, "doc_id", "text")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
