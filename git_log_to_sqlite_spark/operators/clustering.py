@@ -105,13 +105,32 @@ def assign_clusters_table(
     selects the same cross-engine-stable rounded dot-identity
     distance as the literal form, so the two forms are asserted
     EQUAL — not just similar — in tests, both modes."""
-    cens = centroids_df.select(
+    choices = _table_choices(vec_col, round_to)
+    return (
+        df.crossJoin(F.broadcast(_collapsed_centroids(centroids_df)))
+        .withColumn("cluster", F.array_min(choices)["c"])
+        .drop("_cens")
+    )
+
+
+def _collapsed_centroids(centroids_df: DataFrame) -> DataFrame:
+    """The ONE-row form of a ``(cell, centroid)`` table: a cell-ordered
+    ``array<struct<c, cen>>`` column — the broadcastable model-state
+    shape both table-form consumers cross-join against."""
+    return centroids_df.select(
         F.array_sort(
             F.collect_list(
                 F.struct(F.col("cell").alias("c"), F.col("centroid").alias("cen"))
             )
         ).alias("_cens")
     )
+
+
+def _table_choices(vec_col: str, round_to: int | None) -> F.Column:
+    """``array<struct<d, c>>`` of (distance to each centroid, cell id)
+    over the ``_cens`` array column — the exact arithmetic and struct
+    tie-break of the literal :func:`_sq_dist` form, as a higher-order
+    function over DATA."""
     v = F.col(vec_col)
     dot = lambda x, y: F.aggregate(  # noqa: E731 — _sq_dist's exact fold
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
@@ -126,12 +145,46 @@ def assign_clusters_table(
         dist = lambda c: F.round(  # noqa: E731
             dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c), round_to
         )
-    choices = F.transform(
+    return F.transform(
         F.col("_cens"), lambda s: F.struct(dist(s["cen"]).alias("d"), s["c"].alias("c"))
     )
+
+
+def nearest_cells_table(
+    df: DataFrame,
+    vec_col: str,
+    centroids_df: DataFrame,
+    n_probe: int,
+    round_to: int | None = None,
+    out_col: str = "_probe_cells",
+) -> DataFrame:
+    """The n-probe fan-out with the centroids as DATA instead of plan
+    literals — the large-k form of ``similarity._nearest_cells``,
+    exactly as :func:`assign_clusters_table` is the large-k form of
+    :func:`assign_clusters`. Adds ``out_col``: the ordered array of
+    the ``n_probe`` nearest cell ids.
+
+    Why it exists (measured, round 15): the literal fan-out inlines
+    k x dims literal nodes into ONE expression, and analysis + codegen
+    of that expression is the probe's dominant cost once k passes a
+    few dozen cells — a 100-row probe batch against k=80 centroids
+    spent ~28-50 s in the fan-out projection (vs ~4 s at k=8) while
+    the data work was milliseconds. Since a deployment grows k WITH
+    the corpus (bounded cell size is what makes probes flat), the
+    literal form's cost curve is the wrong one at exactly the scale
+    the index exists for. Here the centroids collapse to the one-row
+    broadcast array (:func:`_collapsed_centroids`), the per-row
+    distances run as a higher-order transform over that array column
+    (O(1) analyzer cost at any k), and ordering/tie-break is the
+    IDENTICAL struct comparison — (distance, cell), ties to the lower
+    cell id — so the two forms are asserted EQUAL in tests."""
+    choices = _table_choices(vec_col, round_to)
+    picked = F.transform(
+        F.slice(F.array_sort(choices), 1, n_probe), lambda s: s["c"]
+    )
     return (
-        df.crossJoin(F.broadcast(cens))
-        .withColumn("cluster", F.array_min(choices)["c"])
+        df.crossJoin(F.broadcast(_collapsed_centroids(centroids_df)))
+        .withColumn(out_col, picked)
         .drop("_cens")
     )
 

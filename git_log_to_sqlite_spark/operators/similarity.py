@@ -82,6 +82,17 @@ def _topk(joined: DataFrame, sim: Column, k: int, round_to: int | None) -> DataF
     )
 
 
+#: quantizer size past which IvfIndex switches its assignment/fan-out
+#: expressions from centroid LITERALS to the one-row broadcast centroid
+#: table (``clustering.assign_clusters_table`` /
+#: ``nearest_cells_table``). Measured round 15: at k=32 the literal
+#: probe fan-out already pays ~3x its k=8 analysis+codegen cost and by
+#: k=80 it dominates the whole probe (~28-50 s per batch); the table
+#: form is O(1) in analyzer cost at any k. Both forms are
+#: equality-asserted (identical arithmetic + tie-break) in tests.
+_LITERAL_FANOUT_MAX = 16
+
+
 def _nearest_cells(
     vec_col_name: str,
     centroids: list[list[float]],
@@ -248,30 +259,52 @@ def ivf_ann_topk(
     k-means FIT stays outside any oracle; pass its output, or any
     pinned centroid list, here).
     """
-    from .clustering import assign_clusters
+    from .clustering import (
+        assign_clusters,
+        assign_clusters_table,
+        nearest_cells_table,
+    )
 
-    c = assign_clusters(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("_cv"),
-            vnorm(F.col(vec_col)).alias("_cn"),
-        ),
-        "_cv",
-        centroids,
-        round_to=dist_round_to,
-    ).withColumnRenamed("cluster", "_cc")
-    q = queries.select(
+    # same literal-vs-table trade as IvfIndex (see _LITERAL_FANOUT_MAX):
+    # past a few dozen cells the literal expressions' analysis+codegen
+    # cost grows with k and dominates the wall clock
+    use_table = len(centroids) > _LITERAL_FANOUT_MAX
+    cdf = (
+        _centroids_frame(corpus.sparkSession, centroids) if use_table else None
+    )
+    corpus_sel = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        vnorm(F.col(vec_col)).alias("_cn"),
+    )
+    if use_table:
+        c = assign_clusters_table(corpus_sel, "_cv", cdf, round_to=dist_round_to)
+    else:
+        c = assign_clusters(corpus_sel, "_cv", centroids, round_to=dist_round_to)
+    c = c.withColumnRenamed("cluster", "_cc")
+    q_base = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("_qv"),
         vnorm(F.col(vec_col)).alias("_qn"),
-    ).select(
-        "query_id",
-        F.explode(
-            _nearest_cells("_qv", centroids, n_probe, round_to=dist_round_to)
-        ).alias("_qc"),
-        "_qv",
-        "_qn",
     )
+    if use_table:
+        q = nearest_cells_table(
+            q_base, "_qv", cdf, n_probe, round_to=dist_round_to
+        ).select(
+            "query_id",
+            F.explode("_probe_cells").alias("_qc"),
+            "_qv",
+            "_qn",
+        )
+    else:
+        q = q_base.select(
+            "query_id",
+            F.explode(
+                _nearest_cells("_qv", centroids, n_probe, round_to=dist_round_to)
+            ).alias("_qc"),
+            "_qv",
+            "_qn",
+        )
     sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     joined = F.broadcast(q).join(
         c, (F.col("_qc") == F.col("_cc")) & (F.col("query_id") != F.col("neighbor_id"))
@@ -311,27 +344,45 @@ def embedding_dedup_ann(
     which groups them in one hash shuffle; cell balance is the
     quantizer's job (re-fit when the corpus drifts).
     """
-    from .clustering import assign_clusters
+    from .clustering import (
+        assign_clusters,
+        assign_clusters_table,
+        nearest_cells_table,
+    )
 
-    c = assign_clusters(
-        df.select(
-            F.col(id_col).alias("_idb"),
-            _as_double(F.col(vec_col)).alias("_bv"),
-            vnorm(F.col(vec_col)).alias("_bn"),
-        ),
-        "_bv",
-        centroids,
-    ).withColumnRenamed("cluster", "_cell")
-    a = df.select(
+    # literal-vs-table trade, as everywhere a quantizer meets a plan
+    # (see _LITERAL_FANOUT_MAX)
+    use_table = len(centroids) > _LITERAL_FANOUT_MAX
+    cdf = _centroids_frame(df.sparkSession, centroids) if use_table else None
+    corpus_sel = df.select(
+        F.col(id_col).alias("_idb"),
+        _as_double(F.col(vec_col)).alias("_bv"),
+        vnorm(F.col(vec_col)).alias("_bn"),
+    )
+    if use_table:
+        c = assign_clusters_table(corpus_sel, "_bv", cdf)
+    else:
+        c = assign_clusters(corpus_sel, "_bv", centroids)
+    c = c.withColumnRenamed("cluster", "_cell")
+    a_base = df.select(
         F.col(id_col).alias("_ida"),
         _as_double(F.col(vec_col)).alias("_av"),
         vnorm(F.col(vec_col)).alias("_an"),
-    ).select(
-        "_ida",
-        F.explode(_nearest_cells("_av", centroids, n_probe)).alias("_pcell"),
-        "_av",
-        "_an",
     )
+    if use_table:
+        a = nearest_cells_table(a_base, "_av", cdf, n_probe).select(
+            "_ida",
+            F.explode("_probe_cells").alias("_pcell"),
+            "_av",
+            "_an",
+        )
+    else:
+        a = a_base.select(
+            "_ida",
+            F.explode(_nearest_cells("_av", centroids, n_probe)).alias("_pcell"),
+            "_av",
+            "_an",
+        )
     sim = _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
     dup_ids = (
         a.join(
@@ -883,7 +934,12 @@ class IvfIndex:
         """
         import time
 
-        from .clustering import assign_clusters, kmeans, kmeans_fit_sample
+        from .clustering import (
+            assign_clusters,
+            assign_clusters_table,
+            kmeans,
+            kmeans_fit_sample,
+        )
 
         fit = corpus.select(
             self.id_col, _as_double(F.col(self.vec_col)).alias("_v")
@@ -898,15 +954,23 @@ class IvfIndex:
             )
         if stage_times is not None:
             stage_times["fit"] = round(time.perf_counter() - t0, 3)
-        indexed = assign_clusters(
-            corpus.select(
-                F.col(self.id_col).alias("neighbor_id"),
-                _as_double(F.col(self.vec_col)).alias("_cv"),
-                vnorm(F.col(self.vec_col)).alias("_cn"),
-            ),
-            "_cv",
-            centroids,
-        ).withColumnRenamed("cluster", "cell")
+        to_assign = corpus.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            _as_double(F.col(self.vec_col)).alias("_cv"),
+            vnorm(F.col(self.vec_col)).alias("_cn"),
+        )
+        # same literal-vs-table trade as probe(): past
+        # _LITERAL_FANOUT_MAX cells the literal assignment expression's
+        # analysis+codegen cost grows with k, so the write's projection
+        # switches to the one-row broadcast centroid table (identical
+        # arithmetic and tie-break; append() already uses it)
+        if len(centroids) <= _LITERAL_FANOUT_MAX:
+            indexed = assign_clusters(to_assign, "_cv", centroids)
+        else:
+            indexed = assign_clusters_table(
+                to_assign, "_cv", _centroids_frame(self.spark, centroids)
+            )
+        indexed = indexed.withColumnRenamed("cluster", "cell")
         t0 = time.perf_counter()
         indexed.write.mode("overwrite").partitionBy("cell").parquet(
             f"{self.path}/index"
@@ -1054,19 +1118,47 @@ class IvfIndex:
         join, so a non-deterministic ``queries`` source (an unordered
         limit, a sample, a table appended to mid-flight) cannot leave
         the pruned scan disagreeing with the cells the join actually
-        probes."""
-        centroids = self.centroids()
+        probes.
+
+        Fan-out form by quantizer size (round 15): up to
+        ``_LITERAL_FANOUT_MAX`` cells the probe expression inlines the
+        centroids as plan literals (pure codegen, zero joins — the
+        right trade at small k); past it the assignment switches to
+        ``clustering.nearest_cells_table`` — the one-row broadcast
+        centroid array with identical arithmetic and tie-break
+        (equality-asserted in tests) — because analysis+codegen of
+        the literal expression GROWS with k and dominated measured
+        probe wall-clock by k=80 (~28-50 s per 100-row batch vs ~4 s
+        at k=8, the data work being milliseconds), while a deployment
+        grows k with the corpus precisely to keep cells bounded. The
+        k-row count() that picks the form reads parquet metadata
+        only."""
         index = self.spark.read.parquet(f"{self.path}/index")
-        q = queries.select(
+        cents_df = self.spark.read.parquet(f"{self.path}/centroids")
+        base = queries.select(
             F.col(self.id_col).alias("query_id"),
             _as_double(F.col(self.vec_col)).alias("_qv"),
             vnorm(F.col(self.vec_col)).alias("_qn"),
-        ).select(
-            "query_id",
-            F.explode(_nearest_cells("_qv", centroids, n_probe)).alias("_qc"),
-            "_qv",
-            "_qn",
-        ).localCheckpoint(eager=True)
+        )
+        if cents_df.count() <= _LITERAL_FANOUT_MAX:
+            fanned = base.select(
+                "query_id",
+                F.explode(
+                    _nearest_cells("_qv", self.centroids(), n_probe)
+                ).alias("_qc"),
+                "_qv",
+                "_qn",
+            )
+        else:
+            from .clustering import nearest_cells_table
+
+            fanned = nearest_cells_table(base, "_qv", cents_df, n_probe).select(
+                "query_id",
+                F.explode("_probe_cells").alias("_qc"),
+                "_qv",
+                "_qn",
+            )
+        q = fanned.localCheckpoint(eager=True)
         probed = sorted(
             r["_qc"] for r in q.select("_qc").distinct().collect()
         )

@@ -4979,3 +4979,138 @@ def test_subword_seam_plan_is_single_scan_projection(spark, oracle_sf_dir):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Large-k probe fan-out (round 15): the literal _nearest_cells
+# expression inlines k x dims literal nodes, and its analysis+codegen
+# cost GROWS with k (measured: ~28-50 s per 100-row batch at k=80 vs
+# ~4 s at k=8) — so past _LITERAL_FANOUT_MAX cells IvfIndex switches
+# to nearest_cells_table, the one-row broadcast centroid array. These
+# pin the switch's correctness face: both forms are EQUAL, not just
+# similar.
+
+
+def test_nearest_cells_table_equals_literal_fanout(spark, oracle_sf_dir):
+    """nearest_cells_table must reproduce the literal fan-out's ORDERED
+    n_probe cell list per vector — same distances, same (distance,
+    cell) struct tie-break — on the real embeddings table against a
+    k=40 quantizer (above the switch threshold), in both the
+    direct-fold and rounded dot-identity modes."""
+    from git_log_to_sqlite_spark.operators import nearest_cells_table
+    from git_log_to_sqlite_spark.operators.similarity import _nearest_cells
+
+    emb = spark.read.parquet(f"{oracle_sf_dir}/embeddings.parquet").limit(200)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(40).collect()
+    ]
+    cdf = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)], "cell int, centroid array<double>"
+    )
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    for rt in (None, 6):
+        want = {
+            (r["vec_id"], tuple(r["_pc"]))
+            for r in base.select(
+                "vec_id", _nearest_cells("_v", cents, 3, round_to=rt).alias("_pc")
+            ).collect()
+        }
+        got = {
+            (r["vec_id"], tuple(r["_probe_cells"]))
+            for r in nearest_cells_table(base, "_v", cdf, 3, round_to=rt).collect()
+        }
+        assert got == want and len(got) == 200
+
+
+def test_ivf_probe_table_path_equals_literal_path(clustered_vectors, tmp_path, monkeypatch):
+    """An IvfIndex built and probed above the switch threshold (k=24 >
+    _LITERAL_FANOUT_MAX) must return the IDENTICAL neighbor set as the
+    literal path forced on the SAME index files — the fan-out form is
+    an execution detail, never a semantics knob. Also pins that the
+    table path still prunes: the probed-cell set collected from the
+    fan-out bounds the scan exactly as before."""
+    from git_log_to_sqlite_spark.operators import IvfIndex
+    from git_log_to_sqlite_spark.operators import similarity as sim_mod
+
+    spark = clustered_vectors.sparkSession
+    idx = IvfIndex(spark, str(tmp_path / "ivf_bigk"))
+    idx.build(clustered_vectors.select("vec_id", "embedding"), k=24, max_iter=5)
+    probes = clustered_vectors.select("vec_id", "embedding").filter(
+        F.col("vec_id") < 20
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.setattr(sim_mod, "_LITERAL_FANOUT_MAX", 16)
+    table_path = rows(idx.probe(probes, n_probe=2, k=3, round_to=6))
+    monkeypatch.setattr(sim_mod, "_LITERAL_FANOUT_MAX", 10_000)
+    literal_path = rows(idx.probe(probes, n_probe=2, k=3, round_to=6))
+    assert table_path == literal_path and len(table_path) > 0
+
+
+def test_ivf_build_table_assignment_equals_literal(clustered_vectors, tmp_path, monkeypatch):
+    """build() above the threshold assigns cells via the centroid
+    TABLE; the resulting on-disk index (cell per vector) must be
+    byte-identical to the literal assignment's on the same fitted
+    quantizer."""
+    from git_log_to_sqlite_spark.operators import IvfIndex
+    from git_log_to_sqlite_spark.operators import similarity as sim_mod
+
+    spark = clustered_vectors.sparkSession
+    corpus = clustered_vectors.select("vec_id", "embedding")
+
+    def cells(path, fanout_max):
+        monkeypatch.setattr(sim_mod, "_LITERAL_FANOUT_MAX", fanout_max)
+        idx = IvfIndex(spark, str(tmp_path / path))
+        idx.build(corpus, k=24, max_iter=5)
+        return sorted(
+            (r["neighbor_id"], r["cell"])
+            for r in spark.read.parquet(f"{tmp_path / path}/index").collect()
+        )
+
+    table_cells = cells("ivf_table", 16)
+    literal_cells = cells("ivf_literal", 10_000)
+    assert table_cells == literal_cells and len(table_cells) == 100
+
+
+@pytest.mark.parametrize("op", ["topk", "dedup"])
+def test_in_memory_ann_table_form_equals_literal(clustered_vectors, monkeypatch, op):
+    """ivf_ann_topk / embedding_dedup_ann above the fan-out threshold
+    (k=24) switch assignment AND probe fan-out to the centroid-table
+    forms — row-identical to the literal path forced on the same
+    centroids (the same contract the persisted IvfIndex pins)."""
+    from git_log_to_sqlite_spark.operators import (
+        embedding_dedup_ann,
+        ivf_ann_topk,
+        kmeans_fit_sample,
+    )
+    from git_log_to_sqlite_spark.operators import similarity as sim_mod
+
+    e = clustered_vectors.select("vec_id", "embedding")
+    cents = kmeans_fit_sample(e, "vec_id", "embedding", k=24, max_iter=5,
+                              sample_size=64)
+    queries = e.filter(F.col("vec_id") < 10)
+
+    def run():
+        if op == "topk":
+            return sorted(
+                tuple(r)
+                for r in ivf_ann_topk(
+                    queries, e, "vec_id", "embedding", cents,
+                    n_probe=2, k=3, round_to=6, dist_round_to=6,
+                ).collect()
+            )
+        return sorted(
+            tuple(r)
+            for r in embedding_dedup_ann(
+                e, "vec_id", "embedding", cents, threshold=0.9, n_probe=2
+            ).collect()
+        )
+
+    monkeypatch.setattr(sim_mod, "_LITERAL_FANOUT_MAX", 16)
+    table_rows = run()
+    monkeypatch.setattr(sim_mod, "_LITERAL_FANOUT_MAX", 10_000)
+    literal_rows = run()
+    assert table_rows == literal_rows and len(table_rows) > 0
