@@ -221,8 +221,23 @@ def kmeans(
         raise ValueError(f"need at least k={k} rows, got {len(centroids)}")
     dims = len(centroids[0])
 
+    def _assign(cents: list[list[float]]) -> DataFrame:
+        # per-iteration assignment: literal codegen at small k, the
+        # one-row broadcast centroid table past _LITERAL_FANOUT_MAX
+        # (round 15: the literal expression's analysis+codegen grows
+        # with k and is paid FRESH every iteration here — max_iter
+        # times the cost the probe fix measured; equality of the two
+        # forms is pinned in tests)
+        from .similarity import _LITERAL_FANOUT_MAX, _centroids_frame
+
+        if len(cents) <= _LITERAL_FANOUT_MAX:
+            return assign_clusters(df, vec_col, cents)
+        return assign_clusters_table(
+            df, vec_col, _centroids_frame(df.sparkSession, cents)
+        )
+
     for _ in range(max_iter):
-        assigned = assign_clusters(df, vec_col, centroids)
+        assigned = _assign(centroids)
         new_rows = (
             assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -246,7 +261,7 @@ def kmeans(
         if shift <= tol:
             break
 
-    return assign_clusters(df, vec_col, centroids), centroids
+    return _assign(centroids), centroids
 
 
 def kmeans_fit_sample(

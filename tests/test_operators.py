@@ -5114,3 +5114,26 @@ def test_in_memory_ann_table_form_equals_literal(clustered_vectors, monkeypatch,
     monkeypatch.setattr(sim_mod, "_LITERAL_FANOUT_MAX", 10_000)
     literal_rows = run()
     assert table_rows == literal_rows and len(table_rows) > 0
+
+
+def test_kmeans_large_k_table_assignment_equals_literal(clustered_vectors, monkeypatch):
+    """The distributed Lloyd's loop above the fan-out threshold (k=20)
+    pays the centroid-table assignment per iteration; its fitted
+    centroids AND final assignment must equal the literal path's
+    exactly (the per-iteration arithmetic and tie-break are the pinned
+    table-form contract, so the iterate sequence cannot diverge)."""
+    from git_log_to_sqlite_spark.operators import kmeans
+    from git_log_to_sqlite_spark.operators import similarity as sim_mod
+
+    e = clustered_vectors.select("vec_id", "embedding")
+
+    def run():
+        assigned, cents = kmeans(e, "vec_id", "embedding", k=20, max_iter=4)
+        return sorted((r["vec_id"], r["cluster"]) for r in assigned.collect()), cents
+
+    monkeypatch.setattr(sim_mod, "_LITERAL_FANOUT_MAX", 16)
+    table_assigned, table_cents = run()
+    monkeypatch.setattr(sim_mod, "_LITERAL_FANOUT_MAX", 10_000)
+    literal_assigned, literal_cents = run()
+    assert table_cents == literal_cents
+    assert table_assigned == literal_assigned and len(table_assigned) == 100
