@@ -14,9 +14,11 @@ Execution model per iteration:
   ``posexplode`` + groupBy per iteration, k*dims result rows.
 
 Centroids are MODEL STATE, not data: k*dims doubles collected to the
-driver per iteration and rebroadcast as literals — bounded regardless
-of corpus size (the standard structure for distributed k-means; only
-the per-row assignment and the partial sums are distributed work).
+driver per iteration and rebroadcast — as a one-row centroid-array
+table by default, as plan literals under a raised
+``similarity._LITERAL_FANOUT_MAX`` — bounded regardless of corpus
+size (the standard structure for distributed k-means; only the
+per-row assignment and the partial sums are distributed work).
 """
 
 from __future__ import annotations
@@ -210,10 +212,10 @@ def kmeans(
     # Deliberately NOT pinned: the loop does re-scan df per iteration,
     # but an A/B at the bench SF measured no win from caching it
     # (pinned 4.2-9.6 s vs unpinned 3.8 s for the 5-iteration fit) —
-    # per-iteration cost is codegen compile of the fresh centroid
-    # literals plus job dispatch, not the scan, and the cache build
-    # only adds overhead. Callers with an expensive upstream (a parsed
-    # or filtered corpus rather than a plain parquet read) should pin
+    # per-iteration cost is plan compile of the fresh centroid state
+    # plus job dispatch, not the scan, and the cache build only adds
+    # overhead. Callers with an expensive upstream (a parsed or
+    # filtered corpus rather than a plain parquet read) should pin
     # the input themselves before calling.
     init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     centroids = [list(r[vec_col]) for r in init_rows]
@@ -222,12 +224,12 @@ def kmeans(
     dims = len(centroids[0])
 
     def _assign(cents: list[list[float]]) -> DataFrame:
-        # per-iteration assignment: literal codegen at small k, the
-        # one-row broadcast centroid table past _LITERAL_FANOUT_MAX
-        # (round 15: the literal expression's analysis+codegen grows
-        # with k and is paid FRESH every iteration here — max_iter
-        # times the cost the probe fix measured; equality of the two
-        # forms is pinned in tests)
+        # per-iteration assignment: the one-row broadcast centroid
+        # table by default (round 15: the literal expression's
+        # analysis+codegen grows with k and is paid FRESH every
+        # iteration here — max_iter times the cost the probe fix
+        # measured — and was no faster even at k=8; equality of the
+        # two forms is pinned in tests, literal via the raised knob)
         from .similarity import _LITERAL_FANOUT_MAX, _centroids_frame
 
         if len(cents) <= _LITERAL_FANOUT_MAX:

@@ -82,15 +82,21 @@ def _topk(joined: DataFrame, sim: Column, k: int, round_to: int | None) -> DataF
     )
 
 
-#: quantizer size past which IvfIndex switches its assignment/fan-out
-#: expressions from centroid LITERALS to the one-row broadcast centroid
-#: table (``clustering.assign_clusters_table`` /
-#: ``nearest_cells_table``). Measured round 15: at k=32 the literal
-#: probe fan-out already pays ~3x its k=8 analysis+codegen cost and by
-#: k=80 it dominates the whole probe (~28-50 s per batch); the table
-#: form is O(1) in analyzer cost at any k. Both forms are
-#: equality-asserted (identical arithmetic + tie-break) in tests.
-_LITERAL_FANOUT_MAX = 16
+#: quantizer size up to which IvfIndex/kmeans/in-memory-ANN build
+#: their assignment/fan-out expressions from centroid LITERALS instead
+#: of the one-row broadcast centroid table
+#: (``clustering.assign_clusters_table`` / ``nearest_cells_table``).
+#: DEFAULT 0 — the table form everywhere — because it measured faster
+#: or at parity at EVERY k tried (round 15, interleaved same-window
+#: A/Bs at sf0.1: probe k=8 min 1.05 s table vs 1.49 s literal; build
+#: k=8 1.34 vs 1.68 s; and at k=80 the literal expression's
+#: analysis+codegen alone cost 28-50 s per 100-row batch vs
+#: milliseconds of data work, since the literal plan GROWS with k
+#: while the table plan is O(1) in analyzer cost). The literal form
+#: remains the cross-checkable reference: identical arithmetic and
+#: (distance, cell) tie-break, equality-asserted against the table
+#: form in tests by raising this knob.
+_LITERAL_FANOUT_MAX = 0
 
 
 def _nearest_cells(
@@ -959,11 +965,10 @@ class IvfIndex:
             _as_double(F.col(self.vec_col)).alias("_cv"),
             vnorm(F.col(self.vec_col)).alias("_cn"),
         )
-        # same literal-vs-table trade as probe(): past
-        # _LITERAL_FANOUT_MAX cells the literal assignment expression's
-        # analysis+codegen cost grows with k, so the write's projection
-        # switches to the one-row broadcast centroid table (identical
-        # arithmetic and tie-break; append() already uses it)
+        # same literal-vs-table trade as probe(): table form by
+        # default (the literal assignment expression's analysis+codegen
+        # cost grows with k and measured no faster even at k=8);
+        # identical arithmetic and tie-break, append() always used it
         if len(centroids) <= _LITERAL_FANOUT_MAX:
             indexed = assign_clusters(to_assign, "_cv", centroids)
         else:
@@ -1120,17 +1125,18 @@ class IvfIndex:
         the pruned scan disagreeing with the cells the join actually
         probes.
 
-        Fan-out form by quantizer size (round 15): up to
-        ``_LITERAL_FANOUT_MAX`` cells the probe expression inlines the
-        centroids as plan literals (pure codegen, zero joins — the
-        right trade at small k); past it the assignment switches to
+        Fan-out form (round 15): by default the assignment runs via
         ``clustering.nearest_cells_table`` — the one-row broadcast
-        centroid array with identical arithmetic and tie-break
-        (equality-asserted in tests) — because analysis+codegen of
-        the literal expression GROWS with k and dominated measured
-        probe wall-clock by k=80 (~28-50 s per 100-row batch vs ~4 s
-        at k=8, the data work being milliseconds), while a deployment
-        grows k with the corpus precisely to keep cells bounded. The
+        centroid array with identical arithmetic and tie-break to the
+        literal expression (equality-asserted in tests) — because the
+        literal form's analysis+codegen GROWS with k (measured: it
+        dominated probe wall-clock by k=80, ~28-50 s per 100-row
+        batch vs milliseconds of data work) and measured SLOWER even
+        at k=8 (interleaved A/B: 1.49 vs 1.05 s min). A deployment
+        grows k with the corpus precisely to keep cells bounded, so
+        the table form's flat cost curve is the one the index needs;
+        raising ``_LITERAL_FANOUT_MAX`` restores the literal codegen
+        plan (the reference form the equality tests pin against). The
         k-row count() that picks the form reads parquet metadata
         only."""
         index = self.spark.read.parquet(f"{self.path}/index")
