@@ -405,6 +405,38 @@ def main() -> None:
     finally:
         spark.catalog.clearCache()
 
+    # Subword-tokenizer Arrow seam (round 15): the stub tokenizer over
+    # the full documents table — tracks the mapInPandas transport +
+    # per-text Python call cost a real-tokenizer deployment pays, the
+    # one Python hot path in the text battery (everything else is
+    # codegen). Warm min-of-3, noop sink, extras-class (never gates).
+    try:
+        from git_log_to_sqlite_spark.operators import subword_token_counts
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            subword_token_counts(docs, "doc_id", "text").write.mode(
+                "overwrite"
+            ).format("noop").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extra["text_subword_tokens_seam"] = round(min(runs), 3)
+        print(
+            f"  [extra] text_subword_tokens_seam: "
+            f"{extra['text_subword_tokens_seam']:.3f}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 — extras never gate
+        extra_errors["text_subword_tokens_seam"] = _fmt_exc(exc)
+        print(
+            f"  [extra] text_subword_tokens_seam: FAILED "
+            f"({extra_errors['text_subword_tokens_seam']})",
+            file=sys.stderr,
+        )
+    finally:
+        spark.catalog.clearCache()
+
     calibration_post = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
