@@ -452,17 +452,18 @@ def semantic_dedup(
     window and the pair join share ONE hash partitioning on the cell
     id (the window's exchange is reused for the join sides), and
     candidate mass is sum over cells of |cell|^2/2 — bounded by k,
-    the paper's knob. ``centroids`` takes EITHER a Python list (the
-    model-state literal form shared with ``assign_clusters`` /
-    ``ivf_ann_topk`` — the right trade up to a few hundred cells;
-    beyond that, k x dims literal nodes choke the analyzer, not the
-    executors) OR a ``(cell, centroid)`` DataFrame (the large-k form
-    the paper's LAION setting needs — k ~ 11k x 768 dims: assignment
-    via :func:`~git_log_to_sqlite_spark.operators.clustering.
+    the paper's knob. ``centroids`` takes EITHER a Python list OR a
+    ``(cell, centroid)`` DataFrame; both run the TABLE form by
+    default (round 15: a list converts to the k-row model-state frame
+    unless ``_LITERAL_FANOUT_MAX`` is raised — the literal expression
+    measured no faster even at k=8, and at the paper's LAION setting
+    — k ~ 11k x 768 dims — its k x dims literal nodes choke the
+    analyzer, not the executors): assignment via
+    :func:`~git_log_to_sqlite_spark.operators.clustering.
     assign_clusters_table`'s one-row broadcast array, centroid_sim
     via a broadcast hash join to the k-row table; identical
-    arithmetic and tie-breaks, asserted equal in tests; ``IvfIndex``
-    stores exactly this table). Degenerate inputs (thousands of
+    arithmetic and tie-breaks to the raised-knob literal reference,
+    asserted equal in tests; ``IvfIndex`` stores exactly this table. Degenerate inputs (thousands of
     EXACT copies) belong to exact dedup first, which groups them in
     one hash shuffle instead of |cell|^2 cosine pairs. ``round_to``
     rounds both cosines before comparing/ordering and
@@ -694,8 +695,16 @@ def _semantic_ranked(
         vec.alias("_v"),
         vnorm(F.col(vec_col)).alias("_n"),
     )
+    if (
+        not isinstance(centroids, DataFrame)
+        and len(centroids) > _LITERAL_FANOUT_MAX
+    ):
+        # honor the quantizer-wide default (round 15: the table form
+        # measured faster at every k tried): a literal LIST converts
+        # to the k-row model-state frame unless the knob is raised
+        centroids = _centroids_frame(df.sparkSession, centroids)
     if isinstance(centroids, DataFrame):
-        # large-k path: centroids as DATA (see assign_clusters_table)
+        # table path: centroids as DATA (see assign_clusters_table)
         # — assignment via the one-row broadcast array, centroid_sim
         # via a broadcast hash join back to the k-row table. Same
         # arithmetic, O(1) analyzer cost at any k.
