@@ -474,3 +474,50 @@ def test_recommend_salt_threshold_matches_python_reference(
         assert got == expected, (counts, spread, factor, got, expected)
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@given(
+    data=st.data(),
+    k=st.integers(min_value=2, max_value=24),
+    n_probe=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_nearest_cells_table_equals_literal_property(sess, data, k, n_probe):
+    """Round-15 quantizer-form invariant, property form: for ANY
+    centroid set and vector set (random doubles incl. negatives and
+    exact ties from duplicated centroids), the table fan-out's ordered
+    n_probe cell list equals the literal expression's — distances,
+    slice, and the (distance, cell) struct tie-break can never diverge
+    between the forms that tests elsewhere pin only on fixture data."""
+    from git_log_to_sqlite_spark.operators import nearest_cells_table
+    from git_log_to_sqlite_spark.operators.similarity import _nearest_cells
+
+    dims = data.draw(st.integers(min_value=1, max_value=6))
+    finite = st.floats(
+        min_value=-8, max_value=8, allow_nan=False, allow_infinity=False
+    )
+    vec = st.lists(finite, min_size=dims, max_size=dims)
+    cents = data.draw(st.lists(vec, min_size=k, max_size=k))
+    # force potential distance ties: duplicate one centroid sometimes
+    if data.draw(st.booleans()) and k >= 2:
+        cents[1] = list(cents[0])
+    vectors = data.draw(st.lists(vec, min_size=1, max_size=8))
+    df = sess.createDataFrame(
+        [(i, v) for i, v in enumerate(vectors)],
+        "vid long, _v array<double>",
+    )
+    cdf = sess.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)], "cell int, centroid array<double>"
+    )
+    npb = min(n_probe, k)
+    want = {
+        (r["vid"], tuple(r["_pc"]))
+        for r in df.select(
+            "vid", _nearest_cells("_v", cents, npb).alias("_pc")
+        ).collect()
+    }
+    got = {
+        (r["vid"], tuple(r["_probe_cells"]))
+        for r in nearest_cells_table(df, "_v", cdf, npb).collect()
+    }
+    assert got == want
