@@ -730,3 +730,27 @@ def test_arrow_batch_size_invariance(spark, sf_dir, name):
     finally:
         spark.conf.set(key, old)
     assert base == alt and len(base) > 0
+
+
+def test_subword_seam_arrow_batch_size_invariance(spark, sf_dir):
+    """The round-15 tokenizer seam joins the Arrow-boundary pin set:
+    subword_token_counts (and hence pack_token_shards through it) must
+    be a pure per-text function — identical counts at 16-row vs 10k
+    Arrow batches, the framing a deployment tunes."""
+    from git_log_to_sqlite_spark.operators import subword_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10000")
+        base = sorted(
+            tuple(r) for r in subword_token_counts(docs, "doc_id", "text").collect()
+        )
+        spark.conf.set(key, "16")
+        alt = sorted(
+            tuple(r) for r in subword_token_counts(docs, "doc_id", "text").collect()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert base == alt and len(base) > 0
