@@ -754,3 +754,38 @@ def test_subword_seam_arrow_batch_size_invariance(spark, sf_dir):
     finally:
         spark.conf.set(key, old)
     assert base == alt and len(base) > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the queries whose implicit broadcasts demote FIRST as data
+        # grows (the round-15 10x probe measured dedup_minhash_groups'
+        # signature-table agreement joins flip BHJ->SMJ at x10; these
+        # are the same join family at 1x)
+        "dedup_minhash_lsh",
+        "dedup_minhash_groups",
+        "dedup_ngram_jaccard",
+        "join_revenue_per_customer",
+    ],
+)
+def test_forced_smj_invariance(spark, sf_dir, name):
+    """Permanent pin for the broadcast-threshold axis (axis 4 of the
+    round-14 sweep, measured one-off corpus-wide; the round-15 10x
+    distinct-content probe showed it is the axis the dedup joins
+    actually exercise as data grows): with implicit broadcasts
+    disabled every candidate join runs shuffled (SMJ/SHJ) — exactly
+    the day-one 100 TB regime — and the row set must be identical."""
+    from git_log_to_sqlite_spark import plans
+
+    fn = plans.REGISTRY[name].fn
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10485760")
+        base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        spark.conf.set(key, "-1")
+        alt = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set(key, old)
+    assert base == alt and len(base) > 0
