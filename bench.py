@@ -170,10 +170,14 @@ def main() -> None:
     # query land back-to-back in ONE contention window, so a load spike
     # there inflates that query with no later chance to recover.  The
     # second pass re-samples every query minutes later in a different
-    # window; the headline per-query number is the min ACROSS passes
-    # (formula recorded in the sidecar).  Bounded cost: one warm run
-    # per query, ~+10 s at sf0.1.  A pass-2 failure never degrades a
-    # query that completed pass 1 — pass 2 can only improve the floor.
+    # window.  Round 16 (advisor note): `value` stays on the ORIGINAL
+    # pass-1 min-of-3 formula so it remains comparable against the
+    # frozen reference baseline and rounds 1-14 (r15 is the one round
+    # whose `value` mixed passes); the cross-pass floor is reported as
+    # the SEPARATE `value_floor` field — the contention-resistant
+    # number to read when calibration says pass 1 was contended.
+    # Bounded cost: one warm run per query, ~+10 s at sf0.1.
+    timings_floor = dict(timings)
     for name in HEADLINE:
         if name in errors:
             continue  # already failed whole-pass; don't re-litigate
@@ -189,11 +193,41 @@ def main() -> None:
         finally:
             spark.catalog.clearCache()
         runs_pass2[name] = [run2]
-        if run2 < timings[name]:
-            timings[name] = run2
-    print(f"  [pass2] per-query min-across-passes applied "
+        if run2 < timings_floor[name]:
+            timings_floor[name] = run2
+    print(f"  [pass2] cross-pass floor updated "
           f"({sum(len(v) for v in runs_pass2.values())} extra runs)",
           file=sys.stderr)
+
+    # Bounded third pass (round 16): ONLY for queries whose pass-1-min
+    # vs pass-2 spread exceeds 2x — i.e. the two windows disagree so
+    # badly that one of them was certainly a load spike; a third
+    # window arbitrates.  Feeds `value_floor` only (never `value`).
+    # Cost bound: in a quiet run nothing exceeds 2x and this pass is
+    # empty; in the worst case it is one warm run per headline query.
+    runs_pass3: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        if name not in runs_pass2 or name in errors:
+            continue
+        p1, p2 = timings[name], runs_pass2[name][0]
+        if max(p1, p2) < 2.0 * min(p1, p2):
+            continue
+        fn = plans.REGISTRY[name].fn
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            run3 = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — pass 3 only improves
+            print(f"  [pass3] {name}: FAILED ({_fmt_exc(exc)})",
+                  file=sys.stderr)
+            continue
+        finally:
+            spark.catalog.clearCache()
+        runs_pass3[name] = [run3]
+        if run3 < timings_floor[name]:
+            timings_floor[name] = run3
+        print(f"  [pass3] {name}: {run3:.3f}s (p1 {p1:.2f} / p2 {p2:.2f} "
+              f"disagreed >2x)", file=sys.stderr)
 
     # Round-7/8 additions, timed OUTSIDE the headline total: the
     # 15-query headline set is frozen so `value` stays comparable
@@ -440,6 +474,7 @@ def main() -> None:
     calibration_post = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
+    total_floor = round(sum(timings_floor.values()), 3)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_detail.json")
     # COMPACT driver-parsed line: metric/value/queries/sf/calibration
@@ -451,6 +486,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Cross-pass per-query floor (passes 1-3, later contention
+        # windows): the contention-resistant reading.  `value` itself
+        # is pass-1 min-of-3 only — the formula every round except r15
+        # used — so it stays comparable vs baseline/earlier rounds.
+        "value_floor": total_floor,
         "sf": sf,
         # Contention sentinel: fixed-cost generated-data shuffle+agg,
         # ~0.3 s on this box when idle (band in BASELINE.md).  A value
@@ -484,14 +524,20 @@ def main() -> None:
         # Raw per-query runs (run 1 includes codegen/compile) so a
         # reader can audit variance instead of trusting min-of-3.
         "runs": all_runs,
-        # Round-15 second headline pass: one warm run per query after
-        # the full suite, sampled in a later contention window.  The
-        # headline formula is `queries[name] = min(runs[name] +
-        # runs_pass2[name])` — two windows per query, so a single
-        # contended window can no longer inflate the artifact.
+        # Round-15 second headline pass (+ round-16 conditional third):
+        # warm re-samples in later contention windows.  Since round 16
+        # these feed ONLY the floor: `queries[name]`/`value` are pass-1
+        # min-of-3 (the formula of rounds 1-14 and the frozen
+        # baseline); `queries_floor`/`value_floor` take the min across
+        # all passes.  Pass 3 ran only for the names listed here —
+        # those whose pass-1/pass-2 spread exceeded 2x.
         "runs_pass2": runs_pass2,
-        "headline_formula": "per-query min across pass-1 (3 runs) and "
-                            "pass-2 (1 run); value = sum of mins",
+        "runs_pass3": runs_pass3,
+        "queries_floor": timings_floor,
+        "value_floor": total_floor,
+        "headline_formula": "value = sum of pass-1 min-of-3 "
+                            "(baseline-comparable); value_floor = sum "
+                            "of per-query min across passes 1-3",
         # Non-headline queries (excluded from `value` so the suite
         # total stays comparable across rounds / vs baseline).
         "extra": extra,

@@ -1145,9 +1145,12 @@ class IvfIndex:
         grows k with the corpus precisely to keep cells bounded, so
         the table form's flat cost curve is the one the index needs;
         raising ``_LITERAL_FANOUT_MAX`` restores the literal codegen
-        plan (the reference form the equality tests pin against). The
-        k-row count() that picks the form reads parquet metadata
-        only."""
+        plan (the reference form the equality tests pin against).
+        Under the shipped default (``_LITERAL_FANOUT_MAX = 0``) the
+        form choice short-circuits without ANY Spark job: the count
+        comparison can never pick the literal branch, so the k-row
+        count() (parquet-metadata-only, but still a job dispatch per
+        probe call) runs only when the knob is raised."""
         index = self.spark.read.parquet(f"{self.path}/index")
         cents_df = self.spark.read.parquet(f"{self.path}/centroids")
         base = queries.select(
@@ -1155,7 +1158,7 @@ class IvfIndex:
             _as_double(F.col(self.vec_col)).alias("_qv"),
             vnorm(F.col(self.vec_col)).alias("_qn"),
         )
-        if cents_df.count() <= _LITERAL_FANOUT_MAX:
+        if _LITERAL_FANOUT_MAX > 0 and cents_df.count() <= _LITERAL_FANOUT_MAX:
             fanned = base.select(
                 "query_id",
                 F.explode(

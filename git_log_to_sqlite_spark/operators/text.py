@@ -144,22 +144,41 @@ def subword_token_counts(
     type is carried from the input schema so downstream joins need no
     cast."""
     import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     counter = tokenizer_fn or count_subword_tokens
-    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    # StructType built programmatically, NOT a DDL f-string: an id
+    # column whose name needs quoting (dots, spaces, hyphens) would
+    # mis-parse or error out of an interpolated DDL schema.  The seam
+    # additionally runs on SAFE temp names ("_sw_id"/"_sw_text") and
+    # renames back afterwards: PySpark's own mapInPandas re-resolves
+    # every input column by bare name (``Dataset.apply``), which parses
+    # "a.b" as struct access — so a dotted/spaced user column can only
+    # cross the Arrow boundary under an alias.
+    out_schema = StructType(
+        [
+            StructField("_sw_id", df.schema[id_col].dataType),
+            StructField(out_col, IntegerType()),
+        ]
+    )
 
     def run(batches):
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
-                    out_col: [int(counter(t)) for t in pdf[text_col]],
+                    "_sw_id": pdf["_sw_id"],
+                    out_col: [int(counter(t)) for t in pdf["_sw_text"]],
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} {id_type}, {out_col} int"
-    )
+    mapped = df.select(
+        F.col(_q(id_col)).alias("_sw_id"), F.col(_q(text_col)).alias("_sw_text")
+    ).mapInPandas(run, schema=out_schema)
+    return mapped.withColumnRenamed("_sw_id", id_col)
 
 
 def pack_token_shards(
@@ -179,12 +198,24 @@ def pack_token_shards(
     oracle-stable gate basis of the ``text_pack_shards`` query); pass
     ``tokenizer_fn`` to budget real subword tokens through the
     :func:`subword_token_counts` Arrow seam instead — same plan shape,
-    the count projection just moves to the Python workers."""
+    the count projection just moves to the Python workers.
+
+    Null texts count 0 tokens on BOTH bases: the raw JVM expression
+    ``size(split(NULL))`` would yield -1 (non-ANSI) and poison every
+    downstream ``cum_tokens``/``shard_id`` with a negative, so the
+    default basis coalesces nulls to 0 to match the Arrow seam's
+    documented null contract.  Empty string stays 1 on the default
+    basis (``split('', ' ') = ['']`` — the whitespace-basis oracle
+    semantics) while the seam counts it 0; gate data has no empties so
+    the bases agree where the oracle looks."""
     from .ordered import ordered_running_sum
 
     if tokenizer_fn is None:
         toks = df.select(
-            id_col, F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+            id_col,
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(F.split(F.col(text_col), " ")))
+            .alias("n_tokens"),
         )
     else:
         toks = subword_token_counts(

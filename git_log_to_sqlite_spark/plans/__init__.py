@@ -52,96 +52,30 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 
-# Round-15 rotation (executing the plan pre-staged in round 14's
+# Round-16 rotation (executing the plan pre-staged in round 15's
 # COVERAGE.md, with ZERO registry growth — the standing rule: the
 # corpus HOLDS at 126 queries / 121 oracles until the gate grows).
-# Pure rotation again: the twenty-one round-12 rows spilled past
-# round 14's slot 50 LEAD (their last gate is r12 — the oldest
-# driver rows in the corpus: the setop block, fn_higher_order/cast/
-# map, cross/self joins, the agg block, the events block,
-# dedup_exact/ngram_jaccard/group_assign), then 29 of the 50
-# round-13-gated rows in CORRECTNESS_r13 key order with the special
-# evidence classes FORCE-INCLUDED per the standing doctrine (never
-# spill streaming-replay, ETL-parity, or composite rows): the first
-# 23 rows of the r13 key order (dedup_minhash_lsh ..
-# mm_video_scene_pairs) plus pipeline_pretrain_corpus,
-# pipeline_curate_corpus, stream_tumbling_replay,
-# stream_session_replay, stream_join_replay, and etl_logs_parity at
-# their r13 relative positions (slots 45-50 there).  The twenty-one
-# r13 rows after the prefix (mm_image_in_video,
-# mm_audio_segment_pairs, sem_dedup_assign, sample_dsir, the fn_*
-# scalar block, text_chunk_overlap/pii_mask/clean, the udf_* block,
-# dedup_substring_spans/groups) — all deterministic/hash-checkable
-# and green in r13 — spill to lead round 16.  Freshness cycle stays
-# ~2.52 rounds (126 against a 2x50 gate), accepted per the round-10
-# verdict's adjudication (a never-gated operator is worse than a
-# slightly staler rotation).
+# Pure rotation again: the twenty-one round-13 rows spilled past
+# round 15's slot 50 LEAD (their last gate is r13 — the oldest
+# driver rows in the corpus: the multimodal segment pair, SemDeDup
+# assign, DSIR, the fn_* scalar block, the text-cleaning trio, the
+# udf_* surface block, and the substring-dedup pair), then 29 of the
+# 50 round-14-gated rows in CORRECTNESS_r14 key order with the
+# special evidence classes FORCE-INCLUDED per the standing doctrine
+# (never spill streaming-replay, ETL-parity, or composite rows): the
+# first 27 rows of the r14 key order (dedup_incremental_substring ..
+# text_langid) plus etl_repos_skipped_parity and stream_dedup_replay
+# at their r14 relative positions (slots 49-50 there).  The
+# twenty-one r14 rows after the prefix — all deterministic/
+# hash-checkable and green in r14 — spill to lead round 17.
+# Freshness cycle stays ~2.52 rounds (126 against a 2x50 gate),
+# accepted per the round-10 verdict's adjudication (a never-gated
+# operator is worse than a slightly staler rotation).
 _prioritize(
     first=[
-        # --- round-12 spills (oldest driver rows; spilled past
-        #     round 14's slot 50; order = round-14 spill list /
+        # --- round-13 spills (oldest driver rows; spilled past
+        #     round 15's slot 50; order = round-15 spill list /
         #     COVERAGE.md pre-staging) ---
-        "setop_intersect",
-        "setop_except",
-        "setop_intersect_all",
-        "setop_except_all",
-        "fn_higher_order",
-        "fn_cast",
-        "fn_map",
-        "join_cross",
-        "join_self_nation_pairs",
-        "agg_pricing_summary",
-        "agg_percentiles",
-        "agg_global",
-        "agg_distinct",
-        "agg_stats",
-        "events_window_tumbling",
-        "events_funnel_depth",
-        "events_window_sliding",
-        "events_top_paths",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_group_assign",
-        # --- round-13-gated block, CORRECTNESS_r13 key order (29 of
-        #     50 names: the first 23 rows, then the six force-included
-        #     special evidence rows pipeline_pretrain_corpus,
-        #     pipeline_curate_corpus, stream_tumbling_replay,
-        #     stream_session_replay, stream_join_replay, and
-        #     etl_logs_parity at their r13 relative positions; the
-        #     twenty-one rows listed after the prefix spill to
-        #     round 16) ---
-        "dedup_minhash_lsh",
-        "dedup_minhash_groups",
-        "dedup_simhash",
-        "asof_event_value",
-        "text_topk_terms",
-        "text_tfidf_topk",
-        "text_pack_shards",
-        "sample_weighted_reservoir",
-        "sim_cosine_topk",
-        "sim_ann_bucketed",
-        "sim_pairs_threshold",
-        "dedup_embedding_cosine",
-        "sim_centroid_per_label",
-        "sim_ann_multiprobe",
-        "udf_grouped_map",
-        "udf_grouped_agg",
-        "sql_correlated_exists",
-        "sql_not_exists",
-        "sql_scalar_subquery",
-        "sql_correlated_scalar_agg",
-        "sql_in_subquery",
-        "mm_fuzzy_decontaminate",
-        "mm_video_scene_pairs",
-        "pipeline_pretrain_corpus",
-        "pipeline_curate_corpus",
-        "stream_tumbling_replay",
-        "stream_session_replay",
-        "stream_join_replay",
-        "etl_logs_parity",
-        # --- spill past slot 50 → lead the round-16 rotation (r13
-        #     key order; all deterministic/hash-checkable, green in
-        #     r13) ---
         "mm_image_in_video",
         "mm_audio_segment_pairs",
         "sem_dedup_assign",
@@ -163,6 +97,65 @@ _prioritize(
         "udf_native_udtf",
         "dedup_substring_spans",
         "dedup_substring_groups",
+        # --- round-14-gated block, CORRECTNESS_r14 key order (29 of
+        #     50 names: the first 27 rows, then the two
+        #     force-included special evidence rows
+        #     etl_repos_skipped_parity and stream_dedup_replay at
+        #     their r14 relative positions; the twenty-one rows
+        #     listed after the prefix spill to round 17) ---
+        "dedup_incremental_substring",
+        "sim_ann_ivf_assign",
+        "dedup_simhash_pairs",
+        "dedup_decontaminate",
+        "sample_token_budget",
+        "dedup_incremental_lsh",
+        "join_revenue_per_customer",
+        "join_region_revenue",
+        "join_left_outer",
+        "join_full_outer",
+        "join_right_outer",
+        "join_merge_hint",
+        "join_semi",
+        "join_anti",
+        "join_range_bands",
+        "join_asof_last_event",
+        "agg_salted_skew",
+        "events_sessionize",
+        "events_cohort_retention",
+        "sample_domain_mix",
+        "dedup_embedding_groups",
+        "dedup_dropduplicates_subset",
+        "agg_pivot",
+        "agg_grouping_sets",
+        "fn_array",
+        "fn_explode",
+        "text_langid",
+        "etl_repos_skipped_parity",
+        "stream_dedup_replay",
+        # --- spill past slot 50 → lead the round-17 rotation (r14
+        #     key order; all deterministic/hash-checkable, green in
+        #     r14) ---
+        "text_quality",
+        "text_tokens",
+        "text_fingerprint",
+        "mm_binary_meta",
+        "text_repetition",
+        "win_topk_per_group",
+        "win_ranking_suite",
+        "win_lag_lead",
+        "win_running_frames",
+        "win_first_last_nth",
+        "win_range_between",
+        "win_time_bucket",
+        "agg_collect_sorted",
+        "agg_rollup",
+        "agg_cube",
+        "mm_image_near_dup",
+        "mm_video_near_dup",
+        "mm_audio_near_dup",
+        "sort_topk_orders",
+        "sort_multikey_nulls",
+        "setop_union",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /

@@ -1881,12 +1881,34 @@ def test_semantic_dedup_salted_pair_join_row_identical(spark):
     # the Cross BuildRight scalar-attach shape; the salted PAIR join
     # itself stays an equi-join, pinned by the co-partitioning asserts
     # below
+    import re
+
     bnlj_lines = [l for l in plan.splitlines()
                   if "BroadcastNestedLoopJoin" in l]
-    assert all(
-        "Cross BuildRight" in l or l.strip().startswith("(")
-        for l in bnlj_lines
+    tree_lines = [l for l in bnlj_lines if not l.strip().startswith("(")]
+    header_lines = [l for l in bnlj_lines if l.strip().startswith("(")]
+    # every TREE rendering (including re-renderings inside cached /
+    # reused subtrees) must be the Cross BuildRight scalar-attach
+    assert tree_lines and all(
+        "Cross BuildRight" in l for l in tree_lines
     ), bnlj_lines
+    # resolve the detail-section headers "(id) BroadcastNestedLoopJoin"
+    # back to tree ids: every header id must be one the tree pinned as
+    # Cross BuildRight above — a NEW nested-loop join could not sneak
+    # in via a details block whose tree line this test never saw
+    attach_ids = {
+        m.group(1)
+        for l in tree_lines
+        for m in [re.search(r"BroadcastNestedLoopJoin Cross BuildRight \((\d+)\)", l)]
+        if m
+    }
+    header_ids = {
+        m.group(1)
+        for l in header_lines
+        for m in [re.match(r"\((\d+)\) BroadcastNestedLoopJoin", l.strip())]
+        if m
+    }
+    assert header_ids <= attach_ids, (header_ids, attach_ids, bnlj_lines)
     # the load-bearing half of the fix: both pair-join sides are
     # explicitly co-partitioned on (cell, salt) with a FIXED count
     # (REPARTITION_BY_NUM — the one shuffle origin AQE never
@@ -4984,6 +5006,40 @@ def test_subword_seam_custom_tokenizer_and_empty_text(spark):
     }
     # cum: 15, 15, 15, 39 -> shards floor((cum-1)/16): 0, 0, 0, 2
     assert packed == {0: (15, 0), 1: (0, 0), 2: (0, 0), 3: (24, 2)}
+
+
+def test_pack_token_shards_default_basis_null_text_counts_zero(spark):
+    """The DEFAULT (JVM whitespace) basis must count null text as 0
+    tokens — the raw size(split(NULL)) would yield -1 and poison every
+    downstream cum_tokens/shard_id with a negative (round-15 ADVICE).
+    Empty string stays 1 (split('', ' ') = ['']): the whitespace-basis
+    oracle semantics, deliberately unlike the seam's empty -> 0."""
+    from git_log_to_sqlite_spark.operators import pack_token_shards
+
+    rows = [(0, "aa bb"), (1, None), (2, ""), (3, "cc dd ee")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in pack_token_shards(df, "doc_id", "text", budget=4).collect()
+    }
+    # n_tokens: 2, 0, 1, 3; cum: 2, 2, 3, 6 -> floor((cum-1)/4): 0,0,0,1
+    assert packed == {0: (2, 0), 1: (0, 0), 2: (1, 0), 3: (3, 1)}
+    assert all(n >= 0 and s >= 0 for n, s in packed.values())
+
+
+def test_subword_seam_id_column_needing_backticks(spark):
+    """The mapInPandas schema is built as a StructType, not an
+    interpolated DDL string — an id column whose name needs quoting
+    (dots/spaces/hyphens) must pass through intact (round-15 ADVICE)."""
+    from git_log_to_sqlite_spark.operators import subword_token_counts
+
+    df = spark.createDataFrame(
+        [(0, "aa bb"), (1, "cc")], ["doc id.v-1", "text"]
+    )
+    out = subword_token_counts(df, "doc id.v-1", "text")
+    assert out.columns == ["doc id.v-1", "subword_tokens"]
+    got = {r["doc id.v-1"]: r["subword_tokens"] for r in out.collect()}
+    assert set(got) == {0, 1} and all(v > 0 for v in got.values())
 
 
 def test_subword_seam_plan_is_single_scan_projection(spark, oracle_sf_dir):
