@@ -2108,6 +2108,7 @@ def pretrain_corpus(
     char_budget_per_source: int = 4000,
     shard_chars: int = 2000,
     mix_via: str = "window",
+    token_col: str | None = None,
 ) -> DataFrame:
     """The composition behind ``pipeline_pretrain_corpus`` — quality
     gate -> decontaminate -> exact dedup -> token-budget mix -> shard
@@ -2122,7 +2123,18 @@ def pretrain_corpus(
     skewed synthetic). ``telemetry`` collects per-stage retention
     Observations inside the one execution (same contract as
     ``curate_corpus``; no metrics directly below the range-partitioned
-    prefix sum — its sampling job would double-fire them)."""
+    prefix sum — its sampling job would double-fire them).
+
+    ``token_col`` (round 16, opt-in): budget and pack on a REAL token
+    count instead of ``n_chars`` — a column the caller precomputed,
+    typically ``operators.text.subword_token_counts`` output
+    (stub-or-real BPE through the Arrow seam) joined back onto the
+    corpus. When set, ``char_budget_per_source`` and ``shard_chars``
+    are read in that column's units, the column rides every stage
+    (identical texts carry identical counts, so the md5 dedup's min
+    is exact), and it appears in the output next to ``n_chars``. At
+    the default (``None``) the plan is byte-identical to the pre-knob
+    form — the ``pipeline_pretrain_corpus`` gate row is unchanged."""
     from pyspark.sql import Observation
 
     from ..operators.dedup import _spread, exploded_shingles
@@ -2144,11 +2156,20 @@ def pretrain_corpus(
     # the input is already wide and this passes through; at bench SF
     # it measures neutral (the corpus is small enough that scheduling
     # overhead offsets the parallelism).
+    if token_col is not None and token_col not in corpus.columns:
+        raise ValueError(
+            f"token_col {token_col!r} not in corpus columns {corpus.columns}"
+        )
+    carried = ["doc_id", "source", "n_chars"] + (
+        [token_col] if token_col else []
+    )
+    weight_col = token_col or "n_chars"
+
     corpus = _spread(corpus)
     corpus = _observe(corpus, "input", F.count(F.lit(1)).alias("rows"))
     quality = corpus.filter(
         repetition_gate(F.col("text")) & F.col("n_chars").between(50, 20000)
-    ).select("doc_id", "source", "n_chars", "text")
+    ).select(*carried, "text")
     quality = _observe(quality, "post_quality", F.count(F.lit(1)).alias("rows"))
 
     gram = exploded_shingles("text", 4)
@@ -2168,22 +2189,23 @@ def pretrain_corpus(
             F.min("doc_id").alias("doc_id"),
             F.expr("min_by(source, doc_id)").alias("source"),
             F.min("n_chars").alias("n_chars"),
+            # identical texts carry identical token counts, so min is
+            # the value itself (same argument as n_chars above)
+            *([F.min(token_col).alias(token_col)] if token_col else []),
         )
         .drop("_fp")
     )
     kept = token_budget_sample(
         surv,
         "doc_id",
-        "n_chars",
+        weight_col,
         char_budget_per_source,
         domain_col="source",
         via=mix_via,
-    ).select("doc_id", "source", "n_chars")
-    packed = ordered_running_sum(kept, ["doc_id"], "n_chars", out_col="cum")
+    ).select(*carried)
+    packed = ordered_running_sum(kept, ["doc_id"], weight_col, out_col="cum")
     out = packed.select(
-        "doc_id",
-        "source",
-        "n_chars",
+        *carried,
         F.floor((F.col("cum") - 1) / shard_chars).cast("int").alias("shard_id"),
     )
     return _observe(out, "post_mix", F.count(F.lit(1)).alias("rows"))

@@ -628,6 +628,58 @@ def test_pretrain_pipeline_plan_shape(spark, sf):
     assert "CartesianProduct" not in tree
 
 
+def test_pretrain_corpus_token_col_knob(spark, sf):
+    """The opt-in ``token_col`` path (round 16): budgeting/packing on a
+    precomputed subword-token column must equal the default char path
+    run on a corpus whose ``n_chars`` carries those token values —
+    same admission set, same shard boundaries — whenever the quality
+    gate is unaffected by the swap (all rows inside the [50, 20000]
+    n_chars window on BOTH bases, arranged here by scaling the stub
+    counts into range).  At the default the knob must change nothing:
+    output schema is the pre-knob one (the gate row's shape)."""
+    from git_log_to_sqlite_spark.operators import subword_token_counts
+    from git_log_to_sqlite_spark.plans.llm_ops import pretrain_corpus
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    # only rows already inside the n_chars quality window, so the
+    # char-basis swap below cannot flip any gate decision
+    docs = (
+        table(spark, sf, "documents")
+        .filter(F.col("n_chars").between(50, 20000))
+        .limit(400)
+    )
+    benchmark = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    # stub counts scaled to land inside the quality gate's n_chars
+    # window, so the char-path reference sees the identical gate
+    toks = subword_token_counts(docs, "doc_id", "text").withColumn(
+        "subword_tokens", F.col("subword_tokens") + 50
+    )
+    corpus = docs.join(toks, "doc_id")
+
+    got = pretrain_corpus(
+        corpus, benchmark, char_budget_per_source=900, shard_chars=500,
+        token_col="subword_tokens",
+    )
+    assert got.columns == [
+        "doc_id", "source", "n_chars", "subword_tokens", "shard_id"
+    ]
+    ref = pretrain_corpus(
+        corpus.drop("n_chars").withColumnRenamed("subword_tokens", "n_chars"),
+        benchmark, char_budget_per_source=900, shard_chars=500,
+    )
+    got_rows = {(r["doc_id"], r["source"], r["subword_tokens"], r["shard_id"])
+                for r in got.collect()}
+    ref_rows = {(r["doc_id"], r["source"], r["n_chars"], r["shard_id"])
+                for r in ref.collect()}
+    assert got_rows == ref_rows and got_rows
+
+    # default path: schema unchanged (the gate row's shape)
+    base = pretrain_corpus(corpus.drop("subword_tokens"), benchmark)
+    assert base.columns == ["doc_id", "source", "n_chars", "shard_id"]
+    with pytest.raises(ValueError, match="token_col"):
+        pretrain_corpus(docs, benchmark, token_col="not_a_column")
+
+
 def test_weighted_reservoir_map_side_topk_prune(spark, sf):
     """The per-stratum reservoir ranking must carry WindowGroupLimit in
     BOTH positions (map-side partial + final): each map task keeps only
