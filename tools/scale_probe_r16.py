@@ -43,6 +43,7 @@ from scale_probe_r15 import (  # noqa: E402
 )
 
 from git_log_to_sqlite_spark.operators import multimodal as mm  # noqa: E402
+from git_log_to_sqlite_spark.operators.caching import release_caches  # noqa: E402
 from git_log_to_sqlite_spark.plans import llm_ops  # noqa: E402
 from git_log_to_sqlite_spark.session import get_spark  # noqa: E402
 
@@ -143,6 +144,14 @@ def main() -> None:
             for factor in SCALES:
                 path = replicate_documents(spark, work, factor)
                 per_scale[f"x{factor}"] = probe(spark, path)
+                # drop the operator's pinned window tables between
+                # scales (the r15 protocol): both pair operators pin
+                # their capped window table, and carrying a prior
+                # scale's pin into the next measurement turns that
+                # window into eviction churn (the first r16 probe run
+                # measured audio x1 at a steady 7.5-9.2 s purely from
+                # evicting video x10's pins; released, it reads ~1 s)
+                release_caches(blocking=True)
                 print(f"  {name} x{factor}: "
                       f"{json.dumps(per_scale[f'x{factor}'])}", file=sys.stderr)
             kinds = [s["plan_kinds"] for s in per_scale.values()]
