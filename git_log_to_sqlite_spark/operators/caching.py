@@ -56,13 +56,31 @@ def pin(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> Da
     an equivalent plan from the same session is already live, in which
     case ``df`` is returned unpersisted and the planner substitutes the
     existing InMemoryRelation (Catalyst ``sameResult`` matching, the
-    same mechanism CacheManager itself uses)."""
+    same mechanism CacheManager itself uses).
+
+    The duplicate check is hash-gated (round 16, measured): a raw
+    ``sameResult`` against every live entry is a full JVM plan-tree
+    comparison per entry — ~0.2 s of driver time per operator
+    construction once a session holds ~9 pins (the r16 probe's A/B)
+    — so each entry's Catalyst ``semanticHash`` is memoized on the
+    Python wrapper and compared first (one py4j int fetch per NEW
+    frame, Python int compares for the rest). ``sameResult`` runs
+    only on a hash match; the Catalyst contract (equal results imply
+    equal semanticHash) makes the short-circuit sound."""
     _LIVE[:] = [d for d in _LIVE if _is_live(d)]
     try:
         analyzed = df._jdf.queryExecution().analyzed()
+        h = analyzed.semanticHash()
         for live in _LIVE:
-            if live.sparkSession is df.sparkSession and live._jdf.queryExecution().analyzed().sameResult(analyzed):
+            if live.sparkSession is not df.sparkSession:
+                continue
+            lh = getattr(live, "_pin_semhash", None)
+            if lh is None:
+                lh = live._jdf.queryExecution().analyzed().semanticHash()
+                live._pin_semhash = lh
+            if lh == h and live._jdf.queryExecution().analyzed().sameResult(analyzed):
                 return df
+        df._pin_semhash = h
     except Exception:  # py4j hiccup — fall through to a plain persist
         pass
     df.persist(level)

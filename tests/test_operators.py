@@ -4129,6 +4129,34 @@ def test_cache_scope_releases_only_inner_pins(spark, oracle_sf_dir):
     release_caches()
 
 
+def test_pin_hash_gated_dedup(spark):
+    """pin()'s duplicate check is semanticHash-gated (round 16): a
+    same-result re-pin still short-circuits (no duplicate registry
+    entry, second frame returned unpersisted), a different plan still
+    registers, and every registered entry memoizes its hash so later
+    pin() calls compare Python ints instead of running a JVM
+    sameResult per live entry."""
+    from git_log_to_sqlite_spark.operators import caching
+    from git_log_to_sqlite_spark.operators.caching import pin, release_caches
+
+    spark.catalog.clearCache()
+    release_caches()
+    a = pin(spark.range(100).selectExpr("id", "id * 2 AS dbl"))
+    assert len(caching._LIVE) == 1
+    assert isinstance(getattr(a, "_pin_semhash", None), int)
+    dup = pin(spark.range(100).selectExpr("id", "id * 2 AS dbl"))
+    assert len(caching._LIVE) == 1  # sameResult short-circuit held
+    # the short-circuited frame was returned WITHOUT registering (its
+    # storageLevel still reads the cached level — CacheManager resolves
+    # by plan equivalence — so the registry length and the absent
+    # memo attribute are the short-circuit's observable markers)
+    assert "_pin_semhash" not in dup.__dict__
+    other = pin(spark.range(100).selectExpr("id", "id * 3 AS tpl"))
+    assert len(caching._LIVE) == 2
+    assert isinstance(getattr(other, "_pin_semhash", None), int)
+    release_caches()
+
+
 # ----------------------------------------------------------------------
 # Round 7: decontamination, repetition quality, token-budget sampling
 # ----------------------------------------------------------------------
