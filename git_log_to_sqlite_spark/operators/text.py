@@ -147,6 +147,11 @@ def subword_token_counts(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     counter = tokenizer_fn or count_subword_tokens
+    if out_col in ("_sw_id", "_sw_text") or id_col == "_sw_text":
+        raise ValueError(
+            "_sw_id/_sw_text are reserved by the tokenizer seam's "
+            f"internal aliasing; got id_col={id_col!r} out_col={out_col!r}"
+        )
 
     def _q(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
