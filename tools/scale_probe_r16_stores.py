@@ -150,6 +150,33 @@ def probe_hamming_store(spark, docs_path: str, work: str) -> dict:
     return out
 
 
+def probe_window_store(spark, docs_path: str, work: str) -> dict:
+    hist = spark.read.parquet(docs_path)
+    batch_a = _doc_batch(spark, hist, "na")
+    batch_b = _doc_batch(spark, hist, "nb")
+    out: dict = {"rows_history": hist.count()}
+    runs = []
+    res = None
+    store = None
+    for _ in range(RUNS):
+        release_caches(blocking=True)
+        path = tempfile.mkdtemp(prefix="winstore_", dir=work)
+        store = dd.WindowStore(spark, path, id_col="doc_id")
+        store.bootstrap(hist, "text")
+        t0 = time.perf_counter()
+        res = store.ingest(batch_a, "text", min_run_tokens=12)
+        runs.append(round(time.perf_counter() - t0, 3))
+    out["t_ingest_runs"] = runs
+    out["t_ingest"] = min(runs)
+    out["n_new"] = res.filter(F.col("is_new") == 1).count()
+    out["n_dup"] = res.filter(F.col("is_new") == 0).count()
+    t0 = time.perf_counter()
+    store.ingest(batch_b, "text", min_run_tokens=12)
+    out["t_ingest_day2"] = round(time.perf_counter() - t0, 3)
+    release_caches(blocking=True)
+    return out
+
+
 def probe_semantic_store(spark, emb_path: str, work: str, factor: int) -> dict:
     hist = spark.read.parquet(emb_path)
     k = 8 * factor  # deployment-shaped: cells ~constant-size
@@ -227,6 +254,8 @@ def main() -> None:
              lambda sp, p, f: probe_signature_store(sp, p, work)),
             ("hamming_store_ingest", replicate_documents,
              lambda sp, p, f: probe_hamming_store(sp, p, work)),
+            ("window_store_ingest", replicate_documents,
+             lambda sp, p, f: probe_window_store(sp, p, work)),
             ("semantic_store_ingest", replicate_embeddings,
              lambda sp, p, f: probe_semantic_store(sp, p, work, f)),
         ):
