@@ -85,6 +85,16 @@ def _fmt_exc(exc: Exception) -> str:
     return f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
 
 
+def _timed_run(fn, spark, sf_dir: str) -> float:
+    """One fully-materialized execution (noop sink) of a registry
+    query, wall-clock seconds — THE shared timing protocol of all
+    three headline passes, so a change to it (sink, rounding, a
+    future cache-release step) cannot skew one pass against another."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -146,9 +156,7 @@ def main() -> None:
         # must never zero the whole round's perf signal.
         try:
             for _ in range(3):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                runs.append(round(time.perf_counter() - t0, 3))
+                runs.append(_timed_run(fn, spark, sf_dir))
             timings[name] = round(min(runs), 3)
             all_runs[name] = runs
         except Exception as exc:  # noqa: BLE001 — record, keep benching
@@ -183,9 +191,7 @@ def main() -> None:
             continue  # already failed whole-pass; don't re-litigate
         fn = plans.REGISTRY[name].fn
         try:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            run2 = round(time.perf_counter() - t0, 3)
+            run2 = _timed_run(fn, spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — pass 2 only improves
             print(f"  [pass2] {name}: FAILED ({_fmt_exc(exc)})",
                   file=sys.stderr)
@@ -214,9 +220,7 @@ def main() -> None:
             continue
         fn = plans.REGISTRY[name].fn
         try:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            run3 = round(time.perf_counter() - t0, 3)
+            run3 = _timed_run(fn, spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — pass 3 only improves
             print(f"  [pass3] {name}: FAILED ({_fmt_exc(exc)})",
                   file=sys.stderr)

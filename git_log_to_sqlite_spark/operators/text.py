@@ -124,6 +124,12 @@ count_subword_tokens: Callable[[str | None], int] = (
 )
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name so a dotted/spaced user column
+    ("a.b", "doc id") resolves as the column, not a struct path."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def subword_token_counts(
     df: DataFrame,
     id_col: str,
@@ -152,9 +158,6 @@ def subword_token_counts(
             "_sw_id/_sw_text are reserved by the tokenizer seam's "
             f"internal aliasing; got id_col={id_col!r} out_col={out_col!r}"
         )
-
-    def _q(name: str) -> str:
-        return "`" + name.replace("`", "``") + "`"
 
     # StructType built programmatically, NOT a DDL f-string: an id
     # column whose name needs quoting (dots, spaces, hyphens) would
@@ -215,20 +218,26 @@ def pack_token_shards(
     the bases agree where the oracle looks."""
     from .ordered import ordered_running_sum
 
+    # both bases run on SAFE temp names (the tokenizer seam's own
+    # discipline), so a dotted/spaced id or text column works the same
+    # whichever basis is active; the id renames back on the way out
+    safe = df.select(
+        F.col(_q(id_col)).alias("_pk_id"), F.col(_q(text_col)).alias("_pk_text")
+    )
     if tokenizer_fn is None:
-        toks = df.select(
-            id_col,
-            F.when(F.col(text_col).isNull(), F.lit(0))
-            .otherwise(F.size(F.split(F.col(text_col), " ")))
+        toks = safe.select(
+            "_pk_id",
+            F.when(F.col("_pk_text").isNull(), F.lit(0))
+            .otherwise(F.size(F.split(F.col("_pk_text"), " ")))
             .alias("n_tokens"),
         )
     else:
         toks = subword_token_counts(
-            df, id_col, text_col, tokenizer_fn, out_col="n_tokens"
+            safe, "_pk_id", "_pk_text", tokenizer_fn, out_col="n_tokens"
         )
-    packed = ordered_running_sum(toks, [id_col], "n_tokens", out_col="cum_tokens")
+    packed = ordered_running_sum(toks, ["_pk_id"], "n_tokens", out_col="cum_tokens")
     return packed.select(
-        id_col,
+        F.col("_pk_id").alias(id_col),
         "n_tokens",
         F.floor((F.col("cum_tokens") - 1) / budget).cast("int").alias("shard_id"),
     )

@@ -2160,6 +2160,14 @@ def pretrain_corpus(
         raise ValueError(
             f"token_col {token_col!r} not in corpus columns {corpus.columns}"
         )
+    if token_col in ("doc_id", "source", "n_chars", "text"):
+        # already carried / consumed by the pipeline's fixed schema —
+        # letting it through would duplicate the column and surface as
+        # an ambiguous-reference error far from this knob
+        raise ValueError(
+            f"token_col {token_col!r} collides with the pipeline's base "
+            "columns (doc_id, source, n_chars, text)"
+        )
     carried = ["doc_id", "source", "n_chars"] + (
         [token_col] if token_col else []
     )

@@ -5055,6 +5055,24 @@ def test_pack_token_shards_default_basis_null_text_counts_zero(spark):
     assert all(n >= 0 and s >= 0 for n, s in packed.values())
 
 
+def test_pack_token_shards_default_basis_dotted_columns(spark):
+    """pack_token_shards' DEFAULT (JVM) basis must accept dotted/spaced
+    column names like the tokenizer_fn path does — both bases route
+    through the same safe-name aliasing (round-16 review note)."""
+    from git_log_to_sqlite_spark.operators import pack_token_shards
+
+    df = spark.createDataFrame(
+        [(0, "aa bb"), (1, "cc dd ee")], ["doc id.v-1", "my.text"]
+    )
+    packed = {
+        r["doc id.v-1"]: (r["n_tokens"], r["shard_id"])
+        for r in pack_token_shards(
+            df, "doc id.v-1", "my.text", budget=4
+        ).collect()
+    }
+    assert packed == {0: (2, 0), 1: (3, 1)}
+
+
 def test_subword_seam_id_column_needing_backticks(spark):
     """The mapInPandas schema is built as a StructType, not an
     interpolated DDL string — an id column whose name needs quoting

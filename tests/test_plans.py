@@ -689,6 +689,10 @@ def test_pretrain_corpus_token_col_knob(spark, sf):
     assert base.columns == ["doc_id", "source", "n_chars", "shard_id"]
     with pytest.raises(ValueError, match="token_col"):
         pretrain_corpus(docs, benchmark, token_col="not_a_column")
+    # a base-schema column as token_col would silently duplicate and
+    # die later as an ambiguous reference — must fail fast instead
+    with pytest.raises(ValueError, match="collides"):
+        pretrain_corpus(docs, benchmark, token_col="n_chars")
 
 
 def test_weighted_reservoir_map_side_topk_prune(spark, sf):
