@@ -35,6 +35,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from scale_probe_r15 import (  # noqa: E402
     SCALES,
     plan_kinds,
@@ -125,6 +127,69 @@ def probe_audio_segments(spark, docs_path: str) -> dict:
     }
 
 
+def probe_image_in_video(spark, docs_path: str) -> dict:
+    """PROBE SHAPE (round-16 extension): the still batch is FIXED
+    (replica-0's every-41st doc) while the video corpus grows — the
+    cross-modal lookup's deployment regime. The corpus-side frame
+    decode + banding is an honest linear term (every frame must hash
+    once); the pair mass is bounded by the probe side."""
+    docs = spark.read.parquet(docs_path)
+    stills = mm.as_media(
+        docs.filter(
+            (F.col("doc_id") < 1_000_000)
+            & (F.col("doc_id") % llm_ops._STILL_MOD == 0)
+        ),
+        "doc_id", "text", mime="image/raw",
+    )
+    media = mm.as_media(docs, "doc_id", "text", mime="video/raw")
+
+    def mk():
+        return mm.image_in_video_frames(
+            stills, media, rows=6, cols=10,
+            frame_bytes=llm_ops._IIV_FRAME_BYTES, max_hamming=3,
+            grid_fn=mm._luma_grid_stub,
+        )
+
+    t_total, runs = timed(mk)
+    return {
+        "rows": docs.count(),
+        "n_stills": stills.count(),
+        "hit_rows": mk().count(),
+        "t_total": t_total,
+        "runs": runs,
+        "plan_kinds": plan_kinds(mk()),
+    }
+
+
+def probe_fuzzy_decontaminate(spark, docs_path: str) -> dict:
+    """PROBE SHAPE: the benchmark is FIXED (replica-0's every-29th
+    doc) while the training corpus grows — decontamination's
+    deployment regime. Linear simhash scan of train; candidate mass
+    bounded by the benchmark's band table."""
+    from git_log_to_sqlite_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(docs_path)
+    bench = docs.filter(
+        (F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 29 == 0)
+    )
+    train = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+
+    def mk():
+        return dd.fuzzy_decontaminate(
+            train, bench, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        )
+
+    t_total, runs = timed(mk)
+    return {
+        "rows": docs.count(),
+        "n_bench": bench.count(),
+        "kept_rows": mk().count(),
+        "t_total": t_total,
+        "runs": runs,
+        "plan_kinds": plan_kinds(mk()),
+    }
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -137,6 +202,8 @@ def main() -> None:
         for name, probe in (
             ("mm_video_scene_pairs", probe_video_scenes),
             ("mm_audio_segment_pairs", probe_audio_segments),
+            ("mm_image_in_video_probe", probe_image_in_video),
+            ("mm_fuzzy_decontaminate_probe", probe_fuzzy_decontaminate),
         ):
             if only and name not in only:
                 continue
