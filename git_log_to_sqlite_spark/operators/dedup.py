@@ -1994,7 +1994,9 @@ class _ParquetStore:
             raise
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        from ..sources.schema_cache import read_parquet_cached
+
+        return read_parquet_cached(self.spark, self.path)
 
     #: subclass hint for the fail-fast message — the bootstrap call
     #: shape differs per store (text stores take (corpus, text_col),

@@ -20,6 +20,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.schema_cache import read_parquet_cached
+
 if TYPE_CHECKING:
     from pyspark.sql import Observation
 
@@ -1000,7 +1002,7 @@ class IvfIndex:
 
     def centroids(self) -> list[list[float]]:
         rows = (
-            self.spark.read.parquet(f"{self.path}/centroids")
+            read_parquet_cached(self.spark, f"{self.path}/centroids")
             .orderBy("cell")
             .collect()
         )
@@ -1065,7 +1067,7 @@ class IvfIndex:
         # driver collect of the quantizer, so append stays
         # O(increment) even under a large-k coarse quantizer; only the
         # 1-int dim probe touches the driver
-        cents_df = self.spark.read.parquet(f"{self.path}/centroids")
+        cents_df = read_parquet_cached(self.spark, f"{self.path}/centroids")
         dim = cents_df.select(F.size("centroid")).first()[0]
         checked = _checked_embedding(
             self.vec_col, dim, f"IvfIndex.append at {self.path}"
@@ -1089,7 +1091,7 @@ class IvfIndex:
         appends is the rebuild signal. Partition-pruned count per
         cell (parquet row-group metadata makes this near-free)."""
         return (
-            self.spark.read.parquet(f"{self.path}/index")
+            read_parquet_cached(self.spark, f"{self.path}/index")
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_vectors"))
         )
@@ -1151,8 +1153,8 @@ class IvfIndex:
         comparison can never pick the literal branch, so the k-row
         count() (parquet-metadata-only, but still a job dispatch per
         probe call) runs only when the knob is raised."""
-        index = self.spark.read.parquet(f"{self.path}/index")
-        cents_df = self.spark.read.parquet(f"{self.path}/centroids")
+        index = read_parquet_cached(self.spark, f"{self.path}/index")
+        cents_df = read_parquet_cached(self.spark, f"{self.path}/centroids")
         base = queries.select(
             F.col(self.id_col).alias("query_id"),
             _as_double(F.col(self.vec_col)).alias("_qv"),
@@ -1327,7 +1329,7 @@ class SemanticStore(_ParquetStore):
         self._dim_cache: int | None = None
 
     def centroids_df(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.base}/centroids")
+        return read_parquet_cached(self.spark, f"{self.base}/centroids")
 
     def _dim(self) -> int:
         # memoized: the quantizer dim is immutable between bootstraps
