@@ -114,7 +114,8 @@ def main() -> None:
         ],
         "queries": results,
     }
-    path = os.path.join(os.path.dirname(__file__), "plan_cost_sweep_r16_results.json")
+    out_name = os.environ.get("SWEEP_OUT", "plan_cost_sweep_r16_results.json")
+    path = os.path.join(os.path.dirname(__file__), out_name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nflagged {len(flagged)} / {len(results)} -> {path}")
