@@ -58,6 +58,11 @@ def _fingerprint(path: str) -> tuple:
         return ("unstattable",)
 
 
+#: Public alias — sources.schema_cache keys its schema cache on the
+#: same content fingerprint so the two caches invalidate identically.
+content_fingerprint = _fingerprint
+
+
 def probe_events_ts(spark: SparkSession, path: str) -> str | None:
     """Return events' ``ts`` dtype as Spark reads it: ``"bigint"``
     (TIMESTAMP(NANOS) under the legacy conf), ``"timestamp_ntz"``

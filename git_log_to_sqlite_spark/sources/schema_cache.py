@@ -17,7 +17,7 @@ this reason; this cache gets that behavior without asking the caller to
 hand-maintain StructTypes.
 
 Correctness rule (same as the events ts-probe cache, whose
-``_fingerprint`` this module shares): the cache key is
+content fingerprint this module shares): the cache key is
 ``(path, fingerprint)`` where the fingerprint is the recursive
 (size, mtime_ns) listing of the path — a regenerated or re-encoded
 file changes the fingerprint and re-infers, so a stale schema is never
@@ -34,12 +34,15 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
-from .events_probe import _fingerprint
+from .events_probe import content_fingerprint
 
 _UNSTATTABLE = ("unstattable",)
 
 # path -> (fingerprint, schema). Replaced wholesale when the
 # fingerprint moves; bounded by the number of distinct paths read.
+# Concurrent callers (queries on shared-session threads) race only to
+# duplicate an inference — dict get/set are GIL-atomic and both
+# winners store the same schema, so no locking is needed.
 _CACHE: dict[str, tuple[tuple, StructType]] = {}
 
 
@@ -59,7 +62,7 @@ def cached_parquet_schema(spark: SparkSession, path: str) -> StructType | None:
     probe/latch them BEFORE asking for the schema — the events path
     does (``probe_events_ts`` runs first and re-latches on cache hits).
     """
-    fp = _fingerprint(path)
+    fp = content_fingerprint(path)
     if fp == _UNSTATTABLE:
         return None
     hit = _CACHE.get(path)

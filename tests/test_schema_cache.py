@@ -14,7 +14,7 @@ import os
 import time
 
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row
 
 from git_log_to_sqlite_spark.plans.registry import table
 from git_log_to_sqlite_spark.sources.schema_cache import (
