@@ -27,6 +27,13 @@ pre-round-16 behavior, never a wrong answer.
 
 The cache stores ONE entry per path (keyed value holds the fingerprint)
 so a path rewritten in a loop cannot grow the dict unboundedly.
+
+The fingerprint's own cost is measured (the 100x lens applied to the
+fix itself): the recursive stat walk is linear at ~4.7 us/file — 0.45
+ms at 100 part files, 47 ms at 10,000 — so even at deployment part
+counts the cache-hit path stays well under the ~0.19 s inference job
+it replaces; object-store paths don't pay the walk at all (unstattable
+-> plain inference).
 """
 
 from __future__ import annotations
