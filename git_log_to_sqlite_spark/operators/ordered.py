@@ -6,12 +6,20 @@ distributed plan (Spark even warns: "No Partition Defined for Window
 operation"). These operators compute the same totally-ordered result in
 two phases, the textbook parallel prefix-sum shape:
 
-1. **Range-partition on the order key** (`repartitionByRange`), so
-   partition i holds a contiguous key range and all of partition i's
-   keys precede partition i+1's. Each partition then computes its LOCAL
-   running sum / row number in parallel — the window partitions on
-   `spark_partition_id()`, never on a single global partition.
-2. **Offsets**: one tiny aggregate (one row per partition) is
+1. **Contiguous bucketing on the order key.** Numeric first keys
+   (every analytical call site) use the round-16 VALUE-BUCKETED form:
+   an in-plan broadcast (min, max) of the key assigns each row its
+   equal-width bucket — fully lazy, fully visible to Catalyst, and
+   deterministic under recomputation because the pid is a function of
+   the row's value, not of partitioner state. Non-numeric first keys
+   (the ETL's commit ids) keep the `repartitionByRange` +
+   `localCheckpoint` form, which supports arbitrary orderable types at
+   the cost of construction-time materialization under AQE (see
+   `_bucketed_with_pid` for the measurement that motivated the split).
+   Either way each bucket computes its LOCAL running sum / row number
+   in parallel — the window partitions on the bucket id, never on a
+   single global partition.
+2. **Offsets**: one tiny aggregate (one row per bucket) is
    prefix-summed and broadcast back; adding `offset[pid]` to the local
    value yields the exact global result.
 
@@ -30,10 +38,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+)
 
 _PID = "__ordered_pid"
 _LOCAL = "__ordered_local"
 _OFFSET = "__ordered_offset"
+_LO = "__ordered_lo"
+_HI = "__ordered_hi"
+
+_NUMERIC_FIRST = (
+    ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType, DecimalType,
+)
 
 
 def _ranged_with_pid(df: DataFrame, order_cols: list[str], num_partitions: int | None) -> DataFrame:
@@ -57,6 +80,92 @@ def _ranged_with_pid(df: DataFrame, order_cols: list[str], num_partitions: int |
     # deterministic two-stage op; a retry recomputes both branches from
     # the new blocks consistently.)
     return ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=False)
+
+
+def _bucketed_with_pid(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> DataFrame:
+    """Value-deterministic pid assignment for a NUMERIC first order
+    column — the round-16 replacement for the checkpoint-frozen range
+    partitioning on every numeric-keyed call site.
+
+    Why (measured, tools/plan_cost_sweep_r16.py follow-up): the
+    ``localCheckpoint(eager=False)`` form is NOT lazy under AQE —
+    ``Dataset.checkpoint`` calls ``queryExecution.toRdd``, and
+    ``AdaptiveSparkPlanExec.doExecute`` materializes every upstream
+    query stage right there, at CONSTRUCTION time (the pretrain
+    composite measured 10 jobs / ~2-6.5 s of data work per
+    construction before any action ran). The checkpoint also severs
+    the plan at a LogicalRDD, so Catalyst cannot prune columns or push
+    filters across the prefix-sum boundary.
+
+    This form derives the pid from the ROW'S VALUE instead of from
+    partitioner state: a one-row (min, max) aggregate of the first
+    order column is broadcast (in-plan, lazy), and each row's bucket is
+    its equal-width position in that range. Determinism no longer
+    depends on materialization AT ALL — min/max are exact, so any
+    branch recomputation reproduces identical pids — which is what
+    makes dropping the checkpoint sound. The frame is pinned
+    (``caching.pin``: lazy persist + registry) so the totals branch and
+    the local-window branch still share one computation of the
+    upstream pipeline, matching the checkpoint's cost shape without its
+    eagerness; if the cache is evicted, recomputation is correct, just
+    slower — the failure mode the checkpoint turned into a job failure.
+
+    Bucketing correctness does not depend on balance: the pid is
+    monotone (non-strict) in the first order column, rows tying on it
+    share a bucket, and the local window orders by the FULL key inside
+    the bucket, so the offset identity holds for ANY bounds. Balance —
+    parallelism, not correctness — assumes a roughly uniform first
+    key (true of every call site: dense ids). Pathological doubles
+    degrade to fewer effective buckets, never to wrong results: NaN
+    and +inf keys land in the top bucket (their sort position), a
+    -inf/degenerate range collapses to one bucket, null keys take
+    bucket 0 (nulls-first sort position).
+    """
+    from .caching import pin
+
+    sess = df.sparkSession
+    n = int(
+        num_partitions
+        or sess.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    n = max(n, 1)
+    if n == 1:
+        return pin(df.withColumn(_PID, F.lit(0)))
+    key = F.col(order_cols[0]).cast("double")
+    rng = df.select(F.min(key).alias(_LO), F.max(key).alias(_HI))
+    span = F.col(_HI) - F.col(_LO)
+    frac = (key - F.col(_LO)) / span
+    safe = (
+        F.when(F.isnan(frac) | (frac > 1.0), F.lit(1.0))
+        .when(frac < 0.0, F.lit(0.0))
+        .otherwise(frac)
+    )
+    pid = F.least(F.floor(safe * n), F.lit(n - 1).cast("bigint")).cast("int")
+    bucketed = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn(
+            _PID,
+            F.coalesce(F.when(span > 0, pid).otherwise(F.lit(0)), F.lit(0)),
+        )
+        .drop(_LO, _HI)
+    )
+    return pin(bucketed)
+
+
+def _with_pid(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> DataFrame:
+    """Dispatch: numeric first order column -> the lazy value-bucketed
+    form; anything else (the ETL's string commit ids, the two-phase
+    mix's domain-first order) -> the checkpoint-frozen range form,
+    whose construction-time materialization is harmless there (those
+    callers execute the pipeline immediately) and whose ordering
+    supports arbitrary orderable types."""
+    if isinstance(df.schema[order_cols[0]].dataType, _NUMERIC_FIRST):
+        return _bucketed_with_pid(df, order_cols, num_partitions)
+    return _ranged_with_pid(df, order_cols, num_partitions)
 
 
 def _attach_offsets(ranged: DataFrame, partial: F.Column, local_fn,
@@ -95,7 +204,7 @@ def ordered_running_sum(
     docstring). Equivalent to
     ``SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``.
     """
-    ranged = _ranged_with_pid(df, order_cols, num_partitions)
+    ranged = _with_pid(df, order_cols, num_partitions)
     return _attach_offsets(
         ranged, F.sum(value_col), lambda w: F.sum(value_col).over(w), order_cols, out_col
     )
@@ -112,7 +221,7 @@ def ordered_row_number(
     id assignment. Equivalent to
     ``ROW_NUMBER() OVER (ORDER BY order_cols)``.
     """
-    ranged = _ranged_with_pid(df, order_cols, num_partitions)
+    ranged = _with_pid(df, order_cols, num_partitions)
     return _attach_offsets(
         ranged,
         F.count(F.lit(1)),

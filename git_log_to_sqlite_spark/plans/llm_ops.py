@@ -1702,9 +1702,12 @@ def curate_corpus(d: DataFrame, telemetry: dict | None = None) -> DataFrame:
     )
     # The dedup-stage metrics ride on the FINAL select, which is
     # row-and-token-preserving over the dedup output. They must NOT sit
-    # directly below ordered_running_sum: repartitionByRange runs a
-    # range-bound SAMPLING job over its child first, so a mid-plan
-    # CollectMetrics there fires twice per action (observed 2x counts).
+    # directly below ordered_running_sum: its pinned bucketed frame is
+    # consumed by two plan branches (totals + local window), so a
+    # mid-plan CollectMetrics there can fire per consuming branch on a
+    # cache miss (and the legacy string-keyed form's
+    # repartitionByRange additionally runs a range-bound SAMPLING job
+    # over its child — observed 2x counts).
     return _observe(
         out,
         "post_dedup",

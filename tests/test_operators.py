@@ -2496,13 +2496,81 @@ def test_ordered_running_sum_matches_global_window(spark):
         map(tuple, want.collect())
     )
     # the data-sized windows must all carry a partition spec (the local
-    # window partitions by __ordered_pid); the range exchange itself now
-    # sits behind the localCheckpoint boundary (Scan ExistingRDD) that
-    # freezes pid assignment for both plan branches
+    # window partitions by __ordered_pid). Round 16: numeric-keyed
+    # calls use the VALUE-BUCKETED form — a pinned (lazily cached)
+    # frame with a broadcast (min,max) attach — instead of the
+    # localCheckpoint boundary, whose eager=False was NOT lazy under
+    # AQE (upstream stages materialized at construction) and whose
+    # LogicalRDD severed Catalyst's view of the pipeline.
     plan = got._jdf.queryExecution().executedPlan().toString()
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
     assert any("__ordered_pid" in s for s in specs)
-    assert "existingrdd" in plan.lower()
+    # the pinned (lazily cached) bucketed frame marks the new path —
+    # the retired checkpoint form had no InMemoryRelation. (A bare
+    # "no ExistingRDD" pin is wrong HERE: this test's createDataFrame
+    # input itself scans as ExistingRDD; the parquet-input pins in
+    # test_plans.py carry that stronger assertion.)
+    assert "inmemory" in plan.lower()
+
+
+def test_ordered_numeric_construction_is_lazy(spark):
+    """The round-16 contract: constructing a numeric-keyed ordered op
+    (and the composites built on it) fires ZERO Spark jobs. The
+    retired localCheckpoint(eager=False) form was not lazy under AQE
+    (Dataset.checkpoint -> queryExecution.toRdd ->
+    AdaptiveSparkPlanExec materializes every upstream stage at
+    construction — measured 10 jobs / seconds of data work per
+    pretrain-composite construction)."""
+    import time
+
+    tracker = spark.sparkContext._jsc.statusTracker()
+    df = spark.createDataFrame([(i, 1) for i in range(200)], "k long, v long")
+    ordered_running_sum(df, ["k"], "v")  # warm (pin registry, py4j)
+    before = len(tracker.getJobIdsForGroup(None))
+    ordered_running_sum(df, ["k"], "v")
+    time.sleep(0.5)  # async subquery futures would land here
+    assert len(tracker.getJobIdsForGroup(None)) == before
+
+
+def test_ordered_bucketed_edge_keys_match_global_window(spark):
+    """Null / NaN / duplicated / negative keys through the
+    value-bucketed path must equal the global-window reference —
+    bucketing is monotone so ANY bounds give the same cum values."""
+    from pyspark.sql import Window
+
+    rows = [
+        (None, 1.0), (float("nan"), 3.0), (2.5, 1.0), (1.5, 2.0),
+        (-7.25, 4.0), (0.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k double, v double")
+    got = {
+        (str(r["k"]), r["cum"])
+        for r in ordered_running_sum(df, ["k"], "v", out_col="cum").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (str(r["k"]), r["cum"])
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+
+def test_ordered_all_equal_keys_single_bucket_still_correct(spark):
+    """Degenerate range (every first-order key equal) collapses to one
+    bucket — correct, just unparallel; the tie-break columns keep the
+    total order."""
+    from pyspark.sql import Window
+
+    rows = [(7, i, 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, t long, v long").repartition(5)
+    got = ordered_running_sum(df, ["k", "t"], "v", out_col="cum")
+    w = Window.orderBy("k", "t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select("k", "t", F.sum("v").over(w).alias("cum"))
+    assert sorted(map(tuple, got.select("k", "t", "cum").collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 def test_ordered_row_number_matches_global_window(spark):

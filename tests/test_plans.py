@@ -209,16 +209,17 @@ def test_bucketed_join_no_shuffle(spark, sf, tmp_path):
 
 
 def test_pack_shards_no_single_reducer_window(spark, sf):
-    """The running token sum must be the two-phase range-partitioned
-    form — a Window with an empty partition spec would funnel the
-    corpus through one reducer. The range exchange sits behind the
-    localCheckpoint boundary (Scan ExistingRDD) that freezes pid
-    assignment, so the visible plan shows the pid-partitioned local
-    window over the checkpointed scan."""
+    """The running token sum must be the two-phase form — a Window
+    with an empty partition spec would funnel the corpus through one
+    reducer. Round 16: the pid comes from the value-bucketed form
+    (broadcast min/max attach over a pinned frame), not a
+    localCheckpoint — construction is lazy and the plan stays whole
+    for Catalyst."""
     plan = plan_of(plans.REGISTRY["text_pack_shards"].fn(spark, sf))
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
     assert any("__ordered_pid" in s for s in specs)
-    assert "existingrdd" in plan.lower()
+    assert "existingrdd" not in plan.lower()
+    assert "inmemory" in plan.lower()
 
 
 def test_tfidf_window_is_per_document(spark, sf):
@@ -315,12 +316,14 @@ def test_domain_mix_broadcast_rates_and_pruned_scan(spark, sf):
 
 def test_curate_pipeline_two_phase_prefix_sum(spark, sf):
     """The curation pipeline's shard packing must be the two-phase form:
-    pid-partitioned local window over the checkpoint-frozen range
-    partitioning, never an empty-partition data-sized window."""
+    pid-partitioned local window over the value-bucketed pinned frame
+    (round 16 — no checkpoint, construction lazy), never an
+    empty-partition data-sized window."""
     plan = plan_of(plans.REGISTRY["pipeline_curate_corpus"].fn(spark, sf))
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
     assert any("__ordered_pid" in s for s in specs)
-    assert "existingrdd" in plan.lower()
+    assert "existingrdd" not in plan.lower()
+    assert "inmemory" in plan.lower()
 
 
 def test_substring_islands_ride_the_window_exchange(spark, sf):
@@ -615,15 +618,17 @@ def test_incremental_lsh_no_cartesian_and_cached_signatures(spark, sf):
 def test_pretrain_pipeline_plan_shape(spark, sf):
     """Flagship-composite scale pins on the FINAL plan: shard packing
     is the two-phase prefix sum (pid-partitioned local window over the
-    checkpoint-frozen range partitioning — the localCheckpoint hides
-    the upstream stages from this explain; their shapes are pinned by
+    round-16 value-bucketed pinned frame — unlike the retired
+    localCheckpoint form, the WHOLE pipeline is visible to this
+    explain and to Catalyst; stage shapes are additionally pinned by
     test_decontaminate_broadcasts_benchmark_semi_join and
     test_token_budget_single_domain_exchange on the standalone
     queries, which the pipeline builds from the same library code)."""
     plan = plan_of(plans.REGISTRY["pipeline_pretrain_corpus"].fn(spark, sf))
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
     assert any("__ordered_pid" in s for s in specs)
-    assert "existingrdd" in plan.lower()
+    assert "existingrdd" not in plan.lower()
+    assert "inmemory" in plan.lower()
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
 
