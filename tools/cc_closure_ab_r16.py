@@ -1,21 +1,36 @@
 #!/usr/bin/env python
 """A/B: per-round materialization strategy inside connected_components.
 
-Shipping form (A): nxt.localCheckpoint(eager=True)  — one job to
-materialize the round's edge set, then the signature collect runs a
-SECOND job over the frozen blocks (cheap, but still a full job
-dispatch).  Candidate form (B): nxt.persist() lazily — the signature
-collect itself materializes the cache, fusing the two jobs into one
-per round.  Lineage is NOT truncated under B, so round k's plan embeds
-rounds 1..k-1 as InMemoryTableScans; rounds are bounded (2-3 measured,
-25 hard cap) so analyzer growth is bounded too.
+Shipping form (A): every round runs ``localCheckpoint(eager=True)``
+(one pass that computes and persists the round's edge blocks) followed
+by the signature collect (count + hash-sum fixpoint probe — a second
+job re-reading those blocks).  Three candidates were measured against
+it at sf0.1 (results: cc_closure_ab_r16_results.json and the two OOM
+records below):
 
-Correctness note for the A/B: both variants compute identical edge
-sets (persist/checkpoint do not change values); the question is ONLY
-job count / wall clock.  The experiment interleaves A/B/A/B ... at
-min-of-3 per leg on the two CC-heavy registry queries, timing
-construct+execute (the closure loop runs at construction; the noop
-write times the final join).
+* Variant B — ``persist()`` everywhere, no checkpoints: **OOMs the
+  driver** on dedup_minhash_groups.  Without the flat LogicalRDD base,
+  every round's logical tree embeds the full LSH pair-generation plan
+  4x per round (large-star and small-star each reference their input
+  twice); plan-tree stringification alone exhausted the heap at round 3.
+* Variant C — eager checkpoint of the canonical base only, per-round
+  ``persist()``: 4.7x SLOWER on dedup_minhash_groups (23.1 vs 4.9 s)
+  and 1.4-1.5x slower on the others, then **OOMs** on
+  dedup_embedding_groups, whose deeper component chains take more
+  rounds (4^rounds analyzer nodes).  Per-round lineage truncation is
+  load-bearing, not just the base.
+* Variant D (current code below) — ``localCheckpoint(eager=False)``
+  everywhere: truncation kept, the block-persist pass fused into the
+  signature job.  Result: a WASH (±3%, inside window noise — e.g.
+  minhash 4.835 vs 4.836, embedding 2.866 vs 2.491, group_assign
+  4.513 vs 4.64).  The dominant per-round term is AQE query-stage
+  dispatch for the star-op exchanges, which both forms pay equally;
+  the deferred final pass over a small edge set is milliseconds.
+
+Conclusion: the shipping eager-checkpoint protocol stays — it is at
+its cost floor for this algorithm shape, and its failure mode under
+block loss (job failure + consistent retry) is simpler to reason about
+than lazy materialization.
 
 Usage: python tools/cc_closure_ab_r16.py [sf_dir]
 """
@@ -39,8 +54,11 @@ QUERIES = ["dedup_minhash_groups", "dedup_substring_groups",
            "dedup_group_assign", "dedup_embedding_groups"]
 
 
-def cc_persist(edges, src="src", dst="dst", max_rounds=25, stats=None):
-    """Variant B: lazy persist; the signature collect materializes."""
+def cc_lazy_ckpt(edges, src="src", dst="dst", max_rounds=25, stats=None):
+    """Variant D: identical to shipping except eager=False — lineage is
+    STILL truncated per round (LogicalRDD), but block materialization is
+    deferred to the signature collect, fusing the per-round persist pass
+    into the signature job."""
     def _signature(df):
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -51,42 +69,36 @@ def cc_persist(edges, src="src", dst="dst", max_rounds=25, stats=None):
         ).collect()[0]
         return row["n"], row["h"]
 
-    pinned = []
     cur = graph._canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).persist()
-    pinned.append(cur)
+    ).localCheckpoint(eager=False)
     cur_sig = _signature(cur)
     converged = cur_sig[0] == 0
     rounds = 0
     for _ in range(max_rounds):
         if converged:
             break
-        nxt = graph._small_star(graph._large_star(cur)).persist()
-        pinned.append(nxt)
+        nxt = graph._small_star(graph._large_star(cur)).localCheckpoint(
+            eager=False
+        )
         rounds += 1
-        nxt_sig = _signature(nxt)
+        nxt_sig = _signature(nxt)  # materializes the blocks in the same job
         if nxt_sig == cur_sig and nxt.exceptAll(cur).isEmpty():
             converged = True
         cur, cur_sig = nxt, nxt_sig
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
-        for df in pinned:
-            df.unpersist()
         raise RuntimeError(f"no convergence in {max_rounds} rounds")
     roots = cur.select(F.col("v").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
-    out = (
+    return (
         cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .union(roots)
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
-    # NOTE: intermediates stay pinned until clearCache between runs —
-    # fine for the A/B (each leg clears), flagged for the real impl.
-    return out
 
 
 def timed(spark, sf_dir, name):
@@ -105,20 +117,20 @@ def main():
     orig = graph.connected_components
     out = {"sf_dir": sf_dir, "queries": {}}
     for name in QUERIES:
-        legs = {"checkpoint": [], "persist": []}
+        legs = {"checkpoint": [], "lazy_ckpt": []}
         # warm once (codegen/footers) outside the timed legs
         timed(spark, sf_dir, name)
         for _ in range(3):
             graph.connected_components = orig
             legs["checkpoint"].append(timed(spark, sf_dir, name))
-            graph.connected_components = cc_persist
-            legs["persist"].append(timed(spark, sf_dir, name))
+            graph.connected_components = cc_lazy_ckpt
+            legs["lazy_ckpt"].append(timed(spark, sf_dir, name))
         graph.connected_components = orig
         out["queries"][name] = {
             "checkpoint_runs": legs["checkpoint"],
-            "persist_runs": legs["persist"],
+            "lazy_ckpt_runs": legs["lazy_ckpt"],
             "checkpoint_min": min(legs["checkpoint"]),
-            "persist_min": min(legs["persist"]),
+            "lazy_ckpt_min": min(legs["lazy_ckpt"]),
         }
         print(name, out["queries"][name], file=sys.stderr)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
