@@ -52,89 +52,32 @@ def _prioritize(first: list[str], last: list[str] = ()) -> None:
 
 
 
-# Round-16 rotation (executing the plan pre-staged in round 15's
+# Round-17 rotation (executing the plan pre-staged in round 16's
 # COVERAGE.md, with ZERO registry growth — the standing rule: the
 # corpus HOLDS at 126 queries / 121 oracles until the gate grows).
-# Pure rotation again: the twenty-one round-13 rows spilled past
-# round 15's slot 50 LEAD (their last gate is r13 — the oldest
-# driver rows in the corpus: the multimodal segment pair, SemDeDup
-# assign, DSIR, the fn_* scalar block, the text-cleaning trio, the
-# udf_* surface block, and the substring-dedup pair), then 29 of the
-# 50 round-14-gated rows in CORRECTNESS_r14 key order with the
-# special evidence classes FORCE-INCLUDED per the standing doctrine
-# (never spill streaming-replay, ETL-parity, or composite rows): the
-# first 27 rows of the r14 key order (dedup_incremental_substring ..
-# text_langid) plus etl_repos_skipped_parity and stream_dedup_replay
-# at their r14 relative positions (slots 49-50 there).  The
-# twenty-one r14 rows after the prefix — all deterministic/
-# hash-checkable and green in r14 — spill to lead round 17.
-# Freshness cycle stays ~2.52 rounds (126 against a 2x50 gate),
-# accepted per the round-10 verdict's adjudication (a never-gated
-# operator is worse than a slightly staler rotation).
+# Pure rotation again: the twenty-one round-14 rows spilled past
+# round 16's slot 50 LEAD (last gate r14 — the oldest driver rows:
+# the text scalar block, the win_* window block, the three sketch
+# aggregates, the binary-modality near-dup trio, the sort/setop
+# pair), in their order at slots 51-71 of the round-16 registry;
+# then 29 of the 50 round-15-gated rows in CORRECTNESS_r15 key
+# order with the special evidence classes FORCE-INCLUDED per the
+# standing doctrine (never spill streaming-replay, ETL-parity, or
+# composite rows): the first 23 rows of the r15 key order
+# (setop_intersect .. dedup_minhash_groups) plus
+# pipeline_pretrain_corpus, pipeline_curate_corpus,
+# stream_tumbling_replay, stream_session_replay, stream_join_replay
+# and etl_logs_parity at their r15 relative positions (slots 45-50
+# there).  The twenty-one r15 rows after the prefix — all
+# deterministic/hash-checkable and green in r15 — spill to lead
+# round 18.  Freshness cycle stays ~2.52 rounds (126 against a
+# 2x50 gate), accepted per the round-10 verdict's adjudication (a
+# never-gated operator is worse than a slightly staler rotation).
 _prioritize(
     first=[
-        # --- round-13 spills (oldest driver rows; spilled past
-        #     round 15's slot 50; order = round-15 spill list /
+        # --- round-14 spills (oldest driver rows; spilled past
+        #     round 16's slot 50; order = round-16 spill list /
         #     COVERAGE.md pre-staging) ---
-        "mm_image_in_video",
-        "mm_audio_segment_pairs",
-        "sem_dedup_assign",
-        "sample_dsir",
-        "fn_math",
-        "fn_conditional",
-        "fn_strings",
-        "fn_regex",
-        "fn_dates",
-        "fn_json",
-        "fn_from_json_struct",
-        "text_chunk_overlap",
-        "text_pii_mask",
-        "text_clean",
-        "udf_scalar_python",
-        "udf_pandas_vectorized",
-        "udf_map_in_pandas",
-        "udf_table_function",
-        "udf_native_udtf",
-        "dedup_substring_spans",
-        "dedup_substring_groups",
-        # --- round-14-gated block, CORRECTNESS_r14 key order (29 of
-        #     50 names: the first 27 rows, then the two
-        #     force-included special evidence rows
-        #     etl_repos_skipped_parity and stream_dedup_replay at
-        #     their r14 relative positions; the twenty-one rows
-        #     listed after the prefix spill to round 17) ---
-        "dedup_incremental_substring",
-        "sim_ann_ivf_assign",
-        "dedup_simhash_pairs",
-        "dedup_decontaminate",
-        "sample_token_budget",
-        "dedup_incremental_lsh",
-        "join_revenue_per_customer",
-        "join_region_revenue",
-        "join_left_outer",
-        "join_full_outer",
-        "join_right_outer",
-        "join_merge_hint",
-        "join_semi",
-        "join_anti",
-        "join_range_bands",
-        "join_asof_last_event",
-        "agg_salted_skew",
-        "events_sessionize",
-        "events_cohort_retention",
-        "sample_domain_mix",
-        "dedup_embedding_groups",
-        "dedup_dropduplicates_subset",
-        "agg_pivot",
-        "agg_grouping_sets",
-        "fn_array",
-        "fn_explode",
-        "text_langid",
-        "etl_repos_skipped_parity",
-        "stream_dedup_replay",
-        # --- spill past slot 50 → lead the round-17 rotation (r14
-        #     key order; all deterministic/hash-checkable, green in
-        #     r14) ---
         "text_quality",
         "text_tokens",
         "text_fingerprint",
@@ -156,6 +99,66 @@ _prioritize(
         "sort_topk_orders",
         "sort_multikey_nulls",
         "setop_union",
+        # --- round-15-gated block, CORRECTNESS_r15 key order (29 of
+        #     50 names: the first 23 rows, then the six
+        #     force-included special evidence rows — the two
+        #     composites, the three stream replays, and etl_logs_
+        #     parity — at their r15 relative positions; the
+        #     twenty-one rows listed after the prefix spill to
+        #     round 18) ---
+        "setop_intersect",
+        "setop_except",
+        "setop_intersect_all",
+        "setop_except_all",
+        "fn_higher_order",
+        "fn_cast",
+        "fn_map",
+        "join_cross",
+        "join_self_nation_pairs",
+        "agg_pricing_summary",
+        "agg_percentiles",
+        "agg_global",
+        "agg_distinct",
+        "agg_stats",
+        "events_window_tumbling",
+        "events_funnel_depth",
+        "events_window_sliding",
+        "events_top_paths",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_group_assign",
+        "dedup_minhash_lsh",
+        "dedup_minhash_groups",
+        "pipeline_pretrain_corpus",
+        "pipeline_curate_corpus",
+        "stream_tumbling_replay",
+        "stream_session_replay",
+        "stream_join_replay",
+        "etl_logs_parity",
+        # --- spill past slot 50 → lead the round-18 rotation (r15
+        #     key order; all deterministic/hash-checkable, green in
+        #     r15) ---
+        "dedup_simhash",
+        "asof_event_value",
+        "text_topk_terms",
+        "text_tfidf_topk",
+        "text_pack_shards",
+        "sample_weighted_reservoir",
+        "sim_cosine_topk",
+        "sim_ann_bucketed",
+        "sim_pairs_threshold",
+        "dedup_embedding_cosine",
+        "sim_centroid_per_label",
+        "sim_ann_multiprobe",
+        "udf_grouped_map",
+        "udf_grouped_agg",
+        "sql_correlated_exists",
+        "sql_not_exists",
+        "sql_scalar_subquery",
+        "sql_correlated_scalar_agg",
+        "sql_in_subquery",
+        "mm_fuzzy_decontaminate",
+        "mm_video_scene_pairs",
     ],
     last=[
         # Oracle-less by design; pytest-verified (bounds / properties /
