@@ -142,7 +142,17 @@ def _bucketed_with_pid(
         .when(frac < 0.0, F.lit(0.0))
         .otherwise(frac)
     )
-    pid = F.least(F.floor(safe * n), F.lit(n - 1).cast("bigint")).cast("int")
+    # Null keys FIRST and explicitly: for a null key ``frac`` is null,
+    # ``safe`` stays null (``isnan(null)`` and ``null < 0`` are null,
+    # so both WHEN branches are skipped and OTHERWISE passes the null
+    # through), and ``least(null, n-1)`` — which SKIPS nulls — would
+    # return ``n-1``: a non-null value, so the coalesce rescue below
+    # never fires and nulls would land in the TOP bucket while the
+    # local window sorts them FIRST (Spark default nulls-first),
+    # breaking the offset identity. Bucket 0 is their sort position.
+    pid = F.when(key.isNull(), F.lit(0)).otherwise(
+        F.least(F.floor(safe * n), F.lit(n - 1).cast("bigint")).cast("int")
+    )
     bucketed = (
         df.crossJoin(F.broadcast(rng))
         .withColumn(

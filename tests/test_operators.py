@@ -2555,6 +2555,41 @@ def test_ordered_bucketed_edge_keys_match_global_window(spark):
     assert got == want
 
 
+def test_ordered_null_keys_without_nan_take_bucket_zero(spark):
+    """Null first-order keys with NO NaN in the frame — the round-16
+    edge test's NaN row poisons max into NaN, collapsing EVERY row
+    into one bucket, so it never exercised the null pid branch on a
+    healthy multi-bucket range. Without the explicit
+    ``when(key.isNull(), 0)`` branch, ``least(NULL, n-1)`` SKIPS the
+    null and returns ``n-1``: nulls land in the TOP bucket while the
+    local window sorts them FIRST, so their running sums would count
+    every non-null row's contribution as an offset — wrong results,
+    not just imbalance."""
+    from pyspark.sql import Window
+
+    rows = [(None, 10.0), (None, 20.0)] + [
+        (float(i), 1.0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k double, v double").repartition(7)
+    got = {
+        (str(r["k"]), r["cum"])
+        for r in ordered_running_sum(
+            df, ["k", "v"], "v", out_col="cum", num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("k", "v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (str(r["k"]), r["cum"])
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+    # the two null rows sort first: their cums are 10 and 30, and no
+    # non-null row's offset may include them twice or miss them
+    assert ("None", 10.0) in got and ("None", 30.0) in got
+
+
 def test_ordered_all_equal_keys_single_bucket_still_correct(spark):
     """Degenerate range (every first-order key equal) collapses to one
     bucket — correct, just unparallel; the tie-break columns keep the
