@@ -28,7 +28,7 @@ rand()): results are reproducible and retried tasks can't double-count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Algebraic aggregates decompose into (partial op, final op) — the same
@@ -332,22 +332,25 @@ def _quantile_cap(d_values: DataFrame, q: float) -> DataFrame:
     dominate) it is a small fraction of the corpus; MEMORY_AND_DISK
     spills instead of evicting under pressure.
 
-    The windows here are global but run over the df *histogram* (one
-    row per distinct posting-list length — bounded by the longest
-    posting list, thousands of rows at worst at corpus scale), not over
-    data; same bounded-dimension exemption as build_repositories.
+    The fold here runs over the df *histogram* (one row per distinct
+    posting-list length — bounded by the longest posting list,
+    thousands of rows at worst at corpus scale), not over data; same
+    bounded-dimension exemption as build_repositories.
+
+    Shape note (round 17, guide §2.4): this was previously a
+    sort + two global windows + filter + global min-agg over the
+    histogram — an Exchange SinglePartition for the window sort plus a
+    second exchange for the final aggregate, each a serialized AQE
+    query-stage dispatch on a frame of a few hundred rows.  Folding
+    the sorted histogram ARRAY inside one global aggregate computes
+    the identical d* with one exchange: partial collect_list combines
+    map-side, sort_array orders by d (distinct, so the tie field never
+    decides), and the running-sum crossing is the same integer compare
+    as before, term for term.  Collecting the histogram into one array
+    is exactly as bounded as the single-partition window it replaces —
+    both put the whole histogram on one task.
     """
     hist = d_values.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Deliberately global windows: the boundedness argument above is
-    # why one partition is fine. (WindowExec's single-partition warning
-    # is suppressed at the logger in session.get_spark — a lit(0)
-    # partition key does not work; EliminateWindowPartitions folds it.)
-    cum_w = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tot_w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     # The threshold compare is pure integer arithmetic (cum * den >=
     # num * tot with q = num/den taken from q's decimal digits), so the
     # Spark and DuckDB twins can never disagree by a rounding ulp the
@@ -356,18 +359,37 @@ def _quantile_cap(d_values: DataFrame, q: float) -> DataFrame:
     from fractions import Fraction
 
     frac = Fraction(str(q))
-    return (
-        hist.select(
-            "d",
-            F.sum("n_sh").over(cum_w).alias("cum"),
-            F.sum("n_sh").over(tot_w).alias("tot"),
-        )
-        .filter(
-            F.col("cum") * F.lit(frac.denominator)
-            >= F.lit(frac.numerator) * F.col("tot")
-        )
-        .agg(F.min("d").alias("_max_df"))
+    # _tot is an AGGREGATE output, not a projected fold: CollapseProject
+    # would inline a projected fold into the crossing lambda below and
+    # re-evaluate it PER ELEMENT (O(H^2) over the histogram); an
+    # aggregate attribute cannot be inlined.
+    one = hist.agg(
+        F.sort_array(F.collect_list(F.struct("d", "n_sh"))).alias("_hist"),
+        F.sum("n_sh").alias("_tot"),
     )
+    # running sum in d order; `best` latches the FIRST d whose
+    # cumulative count crosses q — the smallest such d, exactly the
+    # min(d) the filtered-window form selected.
+    crossing = F.aggregate(
+        F.col("_hist"),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["n_sh"]).alias("cum"),
+            F.coalesce(
+                acc["best"],
+                F.when(
+                    (acc["cum"] + x["n_sh"]) * F.lit(frac.denominator)
+                    >= F.lit(frac.numerator) * F.col("_tot"),
+                    x["d"],
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return one.select(crossing.alias("_max_df"))
 
 
 def recommend_salt_threshold(
