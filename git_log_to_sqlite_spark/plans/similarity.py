@@ -92,8 +92,10 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
     # norms fold once per vector in the side projections (see
-    # operators.similarity.vnorm) — the pair stage pays one dot
-    a = e.select(
+    # operators.similarity.vnorm) — the pair stage pays one dot;
+    # stream side widened like dedup_embedding_cosine (bounded slice,
+    # one scan partition otherwise)
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vec_a"),
         sim.as_double(F.col("embedding")).alias("av"),
         sim.vnorm(F.col("embedding")).alias("an"),
@@ -131,7 +133,14 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 512)
-    a = e.select(
+    # Widen the STREAM side of the pair join (round 17, guide §2.5
+    # input skew): the filtered slice arrives as ONE scan partition
+    # (single parquet file), so the nested-loop pair stage — 512^2/2
+    # interpreted higher-order dot folds — ran on one core regardless
+    # of cluster size (measured 2.6 -> 1.2 s at 32 cores; rows
+    # identical). The slice is bounded by the filter (<= 512 rows), so
+    # the repartition shuffles a few KB at any corpus scale.
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vec_a"),
         sim.as_double(F.col("embedding")).alias("av"),
         sim.vnorm(F.col("embedding")).alias("an"),
@@ -478,7 +487,9 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import assign_dedup_groups
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 256)
-    a = e.select(
+    # same stream-side widening as dedup_embedding_cosine: the bounded
+    # slice scans as one partition and would serialize the pair folds
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("id_a"),
         sim.as_double(F.col("embedding")).alias("av"),
         sim.vnorm(F.col("embedding")).alias("an"),
