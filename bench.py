@@ -441,7 +441,9 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         raw_docs = docs.filter(F.col("doc_id") % 29 != 0)
         tgt_docs = docs.filter(F.col("doc_id") % 29 == 0)
-        from git_log_to_sqlite_spark.operators.caching import release_caches
+        # release_caches comes from the module-level import; a local
+        # re-import here would make the name function-local and
+        # UnboundLocalError the EARLIER ivf/semantic blocks
 
         for hf, key in (("md5", "dsir_select"),
                         ("xxhash64", "dsir_select_xxhash64")):
