@@ -29,6 +29,8 @@ TOUCHED = [
     "dedup_embedding_cosine", "dedup_embedding_groups", "sim_pairs_threshold",
     # null-key pid branch in the value-bucketed prefix sum (round 17)
     "pipeline_pretrain_corpus", "pipeline_curate_corpus", "text_pack_shards",
+    # one-pass simhash signature aggregation (round 17)
+    "dedup_simhash", "mm_fuzzy_decontaminate",
 ]
 
 
