@@ -1157,6 +1157,51 @@ def test_simhash_similar_docs_close(docs):
     assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])  # near-dup closer
 
 
+def test_simhash_matches_pure_python_reference(spark):
+    """The round-17 one-pass signature aggregation (all bit majorities
+    in one groupBy, no bits-way row explosion, no redundant distinct)
+    must compute bit-for-bit the declared md5-majority signature — an
+    INDEPENDENT reference, not the retired Spark form, so a future
+    reshaping cannot drift both sides together. Covers both token-hash
+    widths (32-bit frozen oracle form and the 60-bit banding form)."""
+    import hashlib
+
+    texts = {
+        1: "alpha beta gamma alpha",        # in-doc repeat (dedup'd)
+        2: "alpha beta gamma",              # same token SET as doc 1
+        3: "delta epsilon zeta eta theta",
+        4: "",                              # empty text -> [""] token
+    }
+
+    def ref(text: str, bits: int) -> int:
+        hex_chars = 8 if bits <= 32 else 15
+        tokens = sorted(set(text.split(" ")))
+        weights = [0] * bits
+        for t in tokens:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:hex_chars], 16)
+            for i in range(bits):
+                weights[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(bits) if weights[i] > 0)
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    for bits in (32, 60):
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash(df, "doc_id", "text", bits=bits).collect()
+        }
+        want = {k: ref(v, bits) for k, v in texts.items()}
+        assert got == want, (bits, got, want)
+    # shape pin: the retired form exploded a bit sequence and ran two
+    # aggregations; the one-pass form has no sequence generator and
+    # exactly one partial/final aggregate pair above the token explode
+    plan = simhash(df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "sequence(" not in plan
+    assert plan.count("HashAggregate") == 2
+
+
 @pytest.fixture(scope="module")
 def clustered_vectors(spark):
     """Planted clusters (the driver's embeddings table is near-random —
