@@ -2177,16 +2177,42 @@ def pretrain_corpus(
     weight_col = token_col or "n_chars"
 
     corpus = _spread(corpus)
-    corpus = _observe(corpus, "input", F.count(F.lit(1)).alias("rows"))
-    quality = corpus.filter(
+    # telemetry spine: the decontamination gram branch below reads this
+    # PRE-observe frame so the "input"/"post_quality" CollectMetrics
+    # nodes sit on the spine only, exactly as before the round-17
+    # gram-branch change.
+    spine = _observe(corpus, "input", F.count(F.lit(1)).alias("rows"))
+    quality = spine.filter(
         repetition_gate(F.col("text")) & F.col("n_chars").between(50, 20000)
     ).select(*carried, "text")
     quality = _observe(quality, "post_quality", F.count(F.lit(1)).alias("rows"))
 
     gram = exploded_shingles("text", 4)
     ev = benchmark.select(gram.alias("gram")).distinct()
+    # Round 17 (guide §1.2 step 1 — don't compute things you throw
+    # away): the gram branch reads the RAW corpus under only the
+    # parquet-pushable n_chars band, NOT the quality frame. Through
+    # round 16 it read `quality`, so the repetition gate — an
+    # interpreted per-doc sort + aggregate fold (HOFs are
+    # CodegenFallback) — executed TWICE per run: once here and once on
+    # the survivor spine (the two consumers are separate plan branches;
+    # no exchange reuse fires between them). Result-identical by a
+    # subset argument: quality ⊆ {corpus : n_chars in band}, so
+    # hits_new ∩ quality == hits_old, and the left_anti below only
+    # ever subtracts from `quality` — extra hit ids for docs that fail
+    # the gate subtract nothing. This is also the oracle's own
+    # formulation (its `g4` CTE reads `toks`, not `quality`). The
+    # trade: 4-gram explode over gate-failing docs (4% of the corpus
+    # at sf0.1: 183 of 4827) vs one full interpreted-fold pass saved —
+    # the isolated gram branch measures 1.219 → 0.427 s min-of-6
+    # interleaved at sf0.1; the end-to-end pipeline delta is
+    # window-noise-bounded there (~6%) because downstream stages
+    # dominate, but the removed pass scales with the corpus.
+    # Value-equal vs the round-16 form AND the oracle at all three
+    # SFs (tools/pretrain_decon_ab_r17_results.json).
     hit_ids = (
-        quality.select("doc_id", gram.alias("gram"))
+        corpus.filter(F.col("n_chars").between(50, 20000))
+        .select("doc_id", gram.alias("gram"))
         .join(F.broadcast(ev), "gram", "left_semi")
         .select("doc_id")
         .distinct()

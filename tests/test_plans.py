@@ -633,6 +633,65 @@ def test_pretrain_pipeline_plan_shape(spark, sf):
     assert "CartesianProduct" not in tree
 
 
+def test_pretrain_decon_branch_matches_quality_based_form(spark, sf):
+    """Round 17: the decontamination gram branch reads the RAW corpus
+    under the n_chars band instead of the quality frame (one
+    interpreted repetition-gate fold per run instead of two). The
+    result must equal the round-16 quality-based formulation exactly —
+    the subset argument (quality ⊆ n_chars-banded corpus, left_anti
+    subtracts only from quality) made executable."""
+    from git_log_to_sqlite_spark.operators.dedup import (
+        _spread,
+        exploded_shingles,
+    )
+    from git_log_to_sqlite_spark.operators.ordered import ordered_running_sum
+    from git_log_to_sqlite_spark.operators.sampling import token_budget_sample
+    from git_log_to_sqlite_spark.operators.text import repetition_gate
+    from git_log_to_sqlite_spark.plans.llm_ops import pretrain_corpus
+    from git_log_to_sqlite_spark.plans.registry import table
+
+    d = table(spark, sf, "documents")
+    benchmark = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    got = {tuple(r) for r in pretrain_corpus(corpus, benchmark).collect()}
+
+    # inline replica of the ROUND-16 formulation: hit ids from quality
+    spread = _spread(corpus)
+    quality = spread.filter(
+        repetition_gate(F.col("text")) & F.col("n_chars").between(50, 20000)
+    ).select("doc_id", "source", "n_chars", "text")
+    gram = exploded_shingles("text", 4)
+    ev = benchmark.select(gram.alias("gram")).distinct()
+    hit_ids = (
+        quality.select("doc_id", gram.alias("gram"))
+        .join(F.broadcast(ev), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = quality.join(hit_ids, "doc_id", "left_anti")
+    surv = (
+        clean.groupBy(F.md5("text").alias("_fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(source, doc_id)").alias("source"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("_fp")
+    )
+    kept = token_budget_sample(
+        surv, "doc_id", "n_chars", 4000, domain_col="source"
+    ).select("doc_id", "source", "n_chars")
+    packed = ordered_running_sum(kept, ["doc_id"], "n_chars", out_col="cum")
+    ref = {
+        tuple(r)
+        for r in packed.select(
+            "doc_id", "source", "n_chars",
+            F.floor((F.col("cum") - 1) / 2000).cast("int").alias("shard_id"),
+        ).collect()
+    }
+    assert got == ref and got
+
+
 def test_pretrain_corpus_token_col_knob(spark, sf):
     """The opt-in ``token_col`` path (round 16): budgeting/packing on a
     precomputed subword-token column must equal the default char path
