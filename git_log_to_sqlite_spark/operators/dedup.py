@@ -1337,49 +1337,58 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     exist for :func:`simhash_pairs`' banding keyspace, which must grow
     with the corpus (see its docstring).
 
-    Shape (round 17, guide §2.3 "aggregate before you shuffle"): all
-    ``bits`` per-bit majorities are computed as ``bits`` map-combinable
-    sum-aggregates in ONE groupBy pass over the (id, token-hash)
-    stream — the same one-pass trick :func:`minhash_signatures` uses —
-    instead of exploding every token into ``bits`` (id, bit) rows and
-    shuffling that stream through TWO aggregations. The retired form
-    shuffled ``bits`` x |tokens| rows (a 32-60x row multiplier, the
-    largest shuffle amplifier in the repo at corpus scale) plus a
-    semantically-redundant DISTINCT exchange (``array_distinct``
+    Shape (round 17, guide §2.4 "remove shuffles outright" + §1.1
+    "empirical beats the ideal"): the narrow two-aggregate form —
+    md5 fold projected ONCE per token row, bit-index explode,
+    map-combinable (id, i) partial sums, then the per-doc signature
+    fold — WITHOUT the retired form's DISTINCT over the exploded
+    (id, token) stream. That distinct was the one corpus-sized
+    exchange here and was semantically redundant (``array_distinct``
     already dedups within the document, and cross-document repeats
-    carry different ids, so the exploded stream was already unique);
-    this form shuffles one ``bits``-column partial per doc per map
-    task. Measured value-identical at both widths; 1.2-1.4 s -> 0.74 s
-    cold at sf0.1, 5 jobs -> 3.
+    carry different ids, so the stream was already unique); with it
+    gone, map-side partial aggregation compresses the remaining two
+    exchanges to ``bits`` rows per doc and one row per doc.
+
+    A ONE-pass variant (all ``bits`` majorities as sum-aggregates in a
+    single 60-buffer groupBy, the :func:`minhash_signatures` trick)
+    was implemented and interleaved-A/B'd against this form through
+    every consumer: 2x faster in a tight single-plan loop, but 25-50%
+    SLOWER in suite context at both widths (the wide 60-buffer update
+    path never gets hot in a mixed-query JVM), while this narrow form
+    wins in every context — dedup_simhash 1.0 -> 0.48 s,
+    dedup_simhash_pairs 2.05 -> 1.65 s, mm_fuzzy_decontaminate
+    1.9 -> 1.36 s cold min-of-6 vs the round-16 form
+    (tools/simhash_pairs_ab_r17_results.json; signatures verified
+    value-identical at both widths across all three forms).
     """
     if not 1 <= bits <= 60:
         raise ValueError(f"bits must be in [1, 60], got {bits}")
     hex_chars = 8 if bits <= 32 else 15
-    # h projected BELOW the aggregate so md5 folds once per token row —
-    # referencing md5_long inside every per-bit agg would lean on
-    # codegen subexpression elimination instead of guaranteeing it
+    # h projected BELOW the bit explode so md5 folds once per token
+    # row, not once per (token, bit) row
     toks = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     ).select("_id", md5_long(F.col("token"), hex_chars=hex_chars).alias("h"))
-    per_bit = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"_w{i}")
-        for i in range(bits)
-    ]
-    sig = sum(
-        F.when(F.col(f"_w{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    weights = (
+        toks.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
+        .withColumn(
+            "bit_weight", F.when(F.expr("(shiftright(h, i) & 1) = 1"), 1).otherwise(-1)
         )
-        for i in range(bits)
+        .groupBy("_id", "i")
+        .agg(F.sum("bit_weight").alias("weight"))
     )
     return (
-        toks.groupBy("_id")
-        .agg(*per_bit)
-        .select(F.col("_id").alias(id_col), sig.cast("long").alias("simhash"))
+        weights.groupBy("_id")
+        .agg(
+            F.sum(
+                F.when(F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+        .withColumnRenamed("_id", id_col)
     )
 
 
